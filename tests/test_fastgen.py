@@ -1,0 +1,96 @@
+"""Fast-generation equivalence tests (SURVEY.md §4 "Equivalence"): the
+cached-queue decoder (arXiv:1611.09482) must reproduce the naive full-window
+forward's logits step for step — this catches queue/ring-indexing bugs, the
+classic fast-WaveNet failure mode."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from wavenet_tpu.config import WaveNetConfig
+from wavenet_tpu.models import wavenet as wn
+
+
+def cfg_(**kw):
+    base = dict(num_blocks=2, max_dilation=8, residual_channels=8,
+                skip_channels=8, compute_dtype="float32")
+    base.update(kw)
+    return WaveNetConfig(**base)
+
+
+def _fast_logits(p, cfg, toks):
+    """Step the fast decoder over a teacher-forced token sequence, collecting
+    the logits after each step, inside one scan."""
+    B, T = toks.shape
+    st = wn.decode_init(cfg, B)
+
+    def body(st, tok):
+        st, logits = wn.decode_step(p, cfg, st, tok)
+        return st, logits
+
+    _, logits = jax.lax.scan(body, st, jnp.moveaxis(toks, 1, 0))
+    return jnp.moveaxis(logits, 0, 1)            # [B, T, Q]
+
+
+def test_naive_fast_equivalence():
+    cfg = cfg_()
+    p = wn.init_params(cfg, jax.random.PRNGKey(0))
+    T = cfg.receptive_field + 17                 # cross the full RF
+    toks = jax.random.randint(jax.random.PRNGKey(1), (3, T), 0, 256)
+    naive = wn.forward_logits(p, cfg, toks)
+    fast = _fast_logits(p, cfg, toks)
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(naive),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_equivalence_bf16():
+    cfg = cfg_(compute_dtype="bfloat16")
+    p = wn.init_params(cfg, jax.random.PRNGKey(0))
+    toks = jax.random.randint(jax.random.PRNGKey(1), (2, 40), 0, 256)
+    naive = wn.forward_logits(p, cfg, toks)
+    fast = _fast_logits(p, cfg, toks)
+    # bf16: tolerance-banded (SURVEY.md §4 "Kernel" policy)
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(naive),
+                               atol=0.15, rtol=0.05)
+
+
+def test_generate_shapes_and_determinism():
+    cfg = cfg_()
+    p = wn.init_params(cfg, jax.random.PRNGKey(0))
+    key = jax.random.PRNGKey(42)
+    out1 = wn.generate(p, cfg, key, num_samples=25, batch=2)
+    out2 = wn.generate(p, cfg, key, num_samples=25, batch=2)
+    assert out1.shape == (2, 25)
+    assert out1.dtype == jnp.int32
+    np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))
+    assert (np.asarray(out1) >= 0).all() and (np.asarray(out1) < 256).all()
+
+
+def test_generate_with_priming_matches_teacher_forcing():
+    """Priming through the queues must leave the decoder in exactly the state
+    the naive forward implies: the first sampled step's logits must equal the
+    naive forward logits at the last priming position."""
+    cfg = cfg_()
+    p = wn.init_params(cfg, jax.random.PRNGKey(0))
+    P = 30
+    prime = jax.random.randint(jax.random.PRNGKey(7), (2, P), 0, 256)
+
+    naive = wn.forward_logits(p, cfg, prime)     # [2, P, Q]
+
+    st = wn.decode_init(cfg, 2)
+    def body(st, tok):
+        st, logits = wn.decode_step(p, cfg, st, tok)
+        return st, logits
+    st, _ = jax.lax.scan(body, st, jnp.moveaxis(prime[:, :-1], 1, 0))
+    _, logits_last = wn.decode_step(p, cfg, st, prime[:, -1])
+    np.testing.assert_allclose(np.asarray(logits_last),
+                               np.asarray(naive[:, -1]), atol=1e-5, rtol=1e-5)
+
+
+def test_decode_state_pytree():
+    cfg = cfg_()
+    st = wn.decode_init(cfg, 4)
+    leaves = jax.tree.leaves(st)
+    assert len(leaves) == 3
+    assert st.queues.shape == (cfg.num_layers, 4, cfg.max_dilation,
+                               cfg.residual_channels)

@@ -1,0 +1,200 @@
+"""Typed configuration for the TPU-native WaveNet framework.
+
+Mirrors the role of the reference's params-JSON-next-to-checkpoints idea
+(musyoku/wavenet keeps a params JSON serialized beside HDF5 weights; see
+SURVEY.md §1 "Hyperparameter/config" row) but as a typed, versioned dataclass
+with the preset configs mandated by BASELINE.json `configs`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Optional, Sequence, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class MelConfig:
+    """Local-conditioning (mel spectrogram) config for the vocoder preset.
+
+    WaveNet paper §2.5 eq.3: conditioning enters the gate as V_f*y and V_g*y
+    where y is the upsampled conditioning signal.
+    """
+
+    num_mels: int = 80
+    hop_length: int = 256          # audio samples per mel frame
+    win_length: int = 1024
+    fmin: float = 0.0
+    fmax: float = 8000.0
+    # Upsampling from mel frame-rate to sample-rate: product must equal
+    # hop_length. Done with repeat + conv smoothing (cheap, MXU-friendly).
+    upsample_factors: Tuple[int, ...] = (4, 8, 8)
+
+    def __post_init__(self):
+        prod = 1
+        for f in self.upsample_factors:
+            prod *= f
+        if prod != self.hop_length:
+            raise ValueError(
+                f"prod(upsample_factors)={prod} must equal hop_length="
+                f"{self.hop_length}")
+
+
+@dataclasses.dataclass(frozen=True)
+class WaveNetConfig:
+    """Full model + training hyperparameters.
+
+    Dilation schedule follows WaveNet paper §2.1 Fig 3: within a block the
+    dilation doubles per layer (1, 2, 4, ..., max_dilation), and the block is
+    repeated `num_blocks` times.
+    """
+
+    # --- quantization (paper §2.2) ---
+    quantization_channels: int = 256   # mu-law classes
+    sample_rate: int = 16000
+
+    # --- conv stack (paper §2.1-2.4) ---
+    num_blocks: int = 1
+    max_dilation: int = 128            # dilations 1..max_dilation doubling
+    kernel_size: int = 2               # causal conv width
+    residual_channels: int = 32
+    skip_channels: int = 16
+    # channels of the initial causal embedding conv; defaults to residual
+    causal_channels: Optional[int] = None
+
+    # --- conditioning (None => unconditional) ---
+    mel: Optional[MelConfig] = None
+
+    # --- numerics ---
+    compute_dtype: str = "bfloat16"    # activations/matmul inputs
+    param_dtype: str = "float32"       # master weights
+    remat: bool = False                # jax.checkpoint over the layer scan
+
+    # --- training ---
+    batch_size: int = 8
+    train_window: int = 4096           # samples per training crop (incl. RF)
+    learning_rate: float = 2e-4
+    adam_b1: float = 0.9
+    adam_b2: float = 0.999
+    grad_clip_norm: Optional[float] = None
+    seed: int = 0
+
+    # --- parallelism (mesh axis sizes; 1 = disabled) ---
+    data_parallel: int = 1
+    model_parallel: int = 1            # channel sharding of the conv stack
+    seq_parallel: int = 1              # time-axis halo sharding
+
+    def __post_init__(self):
+        if self.max_dilation & (self.max_dilation - 1):
+            raise ValueError("max_dilation must be a power of two")
+        if self.kernel_size != 2:
+            raise ValueError("kernel_size != 2 not supported yet")
+
+    # ---- derived quantities ----
+
+    @property
+    def dilations(self) -> Tuple[int, ...]:
+        """Per-layer dilation list: num_blocks repetitions of 1..max_dilation."""
+        ladder = []
+        d = 1
+        while d <= self.max_dilation:
+            ladder.append(d)
+            d *= 2
+        return tuple(ladder) * self.num_blocks
+
+    @property
+    def num_layers(self) -> int:
+        return len(self.dilations)
+
+    @property
+    def receptive_field(self) -> int:
+        """RF = sum((k-1)*d) + 1 over all layers, + (k-1) for the causal embed
+        conv (paper §2.1; SURVEY.md §4 RF formula)."""
+        return (self.kernel_size - 1) * (sum(self.dilations) + 1) + 1
+
+    @property
+    def embed_channels(self) -> int:
+        return self.causal_channels or self.residual_channels
+
+    # ---- serialization (params-JSON parity with the reference) ----
+
+    def to_json(self) -> str:
+        d = dataclasses.asdict(self)
+        return json.dumps(d, indent=2, sort_keys=True)
+
+    @classmethod
+    def from_json(cls, s: str) -> "WaveNetConfig":
+        d = json.loads(s)
+        mel = d.pop("mel", None)
+        if mel is not None:
+            mel["upsample_factors"] = tuple(mel["upsample_factors"])
+            mel = MelConfig(**mel)
+        return cls(mel=mel, **d)
+
+    def replace(self, **kw) -> "WaveNetConfig":
+        return dataclasses.replace(self, **kw)
+
+
+# ---------------------------------------------------------------------------
+# Presets — exactly the five configs enumerated in BASELINE.json `configs`.
+# ---------------------------------------------------------------------------
+
+def tiny() -> WaveNetConfig:
+    """1 block, dilations 1..128, 32 residual/16 skip, CPU-runnable."""
+    return WaveNetConfig(
+        num_blocks=1, max_dilation=128,
+        residual_channels=32, skip_channels=16,
+        batch_size=4, train_window=2048,
+    )
+
+
+def small() -> WaveNetConfig:
+    """2 blocks x dilations 1..512, 64 residual ch (LJSpeech-style)."""
+    return WaveNetConfig(
+        num_blocks=2, max_dilation=512,
+        residual_channels=64, skip_channels=64,
+        batch_size=8, train_window=8192,
+    )
+
+
+def full() -> WaveNetConfig:
+    """4 blocks x dilations 1..512, 128 residual/256 skip (RF ~ 0.26s @16kHz)."""
+    return WaveNetConfig(
+        num_blocks=4, max_dilation=512,
+        residual_channels=128, skip_channels=256,
+        batch_size=8, train_window=8192, remat=True,
+    )
+
+
+def fastgen_bench() -> WaveNetConfig:
+    """Cached-queue AR sampling benchmark: 24kHz, batch-64 parallel decode."""
+    return WaveNetConfig(
+        num_blocks=2, max_dilation=512,
+        residual_channels=64, skip_channels=128,
+        sample_rate=24000, batch_size=64, train_window=8192,
+    )
+
+
+def conditional() -> WaveNetConfig:
+    """Mel-conditioned Tacotron-style vocoder, shardable across chips."""
+    return WaveNetConfig(
+        num_blocks=2, max_dilation=512,
+        residual_channels=64, skip_channels=128,
+        mel=MelConfig(), batch_size=8, train_window=8192,
+    )
+
+
+PRESETS = {
+    "tiny": tiny,
+    "small": small,
+    "full": full,
+    "fastgen_bench": fastgen_bench,
+    "conditional": conditional,
+}
+
+
+def get_config(name: str) -> WaveNetConfig:
+    try:
+        return PRESETS[name]()
+    except KeyError:
+        raise KeyError(f"unknown preset {name!r}; have {sorted(PRESETS)}")

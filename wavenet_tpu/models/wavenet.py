@@ -1,0 +1,379 @@
+"""TPU-native WaveNet model core.
+
+Implements the architecture of WaveNet (arXiv:1609.03499 §2.1-2.5):
+causal embed -> N x (dilated causal conv -> gated tanh (*) sigmoid -> 1x1
+residual + 1x1 skip) -> skip-sum -> ReLU -> 1x1 -> ReLU -> 1x1 -> Q-way logits,
+with optional mel local conditioning entering the gate (paper eq.3).
+
+TPU-first design (NOT a port of the Chainer reference; see SURVEY.md §7):
+  * Layout is [B, T, C] (channels-last -> TPU lanes).  The k=2 dilated conv is
+    two MXU matmuls: x[t] @ W_cur + x[t-d] @ W_prev, with the shift done by a
+    static-shape dynamic_slice (ops/shift.py).  Filter and gate are fused into
+    one matmul of output width 2R.
+  * The causal k=2 "embedding conv" over one-hot inputs is algebraically an
+    embedding-table lookup: E_cur[x[t]] + E_prev[x[t-1]].  We implement it as
+    two gathers — mathematically identical, far cheaper than a conv on a
+    one-hot [B, Q, T] tensor.
+  * All layers share channel widths, so per-layer params are STACKED along a
+    leading L axis and the stack runs as one `lax.scan` (fast compiles, clean
+    rematerialisation via jax.checkpoint when cfg.remat).
+  * Fast AR decode (arXiv:1611.09482 §2; 1704.06001 §3) keeps a ring buffer
+    per layer holding that layer's input from t-d; one sample = one scan step
+    over layers, the whole generation loop is a single compiled `lax.scan`.
+
+Params are a plain pytree (dict) — trivially shardable with NamedSharding and
+saveable with orbax.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from wavenet_tpu.config import WaveNetConfig
+from wavenet_tpu.ops.shift import shift_right
+
+Params = Dict[str, Any]
+
+
+def _dtype(cfg: WaveNetConfig):
+    return jnp.dtype(cfg.compute_dtype)
+
+
+# ---------------------------------------------------------------------------
+# Init
+# ---------------------------------------------------------------------------
+
+def init_params(cfg: WaveNetConfig, key: jax.Array) -> Params:
+    """Initialize the parameter pytree.
+
+    Shapes (L = num_layers, R = residual, S = skip, Q = quantization, E = embed):
+      embed_cur, embed_prev: [Q, E]
+      w_cur, w_prev: [L, R, 2R]   (filter||gate fused on the output dim)
+      b:            [L, 2R]
+      w_res: [L, R, R]   b_res: [L, R]
+      w_skip:[L, R, S]   b_skip:[L, S]
+      head: w1 [S, S], b1 [S], w2 [S, Q], b2 [Q]
+      (conditional) v_cond: [L, M, 2R]; upsampler convs.
+    """
+    L = cfg.num_layers
+    R = cfg.residual_channels
+    S = cfg.skip_channels
+    Q = cfg.quantization_channels
+    E = cfg.embed_channels
+    pdt = jnp.dtype(cfg.param_dtype)
+
+    ks = jax.random.split(key, 16)
+    glorot = jax.nn.initializers.glorot_uniform()
+
+    def ginit(k, shape, fan_axes=None):
+        # stacked glorot: treat leading L as batch
+        if len(shape) == 3:
+            sub = jax.random.split(k, shape[0])
+            return jnp.stack([glorot(sk, shape[1:], pdt) for sk in sub])
+        return glorot(k, shape, pdt)
+
+    params: Params = {
+        "embed_cur": jax.random.normal(ks[0], (Q, E), pdt) * 0.05,
+        "embed_prev": jax.random.normal(ks[1], (Q, E), pdt) * 0.05,
+        "w_cur": ginit(ks[2], (L, R, 2 * R)),
+        "w_prev": ginit(ks[3], (L, R, 2 * R)),
+        "b": jnp.zeros((L, 2 * R), pdt),
+        "w_res": ginit(ks[4], (L, R, R)),
+        "b_res": jnp.zeros((L, R), pdt),
+        "w_skip": ginit(ks[5], (L, R, S)),
+        "b_skip": jnp.zeros((L, S), pdt),
+        "head_w1": ginit(ks[6], (S, S)),
+        "head_b1": jnp.zeros((S,), pdt),
+        "head_w2": ginit(ks[7], (S, Q)),
+        "head_b2": jnp.zeros((Q,), pdt),
+    }
+    if E != R:
+        params["w_embed_proj"] = ginit(ks[8], (E, R))
+    if cfg.mel is not None:
+        M = cfg.mel.num_mels
+        params["v_cond"] = ginit(ks[9], (L, M, 2 * R))
+        # head conditioning is not in the paper; gate-only per eq.3.
+        from wavenet_tpu.models.conditioning import init_upsampler_params
+        params["upsampler"] = init_upsampler_params(cfg.mel, ks[10], pdt)
+    return params
+
+
+def dilation_array(cfg: WaveNetConfig) -> jax.Array:
+    return jnp.asarray(cfg.dilations, dtype=jnp.int32)
+
+
+def _stacked_layer_params(params: Params):
+    return {k: params[k] for k in
+            ("w_cur", "w_prev", "b", "w_res", "b_res", "w_skip", "b_skip")}
+
+
+def _dot(a, b):
+    """Matmul with f32 accumulation on the MXU."""
+    return jax.lax.dot_general(
+        a, b, (((a.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# Embedding (the causal k=2 "embed conv")
+# ---------------------------------------------------------------------------
+
+def embed_tokens(params: Params, cfg: WaveNetConfig,
+                 tokens: jax.Array, prev_tokens: jax.Array) -> jax.Array:
+    """E_cur[tokens] + E_prev[prev_tokens] -> residual stream [.., R]."""
+    cdt = _dtype(cfg)
+    x = (params["embed_cur"][tokens] + params["embed_prev"][prev_tokens])
+    x = x.astype(cdt)
+    if "w_embed_proj" in params:
+        x = _dot(x, params["w_embed_proj"].astype(cdt)).astype(cdt)
+    return x
+
+
+def _shifted_tokens(tokens: jax.Array) -> jax.Array:
+    """prev_tokens[t] = tokens[t-1], with a leading zero-token."""
+    return jnp.pad(tokens[:, :-1], ((0, 0), (1, 0)))
+
+
+# ---------------------------------------------------------------------------
+# Full-sequence forward (training / naive generation)
+# ---------------------------------------------------------------------------
+
+def _layer_step(cfg: WaveNetConfig, x, skip, lp, d, left_ctx, cond):
+    """One gated residual block over a full sequence.
+
+    x: [B, T, R] (compute dtype);  skip: [B, T, S] (f32 accumulator)
+    lp: per-layer params;  d: traced dilation;  left_ctx: [B, maxd, R]
+    cond: None or [B, T, 2R] precomputed conditioning contribution (f32).
+    """
+    cdt = _dtype(cfg)
+    x_prev = shift_right(x, d, left_ctx)
+    z = (_dot(x, lp["w_cur"].astype(cdt))
+         + _dot(x_prev, lp["w_prev"].astype(cdt))
+         + lp["b"].astype(jnp.float32))
+    if cond is not None:
+        z = z + cond
+    R = cfg.residual_channels
+    h = jnp.tanh(z[..., :R]) * jax.nn.sigmoid(z[..., R:])
+    h = h.astype(cdt)
+    skip = skip + _dot(h, lp["w_skip"].astype(cdt)) + lp["b_skip"].astype(jnp.float32)
+    x = x + (_dot(h, lp["w_res"].astype(cdt))
+             + lp["b_res"].astype(jnp.float32)).astype(cdt)
+    return x, skip
+
+
+def forward_logits(params: Params, cfg: WaveNetConfig, tokens: jax.Array,
+                   mel: Optional[jax.Array] = None,
+                   left_halo: Optional[jax.Array] = None) -> jax.Array:
+    """Logits for next-sample prediction at every position.
+
+    Args:
+      tokens: [B, T] int32 mu-law ids (model input; logits[t] predicts t+1).
+      mel:    [B, F, M] mel frames when cfg.mel (F*hop >= T), else None.
+      left_halo: optional [L+1, B, maxd, R]-pytree-like stack of left contexts
+        for sequence parallelism — layer i reads left_halo[i]. None => zeros
+        (sequence start).
+    Returns:
+      [B, T, Q] float32 logits.
+    """
+    cdt = _dtype(cfg)
+    B, T = tokens.shape
+    R = cfg.residual_channels
+    maxd = cfg.max_dilation
+
+    prev = _shifted_tokens(tokens)
+    x = embed_tokens(params, cfg, tokens, prev)             # [B, T, R]
+    skip = jnp.zeros((B, T, cfg.skip_channels), jnp.float32)
+
+    cond_all = None
+    if cfg.mel is not None:
+        if mel is None:
+            raise ValueError("cfg.mel set but no mel features passed")
+        from wavenet_tpu.models.conditioning import upsample_mel
+        y = upsample_mel(params["upsampler"], cfg.mel, mel, T)   # [B, T, M]
+        # Per-layer conditioning projections, stacked: [L, B, T, 2R]
+        cond_all = jnp.einsum(
+            "btm,lmr->lbtr", y.astype(cdt), params["v_cond"].astype(cdt),
+            preferred_element_type=jnp.float32)
+
+    dils = dilation_array(cfg)
+    zeros_ctx = jnp.zeros((B, maxd, R), cdt)
+
+    # Per-layer scanned inputs as a dict pytree; optional entries only present
+    # when used, so the common path carries no dead weight.
+    xs: Dict[str, Any] = {"lp": _stacked_layer_params(params), "d": dils}
+    if cond_all is not None:
+        xs["cond"] = cond_all
+    if left_halo is not None:
+        xs["ctx"] = left_halo
+
+    def body(carry, per_layer):
+        x, skip = carry
+        ctx = per_layer.get("ctx", zeros_ctx)
+        x, skip = _layer_step(cfg, x, skip, per_layer["lp"], per_layer["d"],
+                              ctx, per_layer.get("cond"))
+        return (x, skip), None
+
+    body_fn = jax.checkpoint(body) if cfg.remat else body
+    (x, skip), _ = jax.lax.scan(body_fn, (x, skip), xs)
+
+    return head_logits(params, cfg, skip)
+
+
+def head_logits(params: Params, cfg: WaveNetConfig, skip: jax.Array) -> jax.Array:
+    """skip-sum -> ReLU -> 1x1 -> ReLU -> 1x1 (paper §2.4 Fig 4)."""
+    h = jax.nn.relu(skip)
+    h = jax.nn.relu(_dot(h.astype(_dtype(cfg)), params["head_w1"].astype(_dtype(cfg)))
+                    + params["head_b1"].astype(jnp.float32))
+    logits = (_dot(h.astype(_dtype(cfg)), params["head_w2"].astype(_dtype(cfg)))
+              + params["head_b2"].astype(jnp.float32))
+    return logits
+
+
+def loss_fn(params: Params, cfg: WaveNetConfig, tokens: jax.Array,
+            mel: Optional[jax.Array] = None) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+    """Next-sample softmax cross-entropy over a [B, W] token window.
+
+    Inputs are tokens[:, :-1], targets tokens[:, 1:] — matching the
+    reference's training objective (SURVEY.md §3.1).
+    """
+    inputs = tokens[:, :-1]
+    targets = tokens[:, 1:]
+    logits = forward_logits(params, cfg, inputs, mel=mel)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
+    loss = jnp.mean(nll)
+    aux = {
+        "loss": loss,
+        "bits_per_sample": loss / jnp.log(2.0),
+        "accuracy": jnp.mean(
+            (jnp.argmax(logits, -1) == targets).astype(jnp.float32)),
+    }
+    return loss, aux
+
+
+# ---------------------------------------------------------------------------
+# Fast AR decode (cached ring-buffer queues)
+# ---------------------------------------------------------------------------
+
+class DecodeState(NamedTuple):
+    """Carried state of the fast decoder (arXiv:1611.09482 Fig 2).
+
+    queues[l, :, t mod d_l, :] holds layer l's *input* from step t - d_l: at
+    step t we read slot (t mod d_l) — written d_l steps ago — then overwrite it
+    with the current input, to be consumed at step t + d_l.
+    """
+    queues: jax.Array          # [L, B, maxd, R] compute-dtype ring buffers
+    prev_token: jax.Array      # [B] int32 token at t-1
+    t: jax.Array               # scalar int32 step counter
+
+
+def decode_init(cfg: WaveNetConfig, batch: int) -> DecodeState:
+    L, R, maxd = cfg.num_layers, cfg.residual_channels, cfg.max_dilation
+    return DecodeState(
+        queues=jnp.zeros((L, batch, maxd, R), _dtype(cfg)),
+        prev_token=jnp.zeros((batch,), jnp.int32),
+        t=jnp.zeros((), jnp.int32),
+    )
+
+
+def decode_step(params: Params, cfg: WaveNetConfig, state: DecodeState,
+                token: jax.Array,
+                cond_t: Optional[jax.Array] = None,
+                ) -> Tuple[DecodeState, jax.Array]:
+    """Advance one sample: consume `token` ([B] int32), return logits [B, Q]
+    for the *next* sample plus updated state.  O(layers) work — the fast
+    generation algorithm of arXiv:1611.09482 §2 / 1704.06001 §3.
+
+    cond_t: optional [B, L, 2R] f32 conditioning contribution at this step
+    (precomputed einsum of upsampled mel with v_cond).
+    """
+    cdt = _dtype(cfg)
+    R = cfg.residual_channels
+    B = token.shape[0]
+    x = embed_tokens(params, cfg, token, state.prev_token)   # [B, R]
+    skip = jnp.zeros((B, cfg.skip_channels), jnp.float32)
+    dils = dilation_array(cfg)
+    stacked = _stacked_layer_params(params)
+    t = state.t
+
+    def body(carry, per_layer):
+        x, skip = carry
+        if cond_t is not None:
+            lp, d, q, cond = per_layer
+        else:
+            lp, d, q = per_layer
+            cond = None
+        slot = jnp.mod(t, d)
+        x_prev = jax.lax.dynamic_slice(q, (0, slot, 0), (B, 1, R))[:, 0, :]
+        x_prev = x_prev.astype(cdt)
+        z = (_dot(x, lp["w_cur"].astype(cdt))
+             + _dot(x_prev, lp["w_prev"].astype(cdt))
+             + lp["b"].astype(jnp.float32))
+        if cond is not None:
+            z = z + cond
+        h = (jnp.tanh(z[..., :R]) * jax.nn.sigmoid(z[..., R:])).astype(cdt)
+        skip = skip + _dot(h, lp["w_skip"].astype(cdt)) + lp["b_skip"].astype(jnp.float32)
+        new_q = jax.lax.dynamic_update_slice(q, x[:, None, :].astype(q.dtype),
+                                             (0, slot, 0))
+        x = x + (_dot(h, lp["w_res"].astype(cdt))
+                 + lp["b_res"].astype(jnp.float32)).astype(cdt)
+        return (x, skip), new_q
+
+    xs: Tuple = (stacked, dils, state.queues)
+    if cond_t is not None:
+        xs = xs + (jnp.moveaxis(cond_t, 0, 1),)   # [L, B, 2R]
+    (x, skip), new_queues = jax.lax.scan(body, (x, skip), xs)
+
+    logits = head_logits(params, cfg, skip)                  # [B, Q]
+    new_state = DecodeState(queues=new_queues, prev_token=token, t=t + 1)
+    return new_state, logits
+
+
+def generate(params: Params, cfg: WaveNetConfig, key: jax.Array,
+             num_samples: int, batch: int = 1,
+             prime_tokens: Optional[jax.Array] = None,
+             cond: Optional[jax.Array] = None,
+             temperature: float = 1.0) -> jax.Array:
+    """Autoregressively sample `num_samples` mu-law tokens.
+
+    The entire loop — priming and sampling — is ONE compiled lax.scan; no
+    per-sample host dispatch (SURVEY.md §7.4 "Dispatch-bound decode").
+
+    Args:
+      prime_tokens: optional [B, P] context to condition on (teacher-forced
+        through the queues before free-running).
+      cond: optional [B, total_T, L, 2R] per-step conditioning contributions.
+    Returns:
+      [B, num_samples] int32 sampled tokens.
+    """
+    state = decode_init(cfg, batch)
+    P = 0 if prime_tokens is None else prime_tokens.shape[1]
+
+    def prime_body(carry, tok_t):
+        state = carry
+        state, _ = decode_step(params, cfg, state, tok_t)
+        return state, None
+
+    if P > 0:
+        # feed all but the last priming token; the last one seeds sampling
+        state, _ = jax.lax.scan(prime_body, state,
+                                jnp.moveaxis(prime_tokens[:, :-1], 1, 0))
+        first = prime_tokens[:, -1]
+    else:
+        first = jnp.zeros((batch,), jnp.int32) + cfg.quantization_channels // 2
+
+    def sample_body(carry, i):
+        state, token = carry
+        cond_t = None if cond is None else cond[:, state.t]
+        state, logits = decode_step(params, cfg, state, token, cond_t=cond_t)
+        k = jax.random.fold_in(key, i)
+        nxt = jax.random.categorical(k, logits / temperature, axis=-1)
+        return (state, nxt.astype(jnp.int32)), nxt.astype(jnp.int32)
+
+    (_, _), samples = jax.lax.scan(sample_body, (state, first),
+                                   jnp.arange(num_samples))
+    return jnp.moveaxis(samples, 0, 1)                       # [B, num_samples]
