@@ -79,8 +79,9 @@ def test_gate_math_vs_numpy_oracle():
     prev = np.pad(tn[:, :-1], ((0, 0), (1, 0)))
     x = pn["embed_cur"][tn] + pn["embed_prev"][prev]          # [B,T,R]
     xprev = np.concatenate([np.zeros_like(x[:, :1]), x[:, :-1]], 1)  # d=1 shift
-    z = x @ pn["w_cur"][0] + xprev @ pn["w_prev"][0] + pn["b"][0]
-    h = np.tanh(z[..., :R]) * (1 / (1 + np.exp(-z[..., R:])))
+    z = (np.einsum("btr,rgs->btgs", x, pn["w_cur"][0])
+         + np.einsum("btr,rgs->btgs", xprev, pn["w_prev"][0]) + pn["b"][0])
+    h = np.tanh(z[..., 0, :]) * (1 / (1 + np.exp(-z[..., 1, :])))
     skip = h @ pn["w_skip"][0] + pn["b_skip"][0]
     relu = lambda v: np.maximum(v, 0)
     out = relu(relu(skip) @ pn["head_w1"] + pn["head_b1"]) @ pn["head_w2"] + pn["head_b2"]

@@ -1,0 +1,75 @@
+"""Training integration tests (SURVEY.md §4 "Integration"): a tiny config
+overfits a single synthetic clip; checkpoint/restore resumes exactly."""
+
+import numpy as np
+import jax
+import pytest
+
+from wavenet_tpu.audio.dataset import AudioDataset, IteratorState
+from wavenet_tpu.config import WaveNetConfig
+from wavenet_tpu.training.trainer import Trainer
+
+
+def micro_cfg(**kw):
+    base = dict(num_blocks=1, max_dilation=16, residual_channels=16,
+                skip_channels=16, compute_dtype="float32",
+                batch_size=2, train_window=256, learning_rate=4e-3)
+    base.update(kw)
+    return WaveNetConfig(**base)
+
+
+def test_overfit_single_clip():
+    cfg = micro_cfg()
+    ds = AudioDataset.synthetic(cfg, num_clips=1, clip_seconds=0.1)
+    tr = Trainer(cfg, ds)
+    m = tr.run(num_steps=250, log_every=0)
+    # a periodic sine mixture is highly predictable: loss must drop far
+    # below the ln(256)=5.55 init level (calibrated: ~0.4 @ 300 steps)
+    assert m["loss"] < 2.0, m
+    assert m["audio_seconds_per_sec"] > 0
+
+
+def test_deterministic_iterator():
+    cfg = micro_cfg()
+    ds = AudioDataset.synthetic(cfg, num_clips=3)
+    s0 = IteratorState(seed=0, step=5)
+    b1, s1 = ds.sample_batch(s0)
+    b2, _ = ds.sample_batch(IteratorState(seed=0, step=5))
+    np.testing.assert_array_equal(b1["tokens"], b2["tokens"])
+    assert s1.step == 6
+    b3, _ = ds.sample_batch(IteratorState(seed=0, step=6))
+    assert not np.array_equal(b1["tokens"], b3["tokens"])
+
+
+def test_checkpoint_resume_exact(tmp_path):
+    cfg = micro_cfg()
+    ds = AudioDataset.synthetic(cfg, num_clips=2)
+    d = str(tmp_path / "ckpt")
+
+    tr = Trainer(cfg, ds, checkpoint_dir=d)
+    tr.run(num_steps=6, log_every=0)
+    tr.save()
+    tr.ckpt.wait()
+    tr.run(num_steps=4, log_every=0)
+    final_a = jax.device_get(tr.state.params)
+    iter_a = tr.iter_state
+
+    # fresh trainer, restore at step 6, run the same 4 steps
+    tr2 = Trainer(cfg, ds, checkpoint_dir=d)
+    tr2.restore()
+    assert int(jax.device_get(tr2.state.step)) == 6
+    tr2.run(num_steps=4, log_every=0)
+    final_b = jax.device_get(tr2.state.params)
+
+    assert tr2.iter_state == iter_a
+    for a, b in zip(jax.tree.leaves(final_a), jax.tree.leaves(final_b)):
+        np.testing.assert_allclose(a, b, atol=1e-6)
+
+
+def test_config_saved_next_to_checkpoints(tmp_path):
+    cfg = micro_cfg()
+    ds = AudioDataset.synthetic(cfg, num_clips=2)
+    d = str(tmp_path / "ckpt")
+    Trainer(cfg, ds, checkpoint_dir=d)
+    from wavenet_tpu.training.checkpoint import CheckpointManager
+    assert CheckpointManager.load_config(d) == cfg

@@ -1,0 +1,128 @@
+"""Training data pipeline: wav clips -> mu-law tokens -> deterministic
+random-crop minibatches.
+
+Role parity with the reference's train-script data loading (SURVEY.md §2 #2:
+"read wavs, resample, mono-ize, random-crop fixed-length windows, batch"),
+rebuilt with two framework-grade properties the reference lacks:
+
+  * **Deterministic, checkpointable iterator state** — a batch is a pure
+    function of (seed, step), so resume-after-preemption is exact
+    (SURVEY.md §5.3).  The state is two integers.
+  * **Host/device split** — the host produces int32 token windows (cheap);
+    embedding/one-hot happens on device inside the jitted step.
+
+When a fast path is needed, `wavenet_tpu.cpp` provides a native C++ crop/
+encode kernel behind the same interface.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from wavenet_tpu.audio import mel as mel_lib
+from wavenet_tpu.audio import mulaw
+from wavenet_tpu.audio.io import list_wavs, read_wav
+from wavenet_tpu.config import WaveNetConfig
+
+
+@dataclasses.dataclass(frozen=True)
+class IteratorState:
+    """Complete, serializable state of the data iterator."""
+    seed: int
+    step: int
+
+    def next(self) -> "IteratorState":
+        return IteratorState(self.seed, self.step + 1)
+
+
+class AudioDataset:
+    """In-memory dataset of mu-law-encoded clips.
+
+    Clips shorter than the training window are dropped at load (matching the
+    obvious behavior of crop-based training; a pad-short-clips mode can be
+    added when needed).
+    """
+
+    def __init__(self, clips: Sequence[np.ndarray], cfg: WaveNetConfig):
+        self.cfg = cfg
+        window = cfg.train_window + 1          # +1: input/target offset pair
+        kept = [c for c in clips if len(c) >= window]
+        if not kept:
+            raise ValueError(
+                f"no clip is >= train_window+1 = {window} samples")
+        self.tokens: List[np.ndarray] = [
+            mulaw.encode_np(c, cfg.quantization_channels) for c in kept]
+        self.waveforms = kept
+        self.mels: Optional[List[np.ndarray]] = None
+        if cfg.mel is not None:
+            self.mels = [
+                mel_lib.log_mel(c, cfg.sample_rate, cfg.mel) for c in kept]
+
+    # ---- constructors ----
+
+    @classmethod
+    def from_dir(cls, root: str, cfg: WaveNetConfig) -> "AudioDataset":
+        paths = list_wavs(root)
+        if not paths:
+            raise FileNotFoundError(f"no .wav under {root}")
+        clips = [read_wav(p, cfg.sample_rate)[0] for p in paths]
+        return cls(clips, cfg)
+
+    @classmethod
+    def synthetic(cls, cfg: WaveNetConfig, num_clips: int = 4,
+                  clip_seconds: float = 2.0, seed: int = 0) -> "AudioDataset":
+        """Deterministic sine-mixture clips for tests and benchmarks."""
+        rng = np.random.default_rng(seed)
+        sr = cfg.sample_rate
+        T = int(clip_seconds * sr)
+        t = np.arange(T) / sr
+        clips = []
+        for _ in range(num_clips):
+            freqs = rng.uniform(80, 2000, size=3)
+            amps = rng.uniform(0.1, 0.3, size=3)
+            phases = rng.uniform(0, 2 * np.pi, size=3)
+            x = sum(a * np.sin(2 * np.pi * f * t + ph)
+                    for f, a, ph in zip(freqs, amps, phases))
+            clips.append(np.asarray(x, np.float32))
+        return cls(clips, cfg)
+
+    # ---- batching ----
+
+    def sample_batch(self, state: IteratorState,
+                     batch_size: Optional[int] = None,
+                     ) -> Tuple[Dict[str, np.ndarray], IteratorState]:
+        """Pure function of `state`: deterministic random-crop batch.
+
+        Returns {"tokens": [B, W+1] int32} (+ {"mel": [B, F, M]} when
+        conditioning), and the advanced iterator state.
+        """
+        cfg = self.cfg
+        B = batch_size or cfg.batch_size
+        W = cfg.train_window
+        rng = np.random.default_rng((self.cfg.seed, state.seed, state.step))
+        hop = cfg.mel.hop_length if cfg.mel is not None else 1
+
+        toks = np.empty((B, W + 1), np.int32)
+        mels = None
+        if self.mels is not None:
+            F = W // hop
+            mels = np.empty((B, F, cfg.mel.num_mels), np.float32)
+        for i in range(B):
+            ci = int(rng.integers(0, len(self.tokens)))
+            clip = self.tokens[ci]
+            max_start = len(clip) - (W + 1)
+            s = int(rng.integers(0, max_start + 1))
+            if mels is not None:
+                # align crop start to a mel hop boundary so frame fs maps to
+                # sample s exactly
+                s = (s // hop) * hop
+                fs = s // hop
+                mels[i] = self.mels[ci][fs:fs + W // hop]
+            toks[i] = clip[s:s + W + 1]
+        batch: Dict[str, np.ndarray] = {"tokens": toks}
+        if mels is not None:
+            batch["mel"] = mels
+        return batch, state.next()

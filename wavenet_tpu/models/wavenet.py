@@ -52,12 +52,15 @@ def init_params(cfg: WaveNetConfig, key: jax.Array) -> Params:
 
     Shapes (L = num_layers, R = residual, S = skip, Q = quantization, E = embed):
       embed_cur, embed_prev: [Q, E]
-      w_cur, w_prev: [L, R, 2R]   (filter||gate fused on the output dim)
-      b:            [L, 2R]
+      w_cur, w_prev: [L, R, 2, R]  (filter/gate on a separate axis of size 2,
+          NOT fused as [R, 2R]: with a distinct gate axis, tensor-parallel
+          sharding of the last dim keeps tanh(z_f) * sigmoid(z_g) shard-local,
+          since z_f and z_g shard with identical boundaries)
+      b:            [L, 2, R]
       w_res: [L, R, R]   b_res: [L, R]
       w_skip:[L, R, S]   b_skip:[L, S]
       head: w1 [S, S], b1 [S], w2 [S, Q], b2 [Q]
-      (conditional) v_cond: [L, M, 2R]; upsampler convs.
+      (conditional) v_cond: [L, M, 2, R]; upsampler convs.
     """
     L = cfg.num_layers
     R = cfg.residual_channels
@@ -69,19 +72,21 @@ def init_params(cfg: WaveNetConfig, key: jax.Array) -> Params:
     ks = jax.random.split(key, 16)
     glorot = jax.nn.initializers.glorot_uniform()
 
-    def ginit(k, shape, fan_axes=None):
-        # stacked glorot: treat leading L as batch
-        if len(shape) == 3:
-            sub = jax.random.split(k, shape[0])
-            return jnp.stack([glorot(sk, shape[1:], pdt) for sk in sub])
-        return glorot(k, shape, pdt)
+    def ginit(k, shape):
+        # stacked glorot: leading L (and the gate axis) are batch dims;
+        # fan-in/out from the first/last dims
+        fan_in, fan_out = shape[-2], shape[-1]
+        if len(shape) == 4:                    # [L, R, 2, R]
+            fan_in = shape[1]
+        limit = (6.0 / (fan_in + fan_out)) ** 0.5
+        return jax.random.uniform(k, shape, pdt, -limit, limit)
 
     params: Params = {
         "embed_cur": jax.random.normal(ks[0], (Q, E), pdt) * 0.05,
         "embed_prev": jax.random.normal(ks[1], (Q, E), pdt) * 0.05,
-        "w_cur": ginit(ks[2], (L, R, 2 * R)),
-        "w_prev": ginit(ks[3], (L, R, 2 * R)),
-        "b": jnp.zeros((L, 2 * R), pdt),
+        "w_cur": ginit(ks[2], (L, R, 2, R)),
+        "w_prev": ginit(ks[3], (L, R, 2, R)),
+        "b": jnp.zeros((L, 2, R), pdt),
         "w_res": ginit(ks[4], (L, R, R)),
         "b_res": jnp.zeros((L, R), pdt),
         "w_skip": ginit(ks[5], (L, R, S)),
@@ -95,7 +100,7 @@ def init_params(cfg: WaveNetConfig, key: jax.Array) -> Params:
         params["w_embed_proj"] = ginit(ks[8], (E, R))
     if cfg.mel is not None:
         M = cfg.mel.num_mels
-        params["v_cond"] = ginit(ks[9], (L, M, 2 * R))
+        params["v_cond"] = ginit(ks[9], (L, M, 2, R))
         # head conditioning is not in the paper; gate-only per eq.3.
         from wavenet_tpu.models.conditioning import init_upsampler_params
         params["upsampler"] = init_upsampler_params(cfg.mel, ks[10], pdt)
@@ -153,11 +158,10 @@ def _layer_step(cfg: WaveNetConfig, x, skip, lp, d, left_ctx, cond):
     x_prev = shift_right(x, d, left_ctx)
     z = (_dot(x, lp["w_cur"].astype(cdt))
          + _dot(x_prev, lp["w_prev"].astype(cdt))
-         + lp["b"].astype(jnp.float32))
+         + lp["b"].astype(jnp.float32))          # [B, T, 2, R]
     if cond is not None:
         z = z + cond
-    R = cfg.residual_channels
-    h = jnp.tanh(z[..., :R]) * jax.nn.sigmoid(z[..., R:])
+    h = jnp.tanh(z[..., 0, :]) * jax.nn.sigmoid(z[..., 1, :])
     h = h.astype(cdt)
     skip = skip + _dot(h, lp["w_skip"].astype(cdt)) + lp["b_skip"].astype(jnp.float32)
     x = x + (_dot(h, lp["w_res"].astype(cdt))
@@ -194,9 +198,9 @@ def forward_logits(params: Params, cfg: WaveNetConfig, tokens: jax.Array,
             raise ValueError("cfg.mel set but no mel features passed")
         from wavenet_tpu.models.conditioning import upsample_mel
         y = upsample_mel(params["upsampler"], cfg.mel, mel, T)   # [B, T, M]
-        # Per-layer conditioning projections, stacked: [L, B, T, 2R]
+        # Per-layer conditioning projections, stacked: [L, B, T, 2, R]
         cond_all = jnp.einsum(
-            "btm,lmr->lbtr", y.astype(cdt), params["v_cond"].astype(cdt),
+            "btm,lmgr->lbtgr", y.astype(cdt), params["v_cond"].astype(cdt),
             preferred_element_type=jnp.float32)
 
     dils = dilation_array(cfg)
@@ -288,7 +292,7 @@ def decode_step(params: Params, cfg: WaveNetConfig, state: DecodeState,
     for the *next* sample plus updated state.  O(layers) work — the fast
     generation algorithm of arXiv:1611.09482 §2 / 1704.06001 §3.
 
-    cond_t: optional [B, L, 2R] f32 conditioning contribution at this step
+    cond_t: optional [B, L, 2, R] f32 conditioning contribution at this step
     (precomputed einsum of upsampled mel with v_cond).
     """
     cdt = _dtype(cfg)
@@ -312,10 +316,10 @@ def decode_step(params: Params, cfg: WaveNetConfig, state: DecodeState,
         x_prev = x_prev.astype(cdt)
         z = (_dot(x, lp["w_cur"].astype(cdt))
              + _dot(x_prev, lp["w_prev"].astype(cdt))
-             + lp["b"].astype(jnp.float32))
+             + lp["b"].astype(jnp.float32))      # [B, 2, R]
         if cond is not None:
             z = z + cond
-        h = (jnp.tanh(z[..., :R]) * jax.nn.sigmoid(z[..., R:])).astype(cdt)
+        h = (jnp.tanh(z[..., 0, :]) * jax.nn.sigmoid(z[..., 1, :])).astype(cdt)
         skip = skip + _dot(h, lp["w_skip"].astype(cdt)) + lp["b_skip"].astype(jnp.float32)
         new_q = jax.lax.dynamic_update_slice(q, x[:, None, :].astype(q.dtype),
                                              (0, slot, 0))
@@ -325,7 +329,7 @@ def decode_step(params: Params, cfg: WaveNetConfig, state: DecodeState,
 
     xs: Tuple = (stacked, dils, state.queues)
     if cond_t is not None:
-        xs = xs + (jnp.moveaxis(cond_t, 0, 1),)   # [L, B, 2R]
+        xs = xs + (jnp.moveaxis(cond_t, 0, 1),)   # [L, B, 2, R]
     (x, skip), new_queues = jax.lax.scan(body, (x, skip), xs)
 
     logits = head_logits(params, cfg, skip)                  # [B, Q]
@@ -346,7 +350,7 @@ def generate(params: Params, cfg: WaveNetConfig, key: jax.Array,
     Args:
       prime_tokens: optional [B, P] context to condition on (teacher-forced
         through the queues before free-running).
-      cond: optional [B, total_T, L, 2R] per-step conditioning contributions.
+      cond: optional [B, total_T, L, 2, R] per-step conditioning contributions.
     Returns:
       [B, num_samples] int32 sampled tokens.
     """

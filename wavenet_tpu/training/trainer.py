@@ -1,0 +1,175 @@
+"""Training driver: one pjit-compiled step, sharded state, deterministic data.
+
+The reference's whole `for iteration` body (SURVEY.md §3.1) becomes ONE
+jit-compiled function over the (data, seq, model) mesh; host<->device crossing
+only for the input token batch and scalar metric fetch.  Gradients are
+averaged across `data` implicitly by GSPMD (batch is sharded, loss is a mean),
+tensor-parallel reductions ride ICI per the sharding rules in
+parallel/sharding.py.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from wavenet_tpu.audio.dataset import AudioDataset, IteratorState
+from wavenet_tpu.config import WaveNetConfig
+from wavenet_tpu.models import wavenet as wn
+from wavenet_tpu.parallel import sharding as shd
+from wavenet_tpu.parallel.mesh import make_mesh
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    step: jax.Array          # scalar int32
+
+
+def make_optimizer(cfg: WaveNetConfig) -> optax.GradientTransformation:
+    tx = optax.adam(cfg.learning_rate, b1=cfg.adam_b1, b2=cfg.adam_b2)
+    if cfg.grad_clip_norm is not None:
+        tx = optax.chain(optax.clip_by_global_norm(cfg.grad_clip_norm), tx)
+    return tx
+
+
+def make_train_step(cfg: WaveNetConfig, tx: optax.GradientTransformation):
+    """Build the jitted train step: (state, batch) -> (state, metrics)."""
+
+    def train_step(state: TrainState, batch: Dict[str, jax.Array]
+                   ) -> Tuple[TrainState, Dict[str, jax.Array]]:
+        def loss_of(p):
+            return wn.loss_fn(p, cfg, batch["tokens"], mel=batch.get("mel"))
+
+        (loss, aux), grads = jax.value_and_grad(loss_of, has_aux=True)(
+            state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        metrics = dict(aux)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return TrainState(params, opt_state, state.step + 1), metrics
+
+    return train_step
+
+
+class Trainer:
+    """End-to-end training orchestration (reference `train.py` equivalent,
+    SURVEY.md §2 #9) with sharded state and exact-resume checkpointing."""
+
+    def __init__(self, cfg: WaveNetConfig, dataset: AudioDataset,
+                 mesh: Optional[Mesh] = None,
+                 checkpoint_dir: Optional[str] = None):
+        self.cfg = cfg
+        self.dataset = dataset
+        self.mesh = mesh if mesh is not None else make_mesh(cfg)
+        shd.validate(cfg, self.mesh)
+        self.checkpoint_dir = checkpoint_dir
+        self.tx = make_optimizer(cfg)
+
+        self.param_shardings = shd.param_shardings(cfg, self.mesh)
+        self.batch_shardings = shd.batch_shardings(
+            self.mesh, with_mel=cfg.mel is not None)
+        self.iter_state = IteratorState(seed=cfg.seed, step=0)
+
+        # init sharded state directly on the mesh: eval_shape + jit(out_shardings)
+        def _init(key):
+            params = wn.init_params(cfg, key)
+            return TrainState(params, self.tx.init(params),
+                              jnp.zeros((), jnp.int32))
+
+        opt_shardings = self._opt_state_shardings(_init)
+        self.state_shardings = TrainState(
+            self.param_shardings, opt_shardings,
+            NamedSharding(self.mesh, P()))
+        self.state: TrainState = jax.jit(
+            _init, out_shardings=self.state_shardings)(
+                jax.random.PRNGKey(cfg.seed))
+
+        step = make_train_step(cfg, self.tx)
+        self._step = jax.jit(
+            step,
+            in_shardings=(self.state_shardings, self.batch_shardings),
+            out_shardings=(self.state_shardings, None),
+            donate_argnums=(0,),
+        )
+
+        if checkpoint_dir is not None:
+            from wavenet_tpu.training.checkpoint import CheckpointManager
+            self.ckpt = CheckpointManager(checkpoint_dir, cfg)
+        else:
+            self.ckpt = None
+
+    def _opt_state_shardings(self, init_fn):
+        """Optimizer state shards like the params it mirrors (adam mu/nu are
+        param-shaped pytrees embedded in the optax state); scalar counts
+        replicate.  Matched by key-path suffix against the param spec tree."""
+        shapes = jax.eval_shape(init_fn, jax.random.PRNGKey(0))
+        param_spec_tree = shd.param_pspecs(self.cfg)
+        flat_spec = jax.tree.flatten_with_path(
+            param_spec_tree, is_leaf=lambda x: isinstance(x, P))[0]
+        spec_by_path = {jax.tree_util.keystr(k): v for k, v in flat_spec}
+
+        def leaf_shard(path, leaf):
+            ks = jax.tree_util.keystr(path)
+            for pks, spec in spec_by_path.items():
+                if ks.endswith(pks):
+                    return NamedSharding(self.mesh, spec)
+            return NamedSharding(self.mesh, P())
+
+        return jax.tree_util.tree_map_with_path(leaf_shard, shapes.opt_state)
+
+    # ------------------------------------------------------------------
+    def run(self, num_steps: int, log_every: int = 50,
+            checkpoint_every: Optional[int] = None,
+            log_fn=print) -> Dict[str, float]:
+        """Train for num_steps; returns final metrics (+ throughput)."""
+        cfg = self.cfg
+        audio_seconds_per_batch = cfg.batch_size * cfg.train_window / cfg.sample_rate
+        last = None
+        t_start = None
+        steps_timed = 0
+        with self.mesh:
+            for i in range(num_steps):
+                batch, self.iter_state = self.dataset.sample_batch(self.iter_state)
+                self.state, metrics = self._step(self.state, batch)
+                if i == 0:
+                    jax.block_until_ready(metrics["loss"])   # exclude compile
+                    t_start = time.perf_counter()
+                    steps_timed = 0
+                else:
+                    steps_timed += 1
+                if i == num_steps - 1 or (log_every and i % log_every == 0):
+                    m = {k: float(v) for k, v in metrics.items()}
+                    if log_every:
+                        log_fn(f"step {int(jax.device_get(self.state.step))} "
+                               f"loss {m['loss']:.4f} acc {m['accuracy']:.3f}")
+                    last = m
+                if self.ckpt and checkpoint_every and (i + 1) % checkpoint_every == 0:
+                    self.save()
+        jax.block_until_ready(self.state.params)
+        if steps_timed > 0:
+            dt = time.perf_counter() - t_start
+            last = last or {}
+            last["steps_per_sec"] = steps_timed / dt
+            last["audio_seconds_per_sec"] = (
+                steps_timed * audio_seconds_per_batch / dt)
+        return last or {}
+
+    # ------------------------------------------------------------------
+    def save(self):
+        assert self.ckpt is not None
+        self.ckpt.save(
+            int(jax.device_get(self.state.step)),
+            self.state, self.iter_state)
+
+    def restore(self, step: Optional[int] = None):
+        assert self.ckpt is not None
+        self.state, self.iter_state = self.ckpt.restore(
+            self.state, step=step)
+        return self.state
