@@ -171,15 +171,25 @@ def _layer_step(cfg: WaveNetConfig, x, skip, lp, d, left_ctx, cond):
 
 def forward_logits(params: Params, cfg: WaveNetConfig, tokens: jax.Array,
                    mel: Optional[jax.Array] = None,
-                   left_halo: Optional[jax.Array] = None) -> jax.Array:
+                   prev_tokens: Optional[jax.Array] = None,
+                   halo_fn=None,
+                   upsampled_cond: Optional[jax.Array] = None) -> jax.Array:
     """Logits for next-sample prediction at every position.
 
     Args:
       tokens: [B, T] int32 mu-law ids (model input; logits[t] predicts t+1).
       mel:    [B, F, M] mel frames when cfg.mel (F*hop >= T), else None.
-      left_halo: optional [L+1, B, maxd, R]-pytree-like stack of left contexts
-        for sequence parallelism — layer i reads left_halo[i]. None => zeros
-        (sequence start).
+      prev_tokens: optional [B, T] tokens at t-1; defaults to tokens shifted
+        right with a zero at t=0.  Sequence-parallel callers pass the halo'd
+        version (last token of the previous time-shard at position 0).
+      halo_fn: optional fn [B, maxd, R]-producing the left context of a layer
+        input x ([B, T, R]).  None => zeros (sequence start).  The
+        seq-parallel path passes a ppermute of x[:, -maxd:, :]
+        (parallel/seqpar.py), which keeps the math bit-identical to the
+        unsharded forward — the halo IS the missing left context.
+      upsampled_cond: optional [B, T, M] pre-upsampled conditioning features
+        (used by the seq-parallel path where upsampling happens before the
+        time axis is sharded); mutually exclusive with `mel`.
     Returns:
       [B, T, Q] float32 logits.
     """
@@ -188,16 +198,19 @@ def forward_logits(params: Params, cfg: WaveNetConfig, tokens: jax.Array,
     R = cfg.residual_channels
     maxd = cfg.max_dilation
 
-    prev = _shifted_tokens(tokens)
+    prev = _shifted_tokens(tokens) if prev_tokens is None else prev_tokens
     x = embed_tokens(params, cfg, tokens, prev)             # [B, T, R]
     skip = jnp.zeros((B, T, cfg.skip_channels), jnp.float32)
 
     cond_all = None
     if cfg.mel is not None:
-        if mel is None:
+        if upsampled_cond is not None:
+            y = upsampled_cond
+        elif mel is not None:
+            from wavenet_tpu.models.conditioning import upsample_mel
+            y = upsample_mel(params["upsampler"], cfg.mel, mel, T)  # [B, T, M]
+        else:
             raise ValueError("cfg.mel set but no mel features passed")
-        from wavenet_tpu.models.conditioning import upsample_mel
-        y = upsample_mel(params["upsampler"], cfg.mel, mel, T)   # [B, T, M]
         # Per-layer conditioning projections, stacked: [L, B, T, 2, R]
         cond_all = jnp.einsum(
             "btm,lmgr->lbtgr", y.astype(cdt), params["v_cond"].astype(cdt),
@@ -211,12 +224,10 @@ def forward_logits(params: Params, cfg: WaveNetConfig, tokens: jax.Array,
     xs: Dict[str, Any] = {"lp": _stacked_layer_params(params), "d": dils}
     if cond_all is not None:
         xs["cond"] = cond_all
-    if left_halo is not None:
-        xs["ctx"] = left_halo
 
     def body(carry, per_layer):
         x, skip = carry
-        ctx = per_layer.get("ctx", zeros_ctx)
+        ctx = zeros_ctx if halo_fn is None else halo_fn(x)
         x, skip = _layer_step(cfg, x, skip, per_layer["lp"], per_layer["d"],
                               ctx, per_layer.get("cond"))
         return (x, skip), None

@@ -39,12 +39,26 @@ def make_optimizer(cfg: WaveNetConfig) -> optax.GradientTransformation:
     return tx
 
 
-def make_train_step(cfg: WaveNetConfig, tx: optax.GradientTransformation):
-    """Build the jitted train step: (state, batch) -> (state, metrics)."""
+def make_train_step(cfg: WaveNetConfig, tx: optax.GradientTransformation,
+                    mesh: Optional[Mesh] = None):
+    """Build the jitted train step: (state, batch) -> (state, metrics).
+
+    When cfg.seq_parallel > 1 the loss runs through the halo-exchange
+    shard_map path (parallel/seqpar.py); `mesh` is required then.
+    """
+    use_sp = cfg.seq_parallel > 1
+    if use_sp and mesh is None:
+        raise ValueError("seq_parallel > 1 requires the mesh")
 
     def train_step(state: TrainState, batch: Dict[str, jax.Array]
                    ) -> Tuple[TrainState, Dict[str, jax.Array]]:
         def loss_of(p):
+            if use_sp:
+                from wavenet_tpu.parallel import seqpar
+                toks = batch["tokens"]
+                return seqpar.loss_fn_sp(p, cfg, mesh,
+                                         toks[:, :-1], toks[:, 1:],
+                                         mel=batch.get("mel"))
             return wn.loss_fn(p, cfg, batch["tokens"], mel=batch.get("mel"))
 
         (loss, aux), grads = jax.value_and_grad(loss_of, has_aux=True)(
@@ -91,7 +105,7 @@ class Trainer:
             _init, out_shardings=self.state_shardings)(
                 jax.random.PRNGKey(cfg.seed))
 
-        step = make_train_step(cfg, self.tx)
+        step = make_train_step(cfg, self.tx, mesh=self.mesh)
         self._step = jax.jit(
             step,
             in_shardings=(self.state_shardings, self.batch_shardings),
