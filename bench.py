@@ -1,0 +1,132 @@
+#!/usr/bin/env python
+"""Benchmark harness — prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Headline metric (BASELINE.json): training audio-seconds/s per chip on the
+`small` preset.  Also measured and written to BENCH_DETAILS.json: fast-decode
+samples/s (cached-queue AR, the fastgen_bench preset at reduced length) and
+naive-decode samples/s (the reference algorithm, for the speedup ratio).
+
+vs_baseline: ratio against bench_baseline.json (the first recorded TPU run of
+this framework's own XLA path — the reference published no numbers and its
+mount is empty; see BASELINE.md).  Missing baseline file -> vs_baseline = 1.0.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "bench_baseline.json")
+
+
+def bench_training(steps: int = 30):
+    import jax
+    from wavenet_tpu.audio.dataset import AudioDataset
+    from wavenet_tpu.config import small
+    from wavenet_tpu.training.trainer import Trainer
+
+    cfg = small()
+    ds = AudioDataset.synthetic(cfg, num_clips=4, clip_seconds=2.0)
+    tr = Trainer(cfg, ds)
+    m = tr.run(num_steps=steps, log_every=0)
+    n_dev = len(jax.devices())
+    return {
+        "train_audio_seconds_per_sec_per_chip":
+            m["audio_seconds_per_sec"] / n_dev,
+        "train_steps_per_sec": m["steps_per_sec"],
+        "train_loss": m["loss"],
+    }
+
+
+def bench_decode(num_samples: int = 3072, batch: int = 64):
+    import jax
+    from wavenet_tpu.config import fastgen_bench
+    from wavenet_tpu.models import wavenet as wn
+
+    cfg = fastgen_bench()
+    params = wn.init_params(cfg, jax.random.PRNGKey(0))
+    key = jax.random.PRNGKey(1)
+
+    gen = jax.jit(lambda p, k: wn.generate(p, cfg, k, num_samples=num_samples,
+                                           batch=batch))
+    jax.block_until_ready(gen(params, key))          # compile
+    t0 = time.perf_counter()
+    jax.block_until_ready(gen(params, key))
+    dt = time.perf_counter() - t0
+    return {
+        "decode_samples_per_sec": num_samples * batch / dt,
+        "decode_steps_per_sec": num_samples / dt,
+        "decode_batch": batch,
+        "decode_realtime_factor": (num_samples / dt) / cfg.sample_rate,
+    }
+
+
+def bench_decode_naive(num_samples: int = 256, batch: int = 1):
+    """The reference's O(RF)/sample algorithm — the honest denominator for
+    the fast-decoder speedup."""
+    import jax
+    from wavenet_tpu.config import fastgen_bench
+    from wavenet_tpu.generate.sampler import generate_naive
+    from wavenet_tpu.models import wavenet as wn
+
+    cfg = fastgen_bench()
+    params = wn.init_params(cfg, jax.random.PRNGKey(0))
+    key = jax.random.PRNGKey(1)
+    gen = jax.jit(lambda p, k: generate_naive(p, cfg, k,
+                                              num_samples=num_samples,
+                                              batch=batch))
+    jax.block_until_ready(gen(params, key))
+    t0 = time.perf_counter()
+    jax.block_until_ready(gen(params, key))
+    dt = time.perf_counter() - t0
+    return {"naive_samples_per_sec": num_samples * batch / dt}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--train-steps", type=int, default=30)
+    ap.add_argument("--decode-samples", type=int, default=3072)
+    ap.add_argument("--skip-naive", action="store_true")
+    ap.add_argument("--record-baseline", action="store_true",
+                    help="write this run's numbers as the new baseline")
+    args = ap.parse_args()
+
+    details = {}
+    details.update(bench_training(args.train_steps))
+    details.update(bench_decode(args.decode_samples))
+    if not args.skip_naive:
+        details.update(bench_decode_naive())
+        details["fast_vs_naive_speedup"] = (
+            details["decode_steps_per_sec"]
+            / details["naive_samples_per_sec"])
+
+    baseline = None
+    if os.path.exists(BASELINE_FILE):
+        with open(BASELINE_FILE) as f:
+            baseline = json.load(f)
+    if args.record_baseline or baseline is None:
+        with open(BASELINE_FILE, "w") as f:
+            json.dump(details, f, indent=2)
+        if baseline is None:
+            baseline = details
+
+    key = "train_audio_seconds_per_sec_per_chip"
+    vs = details[key] / baseline[key] if baseline.get(key) else 1.0
+
+    with open("BENCH_DETAILS.json", "w") as f:
+        json.dump(details, f, indent=2)
+
+    print(json.dumps({
+        "metric": "train_audio_seconds_per_sec_per_chip",
+        "value": round(details[key], 3),
+        "unit": "audio-s/s/chip",
+        "vs_baseline": round(vs, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,93 @@
+#!/usr/bin/env python
+"""Generation CLI — role parity with the reference's generate script
+(musyoku/wavenet `generate_audio/generate.py`; SURVEY.md §3.2), running the
+fast cached-queue decoder compiled into a single on-device loop.
+
+Examples:
+  python generate.py --ckpt ./runs/t1 --seconds 2 --out out.wav
+  python generate.py --ckpt ./runs/t1 --seconds 1 --batch 8 --naive
+  python generate.py --ckpt ./runs/t1 --prime some.wav --seconds 2
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--ckpt", required=True, help="checkpoint directory")
+    p.add_argument("--step", type=int, default=None)
+    p.add_argument("--out", default="generated.wav")
+    p.add_argument("--seconds", type=float, default=1.0)
+    p.add_argument("--batch", type=int, default=1)
+    p.add_argument("--temperature", type=float, default=1.0)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--prime", default=None, help="wav file to prime on")
+    p.add_argument("--naive", action="store_true",
+                   help="use the O(RF)/sample reference algorithm instead of "
+                        "the cached-queue fast decoder")
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from wavenet_tpu.audio import mulaw
+    from wavenet_tpu.audio.io import read_wav, write_wav
+    from wavenet_tpu.generate.sampler import (generate_fast, generate_naive,
+                                              tokens_to_waveform)
+    from wavenet_tpu.models import wavenet as wn
+    from wavenet_tpu.training.checkpoint import CheckpointManager
+    from wavenet_tpu.training.trainer import Trainer, make_optimizer
+
+    cfg = CheckpointManager.load_config(args.ckpt)
+    ckpt = CheckpointManager(args.ckpt, cfg)
+    # restore params only (via abstract state of params subtree)
+    params = jax.eval_shape(lambda: wn.init_params(cfg, jax.random.PRNGKey(0)))
+    import optax
+    tx = make_optimizer(cfg)
+    opt_shapes = jax.eval_shape(lambda p: tx.init(p), params)
+    from wavenet_tpu.training.trainer import TrainState
+    abstract = TrainState(params, opt_shapes,
+                          jax.ShapeDtypeStruct((), jnp.int32))
+    state, _ = ckpt.restore(abstract, step=args.step)
+    params = state.params
+
+    prime_tokens = None
+    if args.prime:
+        wave, _ = read_wav(args.prime, cfg.sample_rate)
+        prime_tokens = jnp.asarray(
+            mulaw.encode_np(wave, cfg.quantization_channels))[None]
+        prime_tokens = jnp.tile(prime_tokens, (args.batch, 1))
+
+    n = int(args.seconds * cfg.sample_rate)
+    key = jax.random.PRNGKey(args.seed)
+    fn = generate_naive if args.naive else generate_fast
+    t0 = time.perf_counter()
+    toks = fn(params, cfg, key, num_samples=n, batch=args.batch,
+              prime_tokens=prime_tokens, temperature=args.temperature)
+    jax.block_until_ready(toks)
+    dt = time.perf_counter() - t0
+    sps = n * args.batch / dt
+    print(f"{n} samples x{args.batch} in {dt:.2f}s = {sps:.0f} samples/s "
+          f"({'naive' if args.naive else 'fast'})", file=sys.stderr)
+
+    wave = tokens_to_waveform(toks, cfg)
+    if args.batch == 1:
+        write_wav(args.out, wave[0], cfg.sample_rate)
+    else:
+        for i in range(args.batch):
+            write_wav(args.out.replace(".wav", f"_{i}.wav"), wave[i],
+                      cfg.sample_rate)
+    print(f"wrote {args.out}", file=sys.stderr)
+    return toks
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,93 @@
+#!/usr/bin/env python
+"""Training CLI — role parity with the reference's train script
+(musyoku/wavenet `train_audio/train.py`; SURVEY.md §3.1), TPU-native inside.
+
+Examples:
+  python train.py --preset tiny --data ./wavs --steps 10000 --ckpt ./runs/t1
+  python train.py --preset small --synthetic --steps 500
+  python train.py --config ./runs/t1/params.json --resume --ckpt ./runs/t1
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--preset", default="tiny",
+                   help="config preset (tiny/small/full/fastgen_bench/conditional)")
+    p.add_argument("--config", default=None,
+                   help="path to a params.json (overrides --preset)")
+    p.add_argument("--data", default=None, help="directory of .wav files")
+    p.add_argument("--synthetic", action="store_true",
+                   help="train on synthetic sine mixtures (smoke runs)")
+    p.add_argument("--steps", type=int, default=10000)
+    p.add_argument("--ckpt", default=None, help="checkpoint directory")
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--log-every", type=int, default=50)
+    p.add_argument("--ckpt-every", type=int, default=1000)
+    p.add_argument("--batch-size", type=int, default=None)
+    p.add_argument("--lr", type=float, default=None)
+    p.add_argument("--profile-dir", default=None,
+                   help="write a jax profiler trace of steps 10-15 here")
+    p.add_argument("--override", action="append", default=[],
+                   help="config overrides as key=json, e.g. --override remat=true")
+    return p.parse_args(argv)
+
+
+def build_config(args):
+    from wavenet_tpu.config import WaveNetConfig, get_config
+    if args.config:
+        with open(args.config) as f:
+            cfg = WaveNetConfig.from_json(f.read())
+    else:
+        cfg = get_config(args.preset)
+    kw = {}
+    if args.batch_size is not None:
+        kw["batch_size"] = args.batch_size
+    if args.lr is not None:
+        kw["learning_rate"] = args.lr
+    for ov in args.override:
+        k, v = ov.split("=", 1)
+        kw[k] = json.loads(v)
+    return cfg.replace(**kw) if kw else cfg
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    cfg = build_config(args)
+
+    from wavenet_tpu.audio.dataset import AudioDataset
+    from wavenet_tpu.training.trainer import Trainer
+
+    if args.synthetic or not args.data:
+        print("using synthetic dataset", file=sys.stderr)
+        ds = AudioDataset.synthetic(cfg, num_clips=8, clip_seconds=4.0)
+    else:
+        ds = AudioDataset.from_dir(args.data, cfg)
+
+    tr = Trainer(cfg, ds, checkpoint_dir=args.ckpt)
+    if args.resume and tr.ckpt and tr.ckpt.latest_step() is not None:
+        tr.restore()
+        print(f"resumed at step {tr.ckpt.latest_step()}", file=sys.stderr)
+
+    if args.profile_dir:
+        from wavenet_tpu.utils.profiling import profiled_steps
+        with profiled_steps(tr, args.profile_dir, start=10, stop=15):
+            metrics = tr.run(args.steps, log_every=args.log_every,
+                             checkpoint_every=args.ckpt_every if args.ckpt else None)
+    else:
+        metrics = tr.run(args.steps, log_every=args.log_every,
+                         checkpoint_every=args.ckpt_every if args.ckpt else None)
+    if args.ckpt:
+        tr.save()
+        tr.ckpt.wait()
+    print(json.dumps(metrics))
+    return metrics
+
+
+if __name__ == "__main__":
+    main()

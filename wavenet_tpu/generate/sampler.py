@@ -1,0 +1,87 @@
+"""Generation drivers (reference `generate.py` equivalents, SURVEY.md §2
+#10-11 and §3.2-3.3).
+
+Two samplers, both fully compiled (zero per-sample Python dispatch):
+
+  * `generate_naive` — the reference's O(receptive_field) per-sample
+    algorithm: re-run the full-window forward for every sample, inside one
+    lax.scan over a sliding token window.  Kept for equivalence testing and
+    as the honest "reference algorithm" baseline for benchmarks.
+  * `wavenet_tpu.models.wavenet.generate` — the fast cached-queue decoder
+    (O(layers)/sample), re-exported here as `generate_fast`.
+
+Plus waveform-level helpers that close the loop to audio files.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from wavenet_tpu.audio import mulaw
+from wavenet_tpu.audio.io import write_wav
+from wavenet_tpu.config import WaveNetConfig
+from wavenet_tpu.models import wavenet as wn
+
+generate_fast = wn.generate
+
+
+def generate_naive(params: wn.Params, cfg: WaveNetConfig, key: jax.Array,
+                   num_samples: int, batch: int = 1,
+                   prime_tokens: Optional[jax.Array] = None,
+                   temperature: float = 1.0) -> jax.Array:
+    """Naive AR sampling: full receptive-field forward per sample.
+
+    The sliding context window is a fixed [B, RF] buffer rolled one step per
+    sample, so the whole loop compiles to one scan with static shapes.
+    """
+    rf = cfg.receptive_field
+    if prime_tokens is None:
+        window = jnp.full((batch, rf), cfg.quantization_channels // 2,
+                          jnp.int32)
+    else:
+        P = prime_tokens.shape[1]
+        if P >= rf:
+            window = prime_tokens[:, -rf:].astype(jnp.int32)
+        else:
+            window = jnp.concatenate([
+                jnp.full((batch, rf - P), cfg.quantization_channels // 2,
+                         jnp.int32),
+                prime_tokens.astype(jnp.int32)], axis=1)
+
+    def body(window, i):
+        logits = wn.forward_logits(params, cfg, window)[:, -1]   # [B, Q]
+        k = jax.random.fold_in(key, i)
+        nxt = jax.random.categorical(k, logits / temperature, axis=-1)
+        nxt = nxt.astype(jnp.int32)
+        window = jnp.concatenate([window[:, 1:], nxt[:, None]], axis=1)
+        return window, nxt
+
+    _, samples = jax.lax.scan(body, window, jnp.arange(num_samples))
+    return jnp.moveaxis(samples, 0, 1)
+
+
+def tokens_to_waveform(tokens: jax.Array, cfg: WaveNetConfig) -> np.ndarray:
+    return np.asarray(mulaw.decode(tokens, cfg.quantization_channels))
+
+
+def generate_wav(params: wn.Params, cfg: WaveNetConfig, out_path: str,
+                 seconds: float, key: Optional[jax.Array] = None,
+                 batch: int = 1, temperature: float = 1.0,
+                 cond: Optional[jax.Array] = None) -> np.ndarray:
+    """Sample `seconds` of audio with the fast decoder and write wav file(s)."""
+    key = jax.random.PRNGKey(0) if key is None else key
+    n = int(seconds * cfg.sample_rate)
+    toks = generate_fast(params, cfg, key, num_samples=n, batch=batch,
+                         cond=cond, temperature=temperature)
+    wave = tokens_to_waveform(toks, cfg)
+    if batch == 1:
+        write_wav(out_path, wave[0], cfg.sample_rate)
+    else:
+        for i in range(batch):
+            write_wav(out_path.replace(".wav", f"_{i}.wav"), wave[i],
+                      cfg.sample_rate)
+    return wave
