@@ -1,0 +1,50 @@
+"""Native C++ loader vs the NumPy reference path: bit-identical mu-law and
+window gathering (SURVEY.md §4 kernel-vs-reference policy applied to the
+host-side native component)."""
+
+import numpy as np
+import pytest
+
+from wavenet_tpu.audio import mulaw
+from wavenet_tpu.cpp import loader
+
+pytestmark = pytest.mark.skipif(not loader.available(),
+                                reason="C++ toolchain unavailable")
+
+
+def test_mulaw_encode_bit_identical():
+    x = np.random.RandomState(0).uniform(-1.2, 1.2, 100000).astype(np.float32)
+    np.testing.assert_array_equal(loader.mulaw_encode(x), mulaw.encode_np(x))
+    # edge cases incl. exact bin boundaries
+    edges = np.array([-1.0, -0.5, 0.0, 1e-8, -1e-8, 0.5, 1.0], np.float32)
+    np.testing.assert_array_equal(loader.mulaw_encode(edges),
+                                  mulaw.encode_np(edges))
+
+
+def test_mulaw_decode_close():
+    q = np.arange(256, dtype=np.int32)
+    np.testing.assert_allclose(loader.mulaw_decode(q), mulaw.decode_np(q),
+                               atol=1e-7)
+
+
+def test_round_trip_via_cpp():
+    x = np.random.RandomState(1).uniform(-1, 1, 4096).astype(np.float32)
+    q = loader.mulaw_encode(x)
+    y = loader.mulaw_decode(q)
+    assert np.max(np.abs(x - y)) < 0.025
+
+
+@pytest.mark.parametrize("threads", [1, 4])
+def test_gather_windows(threads):
+    rng = np.random.RandomState(2)
+    clips = [rng.randint(0, 256, rng.randint(500, 900)).astype(np.int32)
+             for _ in range(5)]
+    g = loader.WindowGatherer(clips)
+    B, W = 16, 300
+    idx = rng.randint(0, 5, B).astype(np.int32)
+    starts = np.array([rng.randint(0, len(clips[i]) - W) for i in idx],
+                      np.int64)
+    out = g.gather(idx, starts, W, num_threads=threads)
+    for b in range(B):
+        np.testing.assert_array_equal(out[b],
+                                      clips[idx[b]][starts[b]:starts[b] + W])

@@ -1,0 +1,97 @@
+"""Pallas whole-loop decode kernel vs the XLA scan decoder (SURVEY.md §4
+"Kernel": each Pallas kernel vs its pure-jnp reference, interpret-mode on CPU
+so tests run without a TPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from wavenet_tpu.config import WaveNetConfig
+from wavenet_tpu.models import wavenet as wn
+from wavenet_tpu.ops.pallas import decode as pdec
+
+
+def cfg_(**kw):
+    base = dict(num_blocks=2, max_dilation=8, residual_channels=16,
+                skip_channels=16, compute_dtype="bfloat16")
+    base.update(kw)
+    return WaveNetConfig(**base)
+
+
+def xla_greedy_rollout(params, cfg, token0, n):
+    """Greedy closed-loop decode with the XLA scan path."""
+    B = token0.shape[0]
+    st = wn.decode_init(cfg, B)
+
+    def body(carry, _):
+        st, tok = carry
+        st, logits = wn.decode_step(params, cfg, st, tok)
+        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        return (st, nxt), nxt
+
+    (_, _), toks = jax.lax.scan(body, (st, token0), None, length=n)
+    return jnp.moveaxis(toks, 0, 1)            # [B, n]
+
+
+def test_greedy_equivalence_interpret():
+    cfg = cfg_()
+    params = wn.init_params(cfg, jax.random.PRNGKey(0))
+    B, N = 2, 40
+    token0 = jnp.full((B,), 128, jnp.int32)
+
+    ref = np.asarray(xla_greedy_rollout(params, cfg, token0, N))
+
+    _, sum_d = pdec._ring_offsets(cfg)
+    rings = jnp.zeros((sum_d, B, cfg.residual_channels), jnp.bfloat16)
+    init = jnp.concatenate([token0[:, None], jnp.zeros((B, 1), jnp.int32)], 1)
+    toks, rings2, carry = pdec.decode_chunk(
+        params, cfg, rings, init, jnp.int32(0), jnp.int32(0), N,
+        temperature=0.0, interpret=True)
+    got = np.asarray(toks)
+
+    np.testing.assert_array_equal(got, ref)
+    np.testing.assert_array_equal(np.asarray(carry)[:, 0], ref[:, -1])
+
+
+def test_chunked_continuation_interpret():
+    """Two chunks of N/2 must equal one chunk of N (ring state carries)."""
+    cfg = cfg_()
+    params = wn.init_params(cfg, jax.random.PRNGKey(0))
+    B, N = 2, 32
+    init = jnp.concatenate([jnp.full((B, 1), 128, jnp.int32),
+                            jnp.zeros((B, 1), jnp.int32)], 1)
+    _, sum_d = pdec._ring_offsets(cfg)
+    rings0 = jnp.zeros((sum_d, B, cfg.residual_channels), jnp.bfloat16)
+
+    one, _, _ = pdec.decode_chunk(params, cfg, rings0, init, jnp.int32(0),
+                                  jnp.int32(0), N, temperature=0.0,
+                                  interpret=True)
+    a, rings, carry = pdec.decode_chunk(params, cfg, rings0, init,
+                                        jnp.int32(0), jnp.int32(0), N // 2,
+                                        temperature=0.0, interpret=True)
+    b, _, _ = pdec.decode_chunk(params, cfg, rings, carry, jnp.int32(N // 2),
+                                jnp.int32(0), N // 2, temperature=0.0,
+                                interpret=True)
+    np.testing.assert_array_equal(
+        np.asarray(jnp.concatenate([a, b], axis=1)), np.asarray(one))
+
+
+def test_sampled_tokens_in_range_interpret():
+    cfg = cfg_()
+    params = wn.init_params(cfg, jax.random.PRNGKey(0))
+    toks = pdec.generate_pallas(params, cfg, jax.random.PRNGKey(3),
+                                num_samples=24, batch=2, interpret=True)
+    t = np.asarray(toks)
+    assert t.shape == (2, 24)
+    assert (t >= 0).all() and (t < 256).all()
+    # sampling at temperature 1 should not be constant
+    assert len(np.unique(t)) > 1
+
+
+def test_fits_vmem_budget():
+    from wavenet_tpu.config import fastgen_bench, full
+    assert pdec.fits_vmem(cfg_(), batch=2)
+    # fastgen preset at batch 64 exceeds the VMEM-resident budget
+    assert not pdec.fits_vmem(fastgen_bench(), batch=64)
+    assert not pdec.fits_vmem(full(), batch=64)

@@ -315,33 +315,42 @@ def decode_step(params: Params, cfg: WaveNetConfig, state: DecodeState,
     stacked = _stacked_layer_params(params)
     t = state.t
 
+    # Ring-buffer access is hoisted OUT of the layer scan: one gather of all
+    # layers' reads and one scatter of all writes per sample, each touching
+    # only [L, B, R] — NOT the [L, B, maxd, R] buffers.  (Passing the queues
+    # through the scan as xs/ys makes XLA materialise a full queue copy every
+    # sample: L*B*maxd*R bytes/step, which measured HBM-bandwidth-bound on
+    # the fastgen preset.  The scatter below updates the donated carry in
+    # place.)
+    slots = jnp.mod(t, dils)                                 # [L]
+    old_all = jnp.take_along_axis(
+        state.queues, slots[:, None, None, None], axis=2)[:, :, 0, :]
+
     def body(carry, per_layer):
         x, skip = carry
-        if cond_t is not None:
-            lp, d, q, cond = per_layer
-        else:
-            lp, d, q = per_layer
-            cond = None
-        slot = jnp.mod(t, d)
-        x_prev = jax.lax.dynamic_slice(q, (0, slot, 0), (B, 1, R))[:, 0, :]
-        x_prev = x_prev.astype(cdt)
+        lp = per_layer["lp"]
+        x_prev = per_layer["old"].astype(cdt)
         z = (_dot(x, lp["w_cur"].astype(cdt))
              + _dot(x_prev, lp["w_prev"].astype(cdt))
              + lp["b"].astype(jnp.float32))      # [B, 2, R]
-        if cond is not None:
-            z = z + cond
+        if "cond" in per_layer:
+            z = z + per_layer["cond"]
         h = (jnp.tanh(z[..., 0, :]) * jax.nn.sigmoid(z[..., 1, :])).astype(cdt)
         skip = skip + _dot(h, lp["w_skip"].astype(cdt)) + lp["b_skip"].astype(jnp.float32)
-        new_q = jax.lax.dynamic_update_slice(q, x[:, None, :].astype(q.dtype),
-                                             (0, slot, 0))
-        x = x + (_dot(h, lp["w_res"].astype(cdt))
-                 + lp["b_res"].astype(jnp.float32)).astype(cdt)
-        return (x, skip), new_q
+        x_out = x + (_dot(h, lp["w_res"].astype(cdt))
+                     + lp["b_res"].astype(jnp.float32)).astype(cdt)
+        return (x_out, skip), x            # ys: this layer's INPUT -> queue
 
-    xs: Tuple = (stacked, dils, state.queues)
+    xs: Dict[str, Any] = {"lp": stacked, "old": old_all}
     if cond_t is not None:
-        xs = xs + (jnp.moveaxis(cond_t, 0, 1),)   # [L, B, 2, R]
-    (x, skip), new_queues = jax.lax.scan(body, (x, skip), xs)
+        xs["cond"] = jnp.moveaxis(cond_t, 0, 1)   # [L, B, 2, R]
+    (x, skip), layer_inputs = jax.lax.scan(body, (x, skip), xs)
+
+    # one scatter for all layers (vmapped dynamic-update-slice over L)
+    new_queues = jax.vmap(
+        lambda q, s, v: jax.lax.dynamic_update_slice(
+            q, v[:, None, :].astype(q.dtype), (0, s, 0))
+    )(state.queues, slots, layer_inputs)
 
     logits = head_logits(params, cfg, skip)                  # [B, Q]
     new_state = DecodeState(queues=new_queues, prev_token=token, t=t + 1)

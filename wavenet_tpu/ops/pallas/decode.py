@@ -1,0 +1,274 @@
+"""Pallas TPU kernel: the ENTIRE autoregressive generation loop in one kernel.
+
+This is the BASELINE-mandated fast-generation kernel ("the fast-generation
+queue update kernel makes per-sample decode latency HBM-bound rather than
+dispatch-bound").  It goes beyond fusing the queue update: the whole
+generate() loop — embed, all L gated residual layers, ring-buffer reads/
+writes, the softmax head, and Gumbel-max categorical sampling — runs inside
+a single `pallas_call`, so per-sample cost is pure VPU/MXU work:
+
+  * weights stay VMEM-resident across ALL generated samples (the XLA scan
+    path re-streams them from HBM every step);
+  * ring buffers use a COMPACT layout [sum(dilations), B, R] (vs the XLA
+    path's [L, B, maxd, R]) — each layer's ring is exactly its dilation long,
+    indexed at t mod d with static per-layer offsets.  The ring axis leads so
+    every access is a leading-axis dynamic index (Mosaic lowers middle-axis
+    stores of reshaped vectors poorly);
+  * sampling uses an in-kernel counter-based RNG with the Gumbel-max trick
+    (plain VPU integer ops -> identical on TPU and in interpret mode), so no
+    host RNG round-trips.
+
+Interface mirrors models/wavenet.py's decoder; equivalence is tested against
+it (tests/test_pallas_decode.py) in interpret mode on CPU and compiled on
+TPU.  Local conditioning and priming run through the XLA path for now; this
+kernel serves the unconditional fast-generation benchmark config.
+
+VMEM budget: weights ~= L*(2*R*2R + R*R + R*S)*2B + embeds + head; rings
+B*sum_d*R*2B.  `fits_vmem()` checks the budget and callers fall back to the
+XLA scan decoder when it does not fit.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from wavenet_tpu.config import WaveNetConfig
+
+# conservative per-core VMEM budget (v5e has ~16MB; headroom for padding)
+VMEM_BUDGET = 12 * 1024 * 1024
+
+
+def _ring_offsets(cfg: WaveNetConfig) -> Tuple[Tuple[int, ...], int]:
+    offs, acc = [], 0
+    for d in cfg.dilations:
+        offs.append(acc)
+        acc += d
+    return tuple(offs), acc
+
+
+def fits_vmem(cfg: WaveNetConfig, batch: int, num_steps: int = 2048) -> bool:
+    R, S, Q, L = (cfg.residual_channels, cfg.skip_channels,
+                  cfg.quantization_channels, cfg.num_layers)
+    _, sum_d = _ring_offsets(cfg)
+    bytes_ = 2 * (
+        L * (2 * R * 2 * R + R * R + R * S)      # layer weights
+        + 2 * Q * R + S * S + S * Q              # embeds + head
+        + batch * sum_d * R                      # rings
+        + batch * (4 * R + S + 4 * Q)            # working set
+    ) + 4 * batch * num_steps                    # token output
+    return bytes_ < VMEM_BUDGET and cfg.mel is None
+
+
+def _mix(h):
+    """murmur3 finalizer: full avalanche on 32-bit lanes."""
+    h = h ^ (h >> 16)
+    h = h * jnp.uint32(0x85EBCA6B)
+    h = h ^ (h >> 13)
+    h = h * jnp.uint32(0xC2B2AE35)
+    h = h ^ (h >> 16)
+    return h
+
+
+def _counter_rng_uniform(seed, t, shape):
+    """Counter-based RNG: uniform f32 in (0,1) from (seed, step, lane index).
+
+    Plain VPU integer ops, so it runs identically compiled on TPU and in
+    interpret mode on CPU (pltpu.prng_* has no CPU lowering).  Two murmur
+    finalizer rounds over a 32-bit counter give full avalanche — ample for
+    drawing from a 256-way softmax."""
+    idx = (jax.lax.broadcasted_iota(jnp.uint32, shape, 0) * jnp.uint32(shape[1])
+           + jax.lax.broadcasted_iota(jnp.uint32, shape, 1))
+    h = (seed.astype(jnp.uint32) * jnp.uint32(0x9E3779B9)
+         + t.astype(jnp.uint32) * jnp.uint32(0x7F4A7C15) + idx)
+    bits = _mix(_mix(h) + idx)
+    return (bits >> 8).astype(jnp.float32) * (1.0 / (1 << 24)) + 1e-12
+
+
+def _decode_kernel(cfg: WaveNetConfig, num_steps: int, temperature: float,
+                   # inputs:
+                   seed_ref, t0_ref, tokens_init_ref,
+                   ecur_ref, eprev_ref,
+                   wcur_ref, wprev_ref, b_ref,
+                   wres_ref, bres_ref, wskip_ref, bskip_ref,
+                   hw1_ref, hb1_ref, hw2_ref, hb2_ref,
+                   rings_in_ref,
+                   # outputs:
+                   tokens_out_ref, rings_ref, carry_out_ref,
+                   ):
+    R = cfg.residual_channels
+    S = cfg.skip_channels
+    Q = cfg.quantization_channels
+    B = tokens_init_ref.shape[0]
+    dils = cfg.dilations
+    offs, _ = _ring_offsets(cfg)
+    t0 = t0_ref[0]                              # global step of this chunk
+
+    # rings carried in the output ref (aliased to the input by the caller)
+    rings_ref[:] = rings_in_ref[:]
+
+    q_iota = jax.lax.broadcasted_iota(jnp.int32, (B, Q), 1)
+
+    def one_hot(tok_col):                       # [B, 1] i32 -> [B, Q] bf16
+        return (q_iota == tok_col).astype(jnp.bfloat16)
+
+    def step(t, carry):
+        token, prev = carry                     # each [B, 1] int32
+        x = (jnp.dot(one_hot(token), ecur_ref[:],
+                     preferred_element_type=jnp.float32)
+             + jnp.dot(one_hot(prev), eprev_ref[:],
+                       preferred_element_type=jnp.float32))
+        x = x.astype(jnp.bfloat16)              # [B, R]
+        skip = jnp.zeros((B, S), jnp.float32)
+
+        for l in range(len(dils)):              # static unroll over layers
+            d, off = dils[l], offs[l]
+            slot = off + jax.lax.rem(t0 + t, d)
+            old = rings_ref[slot]                            # [B, R]
+            z = (jnp.dot(x, wcur_ref[l], preferred_element_type=jnp.float32)
+                 + jnp.dot(old, wprev_ref[l],
+                           preferred_element_type=jnp.float32)
+                 + b_ref[l:l + 1, :])           # [B, 2R]
+            h = (jnp.tanh(z[:, :R]) * jax.nn.sigmoid(z[:, R:])
+                 ).astype(jnp.bfloat16)
+            skip = (skip
+                    + jnp.dot(h, wskip_ref[l],
+                              preferred_element_type=jnp.float32)
+                    + bskip_ref[l:l + 1, :])
+            rings_ref[slot] = x
+            x = x + (jnp.dot(h, wres_ref[l],
+                             preferred_element_type=jnp.float32)
+                     + bres_ref[l:l + 1, :]).astype(jnp.bfloat16)
+
+        s = jnp.maximum(skip, 0.0).astype(jnp.bfloat16)
+        s = jnp.maximum(
+            jnp.dot(s, hw1_ref[:], preferred_element_type=jnp.float32)
+            + hb1_ref[:], 0.0).astype(jnp.bfloat16)
+        logits = (jnp.dot(s, hw2_ref[:], preferred_element_type=jnp.float32)
+                  + hb2_ref[:])                 # [B, Q] f32
+
+        if temperature > 0:                     # static: 0 => greedy decode
+            u = _counter_rng_uniform(seed_ref[0], t0 + t, (B, Q))
+            gumbel = -jnp.log(-jnp.log(u))
+            scores = logits * (1.0 / temperature) + gumbel
+        else:
+            scores = logits
+        nxt = jnp.argmax(scores, axis=-1, keepdims=True).astype(jnp.int32)
+
+        tokens_out_ref[:, pl.ds(t, 1)] = nxt
+        return (nxt, token)
+
+    token, prev = jax.lax.fori_loop(
+        0, num_steps, step,
+        (tokens_init_ref[:, 0:1], tokens_init_ref[:, 1:2]))
+    carry_out_ref[:, 0:1] = token
+    carry_out_ref[:, 1:2] = prev
+
+
+def _flatten_params(params, cfg: WaveNetConfig):
+    """Model params (f32, gate axis [L,R,2,R]) -> kernel operands (bf16
+    weights, f32 biases, fused [L,R,2R] gate layout)."""
+    L, R = cfg.num_layers, cfg.residual_channels
+    bf = jnp.bfloat16
+
+    def fuse(w):   # [L, R, 2, R] -> [L, R, 2R]
+        return w.reshape(L, R, 2 * R)
+
+    ecur = params["embed_cur"]
+    eprev = params["embed_prev"]
+    if "w_embed_proj" in params:
+        ecur = ecur @ params["w_embed_proj"]
+        eprev = eprev @ params["w_embed_proj"]
+    return (
+        ecur.astype(bf), eprev.astype(bf),
+        fuse(params["w_cur"]).astype(bf), fuse(params["w_prev"]).astype(bf),
+        params["b"].reshape(L, 2 * R).astype(jnp.float32),
+        params["w_res"].astype(bf), params["b_res"].astype(jnp.float32),
+        params["w_skip"].astype(bf), params["b_skip"].astype(jnp.float32),
+        params["head_w1"].astype(bf),
+        params["head_b1"].reshape(1, -1).astype(jnp.float32),
+        params["head_w2"].astype(bf),
+        params["head_b2"].reshape(1, -1).astype(jnp.float32),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "num_steps",
+                                             "temperature", "interpret"))
+def decode_chunk(params, cfg: WaveNetConfig, rings: jax.Array,
+                 tokens_init: jax.Array, t0: jax.Array, seed: jax.Array,
+                 num_steps: int,
+                 temperature: float = 1.0, interpret: bool = False):
+    """Generate `num_steps` tokens in one kernel launch.
+
+    rings: [sum_d, B, R] bf16 compact ring state (zeros at start).
+    tokens_init: [B, 2] int32 — column 0 the token consumed at the first
+      step, column 1 the token before it (0 at sequence start).
+    t0: scalar int32 global step index of the chunk start (ring phase).
+    Returns (tokens [B, num_steps] i32, rings', carry [B, 2]) where carry is
+    the tokens_init for the next chunk (pass t0 + num_steps with it).
+    """
+    B = tokens_init.shape[0]
+    _, sum_d = _ring_offsets(cfg)
+    ops = _flatten_params(params, cfg)
+
+    kernel = functools.partial(_decode_kernel, cfg, num_steps, temperature)
+    n_in = 3 + len(ops) + 1
+    tokens, rings_out, carry = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((B, num_steps), jnp.int32),
+            jax.ShapeDtypeStruct((sum_d, B, cfg.residual_channels),
+                                 jnp.bfloat16),
+            jax.ShapeDtypeStruct((B, 2), jnp.int32),
+        ),
+        in_specs=(
+            [pl.BlockSpec(memory_space=pltpu.SMEM)] * 2      # seed, t0
+            + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (n_in - 2)
+        ),
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ),
+        input_output_aliases={n_in - 1: 1},                  # rings in -> out
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=VMEM_BUDGET + 2 * 1024 * 1024),
+    )(jnp.asarray(seed, jnp.int32).reshape(1),
+      jnp.asarray(t0, jnp.int32).reshape(1),
+      tokens_init, *ops, rings)
+    return tokens, rings_out, carry
+
+
+def generate_pallas(params, cfg: WaveNetConfig, key: jax.Array,
+                    num_samples: int, batch: int = 1,
+                    temperature: float = 1.0,
+                    chunk: int = 2048, interpret: bool = False) -> jax.Array:
+    """Drop-in fast generation via the whole-loop kernel, chunked so the
+    output buffer stays in VMEM.  Unconditional only; callers should check
+    fits_vmem() and fall back to models.wavenet.generate otherwise."""
+    if not fits_vmem(cfg, batch, min(chunk, num_samples)):
+        raise ValueError("model/batch too large for the VMEM-resident decode "
+                         "kernel; use models.wavenet.generate")
+    _, sum_d = _ring_offsets(cfg)
+    R = cfg.residual_channels
+    rings = jnp.zeros((sum_d, batch, R), jnp.bfloat16)
+    carry = jnp.concatenate([
+        jnp.full((batch, 1), cfg.quantization_channels // 2, jnp.int32),
+        jnp.zeros((batch, 1), jnp.int32)], axis=1)
+    seed = jax.random.randint(key, (), 0, 2**31 - 1)
+    outs = []
+    done = 0
+    while done < num_samples:
+        n = min(chunk, num_samples - done)
+        toks, rings, carry = decode_chunk(
+            params, cfg, rings, carry, jnp.int32(done), seed, n, temperature,
+            interpret=interpret)
+        outs.append(toks)
+        done += n
+    return jnp.concatenate(outs, axis=1)

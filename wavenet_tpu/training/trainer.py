@@ -143,6 +143,8 @@ class Trainer:
             checkpoint_every: Optional[int] = None,
             log_fn=print) -> Dict[str, float]:
         """Train for num_steps; returns final metrics (+ throughput)."""
+        if num_steps <= 0:
+            return {}
         cfg = self.cfg
         audio_seconds_per_batch = cfg.batch_size * cfg.train_window / cfg.sample_rate
         last = None
@@ -153,27 +155,33 @@ class Trainer:
                 batch, self.iter_state = self.dataset.sample_batch(self.iter_state)
                 self.state, metrics = self._step(self.state, batch)
                 if i == 0:
-                    jax.block_until_ready(metrics["loss"])   # exclude compile
+                    # exclude compile AND warm the device->host path (the
+                    # first readback through a remote/tunneled runtime can
+                    # cost orders of magnitude more than steady state)
+                    jax.device_get(metrics)
                     t_start = time.perf_counter()
                     steps_timed = 0
                 else:
                     steps_timed += 1
-                if i == num_steps - 1 or (log_every and i % log_every == 0):
-                    m = {k: float(v) for k, v in metrics.items()}
-                    if log_every:
-                        log_fn(f"step {int(jax.device_get(self.state.step))} "
-                               f"loss {m['loss']:.4f} acc {m['accuracy']:.3f}")
-                    last = m
+                if log_every and i % log_every == 0 and i < num_steps - 1:
+                    # one transfer for the whole dict, not one per scalar
+                    m = {k: float(v) for k, v in
+                         jax.device_get(metrics).items()}
+                    log_fn(f"step {i + 1} "
+                           f"loss {m['loss']:.4f} acc {m['accuracy']:.3f}")
                 if self.ckpt and checkpoint_every and (i + 1) % checkpoint_every == 0:
                     self.save()
         jax.block_until_ready(self.state.params)
-        if steps_timed > 0:
-            dt = time.perf_counter() - t_start
-            last = last or {}
+        dt = time.perf_counter() - t_start if steps_timed else None
+        last = {k: float(v) for k, v in jax.device_get(metrics).items()}
+        if log_every:
+            log_fn(f"step {num_steps} loss {last['loss']:.4f} "
+                   f"acc {last['accuracy']:.3f}")
+        if dt:
             last["steps_per_sec"] = steps_timed / dt
             last["audio_seconds_per_sec"] = (
                 steps_timed * audio_seconds_per_batch / dt)
-        return last or {}
+        return last
 
     # ------------------------------------------------------------------
     def save(self):
