@@ -43,6 +43,7 @@ def bench_training(steps: int = 30):
 
 
 def bench_decode(num_samples: int = 3072, batch: int = 64):
+    """XLA scan decoder at the fastgen preset's batch-64 setting."""
     import jax
     from wavenet_tpu.config import fastgen_bench
     from wavenet_tpu.models import wavenet as wn
@@ -62,6 +63,32 @@ def bench_decode(num_samples: int = 3072, batch: int = 64):
         "decode_steps_per_sec": num_samples / dt,
         "decode_batch": batch,
         "decode_realtime_factor": (num_samples / dt) / cfg.sample_rate,
+    }
+
+
+def bench_decode_pallas(num_samples: int = 4096, batch: int = 16):
+    """Whole-loop Pallas kernel decoder (VMEM-resident weights + rings)."""
+    import jax
+    from wavenet_tpu.config import fastgen_bench
+    from wavenet_tpu.models import wavenet as wn
+    from wavenet_tpu.ops.pallas import decode as pdec
+
+    cfg = fastgen_bench()
+    if not pdec.fits_vmem(cfg, batch):
+        return {}
+    params = wn.init_params(cfg, jax.random.PRNGKey(0))
+    key = jax.random.PRNGKey(1)
+    out = pdec.generate_pallas(params, cfg, key, num_samples, batch=batch)
+    jax.block_until_ready(out)                       # compile
+    t0 = time.perf_counter()
+    out = pdec.generate_pallas(params, cfg, key, num_samples, batch=batch)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    return {
+        "pallas_decode_samples_per_sec": num_samples * batch / dt,
+        "pallas_decode_steps_per_sec": num_samples / dt,
+        "pallas_decode_batch": batch,
+        "pallas_decode_realtime_factor": (num_samples / dt) / cfg.sample_rate,
     }
 
 
@@ -98,6 +125,7 @@ def main():
     details = {}
     details.update(bench_training(args.train_steps))
     details.update(bench_decode(args.decode_samples))
+    details.update(bench_decode_pallas())
     if not args.skip_naive:
         details.update(bench_decode_naive())
         details["fast_vs_naive_speedup"] = (

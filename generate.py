@@ -40,7 +40,7 @@ def main(argv=None):
 
     from wavenet_tpu.audio import mulaw
     from wavenet_tpu.audio.io import read_wav, write_wav
-    from wavenet_tpu.generate.sampler import (generate_fast, generate_naive,
+    from wavenet_tpu.generate.sampler import (generate_auto, generate_naive,
                                               tokens_to_waveform)
     from wavenet_tpu.models import wavenet as wn
     from wavenet_tpu.training.checkpoint import CheckpointManager
@@ -68,7 +68,7 @@ def main(argv=None):
 
     n = int(args.seconds * cfg.sample_rate)
     key = jax.random.PRNGKey(args.seed)
-    fn = generate_naive if args.naive else generate_fast
+    fn = generate_naive if args.naive else generate_auto
     t0 = time.perf_counter()
     toks = fn(params, cfg, key, num_samples=n, batch=args.batch,
               prime_tokens=prime_tokens, temperature=args.temperature)

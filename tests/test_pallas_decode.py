@@ -43,7 +43,7 @@ def test_greedy_equivalence_interpret():
     ref = np.asarray(xla_greedy_rollout(params, cfg, token0, N))
 
     _, sum_d = pdec._ring_offsets(cfg)
-    rings = jnp.zeros((sum_d, B, cfg.residual_channels), jnp.bfloat16)
+    rings = jnp.zeros((sum_d, cfg.residual_channels, B), jnp.bfloat16)
     init = jnp.concatenate([token0[:, None], jnp.zeros((B, 1), jnp.int32)], 1)
     toks, rings2, carry = pdec.decode_chunk(
         params, cfg, rings, init, jnp.int32(0), jnp.int32(0), N,
@@ -62,7 +62,7 @@ def test_chunked_continuation_interpret():
     init = jnp.concatenate([jnp.full((B, 1), 128, jnp.int32),
                             jnp.zeros((B, 1), jnp.int32)], 1)
     _, sum_d = pdec._ring_offsets(cfg)
-    rings0 = jnp.zeros((sum_d, B, cfg.residual_channels), jnp.bfloat16)
+    rings0 = jnp.zeros((sum_d, cfg.residual_channels, B), jnp.bfloat16)
 
     one, _, _ = pdec.decode_chunk(params, cfg, rings0, init, jnp.int32(0),
                                   jnp.int32(0), N, temperature=0.0,

@@ -29,6 +29,24 @@ from wavenet_tpu.models import wavenet as wn
 generate_fast = wn.generate
 
 
+def generate_auto(params: wn.Params, cfg: WaveNetConfig, key: jax.Array,
+                  num_samples: int, batch: int = 1,
+                  prime_tokens: Optional[jax.Array] = None,
+                  cond: Optional[jax.Array] = None,
+                  temperature: float = 1.0) -> jax.Array:
+    """Fastest available decoder: the whole-loop Pallas kernel when the model
+    fits VMEM and no priming/conditioning is requested, else the XLA scan."""
+    from wavenet_tpu.ops.pallas import decode as pdec
+    on_tpu = jax.devices()[0].platform != "cpu"
+    if (on_tpu and prime_tokens is None and cond is None
+            and pdec.fits_vmem(cfg, batch)):
+        return pdec.generate_pallas(params, cfg, key, num_samples,
+                                    batch=batch, temperature=temperature)
+    return wn.generate(params, cfg, key, num_samples, batch=batch,
+                       prime_tokens=prime_tokens, cond=cond,
+                       temperature=temperature)
+
+
 def generate_naive(params: wn.Params, cfg: WaveNetConfig, key: jax.Array,
                    num_samples: int, batch: int = 1,
                    prime_tokens: Optional[jax.Array] = None,
@@ -75,7 +93,7 @@ def generate_wav(params: wn.Params, cfg: WaveNetConfig, out_path: str,
     """Sample `seconds` of audio with the fast decoder and write wav file(s)."""
     key = jax.random.PRNGKey(0) if key is None else key
     n = int(seconds * cfg.sample_rate)
-    toks = generate_fast(params, cfg, key, num_samples=n, batch=batch,
+    toks = generate_auto(params, cfg, key, num_samples=n, batch=batch,
                          cond=cond, temperature=temperature)
     wave = tokens_to_waveform(toks, cfg)
     if batch == 1:

@@ -87,7 +87,10 @@ def _counter_rng_uniform(seed, t, shape):
     h = (seed.astype(jnp.uint32) * jnp.uint32(0x9E3779B9)
          + t.astype(jnp.uint32) * jnp.uint32(0x7F4A7C15) + idx)
     bits = _mix(_mix(h) + idx)
-    return (bits >> 8).astype(jnp.float32) * (1.0 / (1 << 24)) + 1e-12
+    # (bits >> 8) fits in 24 bits, so the int32 round-trip is exact; Mosaic
+    # has no direct uint32 -> float32 cast
+    return ((bits >> 8).astype(jnp.int32).astype(jnp.float32)
+            * (1.0 / (1 << 24)) + 1e-12)
 
 
 def _decode_kernel(cfg: WaveNetConfig, num_steps: int, temperature: float,
@@ -101,10 +104,16 @@ def _decode_kernel(cfg: WaveNetConfig, num_steps: int, temperature: float,
                    # outputs:
                    tokens_out_ref, rings_ref, carry_out_ref,
                    ):
+    """Everything runs TRANSPOSED: activations are [channels, batch] so the
+    batch lives on TPU lanes and channels on sublanes.  This makes every
+    dynamic store a LEADING-axis index (ring slots, per-step token rows) —
+    the layouts Mosaic lowers well — and the sampled token is naturally a
+    [1, B] row (argmax over the sublane axis), so no in-kernel transposes
+    exist at all."""
     R = cfg.residual_channels
     S = cfg.skip_channels
     Q = cfg.quantization_channels
-    B = tokens_init_ref.shape[0]
+    B = tokens_init_ref.shape[1]
     dils = cfg.dilations
     offs, _ = _ring_offsets(cfg)
     t0 = t0_ref[0]                              # global step of this chunk
@@ -112,88 +121,91 @@ def _decode_kernel(cfg: WaveNetConfig, num_steps: int, temperature: float,
     # rings carried in the output ref (aliased to the input by the caller)
     rings_ref[:] = rings_in_ref[:]
 
-    q_iota = jax.lax.broadcasted_iota(jnp.int32, (B, Q), 1)
+    q_iota = jax.lax.broadcasted_iota(jnp.int32, (Q, B), 0)
 
-    def one_hot(tok_col):                       # [B, 1] i32 -> [B, Q] bf16
-        return (q_iota == tok_col).astype(jnp.bfloat16)
+    def one_hot(tok_row):                       # [1, B] i32 -> [Q, B] bf16
+        return (q_iota == tok_row).astype(jnp.bfloat16)
 
     def step(t, carry):
-        token, prev = carry                     # each [B, 1] int32
-        x = (jnp.dot(one_hot(token), ecur_ref[:],
+        token, prev = carry                     # each [1, B] int32
+        x = (jnp.dot(ecur_ref[:], one_hot(token),
                      preferred_element_type=jnp.float32)
-             + jnp.dot(one_hot(prev), eprev_ref[:],
+             + jnp.dot(eprev_ref[:], one_hot(prev),
                        preferred_element_type=jnp.float32))
-        x = x.astype(jnp.bfloat16)              # [B, R]
-        skip = jnp.zeros((B, S), jnp.float32)
+        x = x.astype(jnp.bfloat16)              # [R, B]
+        skip = jnp.zeros((S, B), jnp.float32)
 
         for l in range(len(dils)):              # static unroll over layers
             d, off = dils[l], offs[l]
             slot = off + jax.lax.rem(t0 + t, d)
-            old = rings_ref[slot]                            # [B, R]
-            z = (jnp.dot(x, wcur_ref[l], preferred_element_type=jnp.float32)
-                 + jnp.dot(old, wprev_ref[l],
+            old = rings_ref[slot]                            # [R, B]
+            z = (jnp.dot(wcur_ref[l], x, preferred_element_type=jnp.float32)
+                 + jnp.dot(wprev_ref[l], old,
                            preferred_element_type=jnp.float32)
-                 + b_ref[l:l + 1, :])           # [B, 2R]
-            h = (jnp.tanh(z[:, :R]) * jax.nn.sigmoid(z[:, R:])
+                 + b_ref[l])                    # [2R, B] (+ [2R, 1] bias)
+            h = (jnp.tanh(z[:R, :]) * jax.nn.sigmoid(z[R:, :])
                  ).astype(jnp.bfloat16)
             skip = (skip
-                    + jnp.dot(h, wskip_ref[l],
+                    + jnp.dot(wskip_ref[l], h,
                               preferred_element_type=jnp.float32)
-                    + bskip_ref[l:l + 1, :])
+                    + bskip_ref[l])
             rings_ref[slot] = x
-            x = x + (jnp.dot(h, wres_ref[l],
+            x = x + (jnp.dot(wres_ref[l], h,
                              preferred_element_type=jnp.float32)
-                     + bres_ref[l:l + 1, :]).astype(jnp.bfloat16)
+                     + bres_ref[l]).astype(jnp.bfloat16)
 
         s = jnp.maximum(skip, 0.0).astype(jnp.bfloat16)
         s = jnp.maximum(
-            jnp.dot(s, hw1_ref[:], preferred_element_type=jnp.float32)
+            jnp.dot(hw1_ref[:], s, preferred_element_type=jnp.float32)
             + hb1_ref[:], 0.0).astype(jnp.bfloat16)
-        logits = (jnp.dot(s, hw2_ref[:], preferred_element_type=jnp.float32)
-                  + hb2_ref[:])                 # [B, Q] f32
+        logits = (jnp.dot(hw2_ref[:], s, preferred_element_type=jnp.float32)
+                  + hb2_ref[:])                 # [Q, B] f32
 
         if temperature > 0:                     # static: 0 => greedy decode
-            u = _counter_rng_uniform(seed_ref[0], t0 + t, (B, Q))
+            u = _counter_rng_uniform(seed_ref[0], t0 + t, (Q, B))
             gumbel = -jnp.log(-jnp.log(u))
             scores = logits * (1.0 / temperature) + gumbel
         else:
             scores = logits
-        nxt = jnp.argmax(scores, axis=-1, keepdims=True).astype(jnp.int32)
+        nxt = jnp.argmax(scores, axis=0, keepdims=True).astype(jnp.int32)
 
-        tokens_out_ref[:, pl.ds(t, 1)] = nxt
+        tokens_out_ref[pl.ds(t, 1), :] = nxt    # [1, B] row store
         return (nxt, token)
 
     token, prev = jax.lax.fori_loop(
         0, num_steps, step,
-        (tokens_init_ref[:, 0:1], tokens_init_ref[:, 1:2]))
-    carry_out_ref[:, 0:1] = token
-    carry_out_ref[:, 1:2] = prev
+        (tokens_init_ref[0:1, :], tokens_init_ref[1:2, :]))
+    carry_out_ref[0:1, :] = token
+    carry_out_ref[1:2, :] = prev
 
 
 def _flatten_params(params, cfg: WaveNetConfig):
-    """Model params (f32, gate axis [L,R,2,R]) -> kernel operands (bf16
-    weights, f32 biases, fused [L,R,2R] gate layout)."""
+    """Model params (f32, gate axis [L,R,2,R]) -> TRANSPOSED kernel operands:
+    weight matrices as [out, in] bf16 so the kernel computes W @ x with
+    x = [channels, batch]; biases as [out, 1] f32 columns."""
     L, R = cfg.num_layers, cfg.residual_channels
     bf = jnp.bfloat16
 
-    def fuse(w):   # [L, R, 2, R] -> [L, R, 2R]
-        return w.reshape(L, R, 2 * R)
+    def fuse_t(w):   # [L, R, 2, R] -> [L, 2R, R]
+        return jnp.swapaxes(w.reshape(L, R, 2 * R), 1, 2)
 
     ecur = params["embed_cur"]
     eprev = params["embed_prev"]
     if "w_embed_proj" in params:
         ecur = ecur @ params["w_embed_proj"]
         eprev = eprev @ params["w_embed_proj"]
+    col = lambda b: b[..., None].astype(jnp.float32)          # [..., X] -> [..., X, 1]
     return (
-        ecur.astype(bf), eprev.astype(bf),
-        fuse(params["w_cur"]).astype(bf), fuse(params["w_prev"]).astype(bf),
-        params["b"].reshape(L, 2 * R).astype(jnp.float32),
-        params["w_res"].astype(bf), params["b_res"].astype(jnp.float32),
-        params["w_skip"].astype(bf), params["b_skip"].astype(jnp.float32),
-        params["head_w1"].astype(bf),
-        params["head_b1"].reshape(1, -1).astype(jnp.float32),
-        params["head_w2"].astype(bf),
-        params["head_b2"].reshape(1, -1).astype(jnp.float32),
+        ecur.T.astype(bf), eprev.T.astype(bf),                # [R, Q]
+        fuse_t(params["w_cur"]).astype(bf),                   # [L, 2R, R]
+        fuse_t(params["w_prev"]).astype(bf),
+        col(params["b"].reshape(L, 2 * R)),                   # [L, 2R, 1]
+        jnp.swapaxes(params["w_res"], 1, 2).astype(bf),       # [L, R, R]
+        col(params["b_res"]),                                 # [L, R, 1]
+        jnp.swapaxes(params["w_skip"], 1, 2).astype(bf),      # [L, S, R]
+        col(params["b_skip"]),                                # [L, S, 1]
+        params["head_w1"].T.astype(bf), col(params["head_b1"]),
+        params["head_w2"].T.astype(bf), col(params["head_b2"]),
     )
 
 
@@ -205,7 +217,8 @@ def decode_chunk(params, cfg: WaveNetConfig, rings: jax.Array,
                  temperature: float = 1.0, interpret: bool = False):
     """Generate `num_steps` tokens in one kernel launch.
 
-    rings: [sum_d, B, R] bf16 compact ring state (zeros at start).
+    rings: [sum_d, R, B] bf16 ring state in kernel layout (zeros at start;
+      treat as opaque between chunks).
     tokens_init: [B, 2] int32 — column 0 the token consumed at the first
       step, column 1 the token before it (0 at sequence start).
     t0: scalar int32 global step index of the chunk start (ring phase).
@@ -218,13 +231,13 @@ def decode_chunk(params, cfg: WaveNetConfig, rings: jax.Array,
 
     kernel = functools.partial(_decode_kernel, cfg, num_steps, temperature)
     n_in = 3 + len(ops) + 1
-    tokens, rings_out, carry = pl.pallas_call(
+    tokens_t, rings_out, carry_t = pl.pallas_call(
         kernel,
         out_shape=(
-            jax.ShapeDtypeStruct((B, num_steps), jnp.int32),
-            jax.ShapeDtypeStruct((sum_d, B, cfg.residual_channels),
+            jax.ShapeDtypeStruct((num_steps, B), jnp.int32),
+            jax.ShapeDtypeStruct((sum_d, cfg.residual_channels, B),
                                  jnp.bfloat16),
-            jax.ShapeDtypeStruct((B, 2), jnp.int32),
+            jax.ShapeDtypeStruct((2, B), jnp.int32),
         ),
         in_specs=(
             [pl.BlockSpec(memory_space=pltpu.SMEM)] * 2      # seed, t0
@@ -241,8 +254,8 @@ def decode_chunk(params, cfg: WaveNetConfig, rings: jax.Array,
             vmem_limit_bytes=VMEM_BUDGET + 2 * 1024 * 1024),
     )(jnp.asarray(seed, jnp.int32).reshape(1),
       jnp.asarray(t0, jnp.int32).reshape(1),
-      tokens_init, *ops, rings)
-    return tokens, rings_out, carry
+      tokens_init.T, *ops, rings)
+    return tokens_t.T, rings_out, carry_t.T
 
 
 def generate_pallas(params, cfg: WaveNetConfig, key: jax.Array,
@@ -257,7 +270,7 @@ def generate_pallas(params, cfg: WaveNetConfig, key: jax.Array,
                          "kernel; use models.wavenet.generate")
     _, sum_d = _ring_offsets(cfg)
     R = cfg.residual_channels
-    rings = jnp.zeros((sum_d, batch, R), jnp.bfloat16)
+    rings = jnp.zeros((sum_d, R, batch), jnp.bfloat16)
     carry = jnp.concatenate([
         jnp.full((batch, 1), cfg.quantization_channels // 2, jnp.int32),
         jnp.zeros((batch, 1), jnp.int32)], axis=1)
