@@ -1,0 +1,130 @@
+"""Conditional (mel-vocoder) model tests — BASELINE config 5, WaveNet paper
+§2.5 eq.3.  Gates: upsampler alignment, conditioned training runs and
+learns, fast-decode-with-conditioning == full-forward logits, sharded
+conditional grads == single-device."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from wavenet_tpu.audio import mel as mel_lib
+from wavenet_tpu.audio.dataset import AudioDataset
+from wavenet_tpu.config import MelConfig, WaveNetConfig
+from wavenet_tpu.models import wavenet as wn
+from wavenet_tpu.models.conditioning import prepare_decode_cond, upsample_mel
+
+
+MEL = MelConfig(num_mels=8, hop_length=16, win_length=64, fmax=4000.0,
+                upsample_factors=(4, 4))
+
+
+def cfg_(**kw):
+    base = dict(num_blocks=1, max_dilation=8, residual_channels=8,
+                skip_channels=8, compute_dtype="float32", mel=MEL,
+                batch_size=2, train_window=128, learning_rate=3e-3)
+    base.update(kw)
+    return WaveNetConfig(**base)
+
+
+def test_mel_extraction_shapes():
+    x = np.random.RandomState(0).uniform(-1, 1, 1600).astype(np.float32)
+    m = mel_lib.log_mel(x, 16000, MEL)
+    assert m.shape == (mel_lib.frames_for_samples(1600, MEL.hop_length),
+                       MEL.num_mels)
+    assert np.isfinite(m).all()
+
+
+def test_upsampler_alignment():
+    cfg = cfg_()
+    p = wn.init_params(cfg, jax.random.PRNGKey(0))
+    F, T = 8, 128
+    mel = jnp.ones((2, F, MEL.num_mels))
+    y = upsample_mel(p["upsampler"], MEL, mel, T)
+    assert y.shape == (2, T, MEL.num_mels)
+    # constant input -> (near-)constant output away from conv edges
+    mid = np.asarray(y[:, 20:-20, :])
+    assert np.abs(mid - mid.mean(axis=1, keepdims=True)).max() < 1e-3
+
+
+def test_conditioning_changes_logits():
+    cfg = cfg_()
+    p = wn.init_params(cfg, jax.random.PRNGKey(0))
+    toks = jax.random.randint(jax.random.PRNGKey(1), (2, 64), 0, 256)
+    mel_a = jnp.zeros((2, 4, MEL.num_mels))
+    mel_b = jnp.ones((2, 4, MEL.num_mels)) * 2.0
+    la = wn.forward_logits(p, cfg, toks, mel=mel_a)
+    lb = wn.forward_logits(p, cfg, toks, mel=mel_b)
+    assert float(jnp.abs(la - lb).max()) > 1e-4
+
+
+def test_fast_decode_matches_forward_with_cond():
+    cfg = cfg_()
+    p = wn.init_params(cfg, jax.random.PRNGKey(0))
+    B, T = 2, 64
+    toks = jax.random.randint(jax.random.PRNGKey(1), (B, T), 0, 256)
+    mel = jax.random.normal(jax.random.PRNGKey(2), (B, 4, MEL.num_mels))
+
+    naive = wn.forward_logits(p, cfg, toks, mel=mel)
+
+    cond = prepare_decode_cond(p, cfg, mel, T)       # [B, T, L, 2, R]
+    st = wn.decode_init(cfg, B)
+
+    def body(carry, inp):
+        st = carry
+        tok, c = inp
+        st, logits = wn.decode_step(p, cfg, st, tok, cond_t=c)
+        return st, logits
+
+    _, fast = jax.lax.scan(
+        body, st, (jnp.moveaxis(toks, 1, 0), jnp.moveaxis(cond, 1, 0)))
+    fast = jnp.moveaxis(fast, 0, 1)
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(naive),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_conditional_training_learns():
+    cfg = cfg_()
+    from wavenet_tpu.training.trainer import Trainer
+    ds = AudioDataset.synthetic(cfg, num_clips=1, clip_seconds=0.1)
+    assert ds.mels is not None
+    tr = Trainer(cfg, ds)
+    m = tr.run(num_steps=100, log_every=0)
+    assert np.isfinite(m["loss"])
+    assert m["loss"] < 5.3                     # moving off the ln(256)=5.55 init
+
+
+def test_conditional_sharded_grads_match():
+    cfg = cfg_(model_parallel=4, data_parallel=2)
+    from wavenet_tpu.parallel import sharding as shd
+    from wavenet_tpu.parallel.mesh import make_mesh
+    mesh = make_mesh(cfg)
+    p = wn.init_params(cfg, jax.random.PRNGKey(0))
+    toks = jax.random.randint(jax.random.PRNGKey(1), (2, 64), 0, 256)
+    mel = jax.random.normal(jax.random.PRNGKey(2), (2, 4, MEL.num_mels))
+
+    ref_loss, ref_grads = jax.value_and_grad(
+        lambda p: wn.loss_fn(p, cfg, toks, mel=mel)[0])(p)
+
+    p_s = jax.device_put(p, shd.param_shardings(cfg, mesh))
+    loss, grads = jax.jit(jax.value_and_grad(
+        lambda p: wn.loss_fn(p, cfg, toks, mel=mel)[0]))(p_s)
+    np.testing.assert_allclose(float(loss), float(ref_loss), rtol=2e-6)
+    for (ka, a), (kb, b) in zip(
+            jax.tree_util.tree_flatten_with_path(ref_grads)[0],
+            jax.tree_util.tree_flatten_with_path(grads)[0]):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=5e-5, rtol=1e-4, err_msg=str(ka))
+
+
+def test_generate_with_cond_runs():
+    cfg = cfg_()
+    p = wn.init_params(cfg, jax.random.PRNGKey(0))
+    B, N = 2, 32
+    mel = jax.random.normal(jax.random.PRNGKey(2), (B, 2, MEL.num_mels))
+    cond = prepare_decode_cond(p, cfg, mel, N)
+    out = wn.generate(p, cfg, jax.random.PRNGKey(5), num_samples=N,
+                      batch=B, cond=cond)
+    assert out.shape == (B, N)

@@ -53,3 +53,15 @@ def upsample_mel(params: Dict[str, Any], mel_cfg: MelConfig,
         raise ValueError(
             f"upsampled mel length {y.shape[1]} < target {target_len}")
     return y[:, :target_len, :]
+
+
+def prepare_decode_cond(params, cfg, mel: jax.Array,
+                        total_len: int) -> jax.Array:
+    """Precompute per-step conditioning contributions for AR decode.
+
+    [B, F, M] mel -> [B, total_len, L, 2, R]: the upsampled features
+    projected through every layer's v_cond, ready to be sliced per step by
+    models.wavenet.generate (cond_t = cond[:, t])."""
+    y = upsample_mel(params["upsampler"], cfg.mel, mel, total_len)
+    return jnp.einsum("btm,lmgr->btlgr", y, params["v_cond"],
+                      preferred_element_type=jnp.float32)
