@@ -92,5 +92,4 @@ def test_decode_state_pytree():
     st = wn.decode_init(cfg, 4)
     leaves = jax.tree.leaves(st)
     assert len(leaves) == 3
-    assert st.queues.shape == (cfg.num_layers, 4, cfg.max_dilation,
-                               cfg.residual_channels)
+    assert st.queues.shape == (sum(cfg.dilations), 4, cfg.residual_channels)

@@ -277,19 +277,32 @@ def loss_fn(params: Params, cfg: WaveNetConfig, tokens: jax.Array,
 class DecodeState(NamedTuple):
     """Carried state of the fast decoder (arXiv:1611.09482 Fig 2).
 
-    queues[l, :, t mod d_l, :] holds layer l's *input* from step t - d_l: at
-    step t we read slot (t mod d_l) — written d_l steps ago — then overwrite it
-    with the current input, to be consumed at step t + d_l.
+    Ring buffers use the COMPACT layout [sum(dilations), B, R]: layer l's
+    ring occupies rows [offset_l, offset_l + d_l) and its slot at step t is
+    offset_l + (t mod d_l) — the row holds layer l's *input* from step
+    t - d_l, is read at step t, then overwritten with the current input to
+    be consumed at step t + d_l.  Compact rings cost sum(d) rows instead of
+    L * max(d) (5x smaller for the full preset) and make per-step access one
+    leading-axis gather + one scatter (see decode_step).
     """
-    queues: jax.Array          # [L, B, maxd, R] compute-dtype ring buffers
+    queues: jax.Array          # [sum_d, B, R] compute-dtype ring buffers
     prev_token: jax.Array      # [B] int32 token at t-1
     t: jax.Array               # scalar int32 step counter
 
 
+def ring_offsets(cfg: WaveNetConfig):
+    """Static per-layer ring offsets and the total ring length."""
+    offs, acc = [], 0
+    for d in cfg.dilations:
+        offs.append(acc)
+        acc += d
+    return tuple(offs), acc
+
+
 def decode_init(cfg: WaveNetConfig, batch: int) -> DecodeState:
-    L, R, maxd = cfg.num_layers, cfg.residual_channels, cfg.max_dilation
+    _, sum_d = ring_offsets(cfg)
     return DecodeState(
-        queues=jnp.zeros((L, batch, maxd, R), _dtype(cfg)),
+        queues=jnp.zeros((sum_d, batch, cfg.residual_channels), _dtype(cfg)),
         prev_token=jnp.zeros((batch,), jnp.int32),
         t=jnp.zeros((), jnp.int32),
     )
@@ -317,14 +330,14 @@ def decode_step(params: Params, cfg: WaveNetConfig, state: DecodeState,
 
     # Ring-buffer access is hoisted OUT of the layer scan: one gather of all
     # layers' reads and one scatter of all writes per sample, each touching
-    # only [L, B, R] — NOT the [L, B, maxd, R] buffers.  (Passing the queues
-    # through the scan as xs/ys makes XLA materialise a full queue copy every
-    # sample: L*B*maxd*R bytes/step, which measured HBM-bandwidth-bound on
-    # the fastgen preset.  The scatter below updates the donated carry in
+    # only [L, B, R] rows of the compact [sum_d, B, R] buffer.  (Passing the
+    # queues through the scan as xs/ys makes XLA materialise a full queue
+    # copy every sample — measured HBM-bandwidth-bound on the fastgen preset
+    # before this restructure.  The scatter updates the donated carry in
     # place.)
-    slots = jnp.mod(t, dils)                                 # [L]
-    old_all = jnp.take_along_axis(
-        state.queues, slots[:, None, None, None], axis=2)[:, :, 0, :]
+    offs = jnp.asarray(ring_offsets(cfg)[0], jnp.int32)
+    slots = offs + jnp.mod(t, dils)                          # [L]
+    old_all = state.queues[slots]                            # [L, B, R]
 
     def body(carry, per_layer):
         x, skip = carry
@@ -346,11 +359,9 @@ def decode_step(params: Params, cfg: WaveNetConfig, state: DecodeState,
         xs["cond"] = jnp.moveaxis(cond_t, 0, 1)   # [L, B, 2, R]
     (x, skip), layer_inputs = jax.lax.scan(body, (x, skip), xs)
 
-    # one scatter for all layers (vmapped dynamic-update-slice over L)
-    new_queues = jax.vmap(
-        lambda q, s, v: jax.lax.dynamic_update_slice(
-            q, v[:, None, :].astype(q.dtype), (0, s, 0))
-    )(state.queues, slots, layer_inputs)
+    # one scatter for all layers' rows
+    new_queues = state.queues.at[slots].set(
+        layer_inputs.astype(state.queues.dtype))
 
     logits = head_logits(params, cfg, skip)                  # [B, Q]
     new_state = DecodeState(queues=new_queues, prev_token=token, t=t + 1)

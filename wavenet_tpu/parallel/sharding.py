@@ -93,10 +93,11 @@ def batch_shardings(mesh: Mesh, with_mel: bool,
 
 
 def decode_state_pspecs() -> Any:
-    """PartitionSpecs for models.wavenet.DecodeState (queues [L,B,maxd,R])."""
+    """PartitionSpecs for models.wavenet.DecodeState (compact queues
+    [sum_d, B, R]: batch on data, channels on model)."""
     from wavenet_tpu.models.wavenet import DecodeState
     return DecodeState(
-        queues=P(None, DATA_AXIS, None, MODEL_AXIS),
+        queues=P(None, DATA_AXIS, MODEL_AXIS),
         prev_token=P(DATA_AXIS),
         t=P(),
     )

@@ -150,9 +150,20 @@ class Trainer:
         last = None
         t_start = None
         steps_timed = 0
+        multihost = jax.process_count() > 1
         with self.mesh:
             for i in range(num_steps):
                 batch, self.iter_state = self.dataset.sample_batch(self.iter_state)
+                if multihost:
+                    # every host computed the SAME deterministic global batch
+                    # from (seed, step); each feeds only its local slice and
+                    # the runtime assembles the global array (SURVEY.md §5.8)
+                    from wavenet_tpu.parallel.distributed import local_batch_slice
+                    sl = local_batch_slice(batch["tokens"].shape[0])
+                    batch = {
+                        k: jax.make_array_from_process_local_data(
+                            self.batch_shardings[k], v[sl])
+                        for k, v in batch.items()}
                 self.state, metrics = self._step(self.state, batch)
                 if i == 0:
                     # exclude compile AND warm the device->host path (the
