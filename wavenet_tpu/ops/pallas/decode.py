@@ -139,9 +139,10 @@ def _decode_kernel(cfg: WaveNetConfig, num_steps: int, temperature: float,
             d, off = dils[l], offs[l]
             slot = off + jax.lax.rem(t0 + t, d)
             old = rings_ref[slot]                            # [R, B]
-            z = (jnp.dot(wcur_ref[l], x, preferred_element_type=jnp.float32)
+            # same bf16-gate dtype path as models/wavenet.py (_layer_step)
+            z = (jnp.dot(wcur_ref[l], x, preferred_element_type=jnp.bfloat16)
                  + jnp.dot(wprev_ref[l], old,
-                           preferred_element_type=jnp.float32)
+                           preferred_element_type=jnp.bfloat16)
                  + b_ref[l])                    # [2R, B] (+ [2R, 1] bias)
             h = (jnp.tanh(z[:R, :]) * jax.nn.sigmoid(z[R:, :])
                  ).astype(jnp.bfloat16)
@@ -151,8 +152,8 @@ def _decode_kernel(cfg: WaveNetConfig, num_steps: int, temperature: float,
                     + bskip_ref[l])
             rings_ref[slot] = x
             x = x + (jnp.dot(wres_ref[l], h,
-                             preferred_element_type=jnp.float32)
-                     + bres_ref[l]).astype(jnp.bfloat16)
+                             preferred_element_type=jnp.bfloat16)
+                     + bres_ref[l])
 
         s = jnp.maximum(skip, 0.0).astype(jnp.bfloat16)
         s = jnp.maximum(
@@ -199,9 +200,9 @@ def _flatten_params(params, cfg: WaveNetConfig):
         ecur.T.astype(bf), eprev.T.astype(bf),                # [R, Q]
         fuse_t(params["w_cur"]).astype(bf),                   # [L, 2R, R]
         fuse_t(params["w_prev"]).astype(bf),
-        col(params["b"].reshape(L, 2 * R)),                   # [L, 2R, 1]
+        params["b"].reshape(L, 2 * R)[..., None].astype(bf),  # [L, 2R, 1]
         jnp.swapaxes(params["w_res"], 1, 2).astype(bf),       # [L, R, R]
-        col(params["b_res"]),                                 # [L, R, 1]
+        params["b_res"][..., None].astype(bf),                # [L, R, 1]
         jnp.swapaxes(params["w_skip"], 1, 2).astype(bf),      # [L, S, R]
         col(params["b_skip"]),                                # [L, S, 1]
         params["head_w1"].T.astype(bf), col(params["head_b1"]),
