@@ -69,6 +69,10 @@ class WaveNetConfig:
     compute_dtype: str = "bfloat16"    # activations/matmul inputs
     param_dtype: str = "float32"       # master weights
     remat: bool = False                # jax.checkpoint over the layer scan
+    # route the training conv stack through the fused Pallas kernel when the
+    # model fits its VMEM budget and a TPU backend is active (the trainer
+    # silently falls back to the XLA scan otherwise)
+    fused_stack: bool = True
 
     # --- training ---
     batch_size: int = 8

@@ -165,8 +165,10 @@ def _layer_step(cfg: WaveNetConfig, x, skip, lp, d, left_ctx, cond):
          + lp["b"].astype(cdt))                  # [B, T, 2, R]
     if cond is not None:
         z = z + cond.astype(cdt)
-    h = jnp.tanh(z[..., 0, :]) * jax.nn.sigmoid(z[..., 1, :])
-    h = h.astype(cdt)
+    # activations in f32 regardless of compute dtype (cheap elementwise; and
+    # the Pallas kernels must match this exact dtype sequence)
+    h = (jnp.tanh(z[..., 0, :].astype(jnp.float32))
+         * jax.nn.sigmoid(z[..., 1, :].astype(jnp.float32))).astype(cdt)
     skip = skip + _dot(h, lp["w_skip"].astype(cdt)) + lp["b_skip"].astype(jnp.float32)
     x = x + (_dot(h, lp["w_res"].astype(cdt), cdt)
              + lp["b_res"].astype(cdt))
@@ -373,7 +375,8 @@ def decode_step(params: Params, cfg: WaveNetConfig, state: DecodeState,
              + lp["b"].astype(cdt))              # [B, 2, R]
         if "cond" in per_layer:
             z = z + per_layer["cond"].astype(cdt)
-        h = (jnp.tanh(z[..., 0, :]) * jax.nn.sigmoid(z[..., 1, :])).astype(cdt)
+        h = (jnp.tanh(z[..., 0, :].astype(jnp.float32))
+             * jax.nn.sigmoid(z[..., 1, :].astype(jnp.float32))).astype(cdt)
         skip = skip + _dot(h, lp["w_skip"].astype(cdt)) + lp["b_skip"].astype(jnp.float32)
         x_out = x + (_dot(h, lp["w_res"].astype(cdt), cdt)
                      + lp["b_res"].astype(cdt))

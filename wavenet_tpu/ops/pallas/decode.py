@@ -140,11 +140,12 @@ def _decode_kernel(cfg: WaveNetConfig, num_steps: int, temperature: float,
             slot = off + jax.lax.rem(t0 + t, d)
             old = rings_ref[slot]                            # [R, B]
             # same bf16-gate dtype path as models/wavenet.py (_layer_step)
-            z = (jnp.dot(wcur_ref[l], x, preferred_element_type=jnp.bfloat16)
+            z = (jnp.dot(wcur_ref[l], x, preferred_element_type=jnp.float32).astype(jnp.bfloat16)
                  + jnp.dot(wprev_ref[l], old,
-                           preferred_element_type=jnp.bfloat16)
+                           preferred_element_type=jnp.float32).astype(jnp.bfloat16)
                  + b_ref[l])                    # [2R, B] (+ [2R, 1] bias)
-            h = (jnp.tanh(z[:R, :]) * jax.nn.sigmoid(z[R:, :])
+            h = (jnp.tanh(z[:R, :].astype(jnp.float32))
+                 * jax.nn.sigmoid(z[R:, :].astype(jnp.float32))
                  ).astype(jnp.bfloat16)
             skip = (skip
                     + jnp.dot(wskip_ref[l], h,
@@ -152,7 +153,7 @@ def _decode_kernel(cfg: WaveNetConfig, num_steps: int, temperature: float,
                     + bskip_ref[l])
             rings_ref[slot] = x
             x = x + (jnp.dot(wres_ref[l], h,
-                             preferred_element_type=jnp.bfloat16)
+                             preferred_element_type=jnp.float32).astype(jnp.bfloat16)
                      + bres_ref[l])
 
         s = jnp.maximum(skip, 0.0).astype(jnp.bfloat16)

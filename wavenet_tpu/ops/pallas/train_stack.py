@@ -112,14 +112,18 @@ def _fwd_kernel(cfg: WaveNetConfig, TT: int,
         ring = rings[off:off + d]                # [d, R] left context
         xp = jnp.concatenate([ring, x], axis=0)[:TT]
         rings[off:off + d] = x[TT - d:]
-        z = (jnp.dot(x, wcur_ref[l], preferred_element_type=jnp.bfloat16)
-             + jnp.dot(xp, wprev_ref[l], preferred_element_type=jnp.bfloat16)
+        z = (jnp.dot(x, wcur_ref[l], preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+             + jnp.dot(xp, wprev_ref[l], preferred_element_type=jnp.float32).astype(jnp.bfloat16)
              + b_ref[l])                         # [TT, 2R] bf16
-        h = (jnp.tanh(z[:, :R]) * jax.nn.sigmoid(z[:, R:])).astype(jnp.bfloat16)
+        # activations in f32: Mosaic mis-verifies bf16 logistic (f32 const
+        # broadcast into a bf16 vector)
+        h = (jnp.tanh(z[:, :R].astype(jnp.float32))
+             * jax.nn.sigmoid(z[:, R:].astype(jnp.float32))
+             ).astype(jnp.bfloat16)
         skip = (skip
                 + jnp.dot(h, wskip_ref[l], preferred_element_type=jnp.float32)
                 + bskip_ref[l])
-        x = x + (jnp.dot(h, wres_ref[l], preferred_element_type=jnp.bfloat16)
+        x = x + (jnp.dot(h, wres_ref[l], preferred_element_type=jnp.float32).astype(jnp.bfloat16)
                  + bres_ref[l])
 
     skip_ref[0] = skip
@@ -163,11 +167,15 @@ def _bwd_kernel(cfg: WaveNetConfig, TT: int, nT: int,
     for l, (d, off) in enumerate(zip(dils, offs)):
         ring = snaps_ref[0, 0, off:off + d]
         xp = jnp.concatenate([ring, x], axis=0)[:TT]
-        z = (jnp.dot(x, wcur_ref[l], preferred_element_type=jnp.bfloat16)
-             + jnp.dot(xp, wprev_ref[l], preferred_element_type=jnp.bfloat16)
+        z = (jnp.dot(x, wcur_ref[l], preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+             + jnp.dot(xp, wprev_ref[l], preferred_element_type=jnp.float32).astype(jnp.bfloat16)
              + b_ref[l])
-        h = (jnp.tanh(z[:, :R]) * jax.nn.sigmoid(z[:, R:])).astype(jnp.bfloat16)
-        x = x + (jnp.dot(h, wres_ref[l], preferred_element_type=jnp.bfloat16)
+        # activations in f32: Mosaic mis-verifies bf16 logistic (f32 const
+        # broadcast into a bf16 vector)
+        h = (jnp.tanh(z[:, :R].astype(jnp.float32))
+             * jax.nn.sigmoid(z[:, R:].astype(jnp.float32))
+             ).astype(jnp.bfloat16)
+        x = x + (jnp.dot(h, wres_ref[l], preferred_element_type=jnp.float32).astype(jnp.bfloat16)
                  + bres_ref[l])
         xs[l + 1] = x
 
@@ -181,11 +189,11 @@ def _bwd_kernel(cfg: WaveNetConfig, TT: int, nT: int,
         x_l = xs[l]
         ring = snaps_ref[0, 0, off:off + d]
         xp_l = jnp.concatenate([ring, x_l], axis=0)[:TT]
-        z = (jnp.dot(x_l, wcur_ref[l], preferred_element_type=jnp.bfloat16)
-             + jnp.dot(xp_l, wprev_ref[l], preferred_element_type=jnp.bfloat16)
+        z = (jnp.dot(x_l, wcur_ref[l], preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+             + jnp.dot(xp_l, wprev_ref[l], preferred_element_type=jnp.float32).astype(jnp.bfloat16)
              + b_ref[l])
-        tf = jnp.tanh(z[:, :R]).astype(jnp.float32)
-        sg = jax.nn.sigmoid(z[:, R:]).astype(jnp.float32)
+        tf = jnp.tanh(z[:, :R].astype(jnp.float32))
+        sg = jax.nn.sigmoid(z[:, R:].astype(jnp.float32))
         h = (tf * sg).astype(jnp.bfloat16)
 
         dbres_ref[l:l + 1, :] += jnp.sum(dx, axis=0, keepdims=True)

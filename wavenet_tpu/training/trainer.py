@@ -50,6 +50,16 @@ def make_train_step(cfg: WaveNetConfig, tx: optax.GradientTransformation,
     if use_sp and mesh is None:
         raise ValueError("seq_parallel > 1 requires the mesh")
 
+    # fused Pallas stack: TPU backend + unconditional + fits VMEM + no
+    # model/seq sharding of the stack (the kernel is single-chip; tensor/
+    # sequence parallelism stays on the XLA scan path this round)
+    from wavenet_tpu.ops.pallas import train_stack
+    use_fused = (cfg.fused_stack
+                 and not use_sp and cfg.model_parallel == 1
+                 and cfg.data_parallel <= 1
+                 and jax.default_backend() != "cpu"
+                 and train_stack.supported(cfg, cfg.train_window))
+
     def train_step(state: TrainState, batch: Dict[str, jax.Array]
                    ) -> Tuple[TrainState, Dict[str, jax.Array]]:
         def loss_of(p):
@@ -59,7 +69,8 @@ def make_train_step(cfg: WaveNetConfig, tx: optax.GradientTransformation,
                 return seqpar.loss_fn_sp(p, cfg, mesh,
                                          toks[:, :-1], toks[:, 1:],
                                          mel=batch.get("mel"))
-            return wn.loss_fn(p, cfg, batch["tokens"], mel=batch.get("mel"))
+            return wn.loss_fn(p, cfg, batch["tokens"], mel=batch.get("mel"),
+                              use_fused=use_fused)
 
         (loss, aux), grads = jax.value_and_grad(loss_of, has_aux=True)(
             state.params)
