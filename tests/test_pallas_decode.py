@@ -95,3 +95,44 @@ def test_fits_vmem_budget():
     # fastgen preset at batch 64 exceeds the VMEM-resident budget
     assert not pdec.fits_vmem(fastgen_bench(), batch=64)
     assert not pdec.fits_vmem(full(), batch=64)
+
+
+def test_priming_matches_xla():
+    """Teacher-forced priming in the kernel == XLA prime + greedy rollout."""
+    cfg = cfg_()
+    params = wn.init_params(cfg, jax.random.PRNGKey(0))
+    B, P, N = 2, 17, 23
+    prime = jax.random.randint(jax.random.PRNGKey(9), (B, P), 0, 256)
+
+    # XLA reference: teacher-force prime[:-1], then greedy from prime[-1]
+    st = wn.decode_init(cfg, B)
+    def feed(st, tok):
+        st, _ = wn.decode_step(params, cfg, st, tok)
+        return st, None
+    st, _ = jax.lax.scan(feed, st, jnp.moveaxis(prime[:, :-1], 1, 0))
+    def roll(carry, _):
+        st, tok = carry
+        st, logits = wn.decode_step(params, cfg, st, tok)
+        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        return (st, nxt), nxt
+    (_, _), ref = jax.lax.scan(roll, (st, prime[:, -1]), None, length=N)
+    ref = np.asarray(jnp.moveaxis(ref, 0, 1))
+
+    got = pdec.generate_pallas(params, cfg, jax.random.PRNGKey(0),
+                               num_samples=N, batch=B, prime_tokens=prime,
+                               temperature=0.0, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), ref)
+
+
+def test_priming_chunked_interpret():
+    cfg = cfg_()
+    params = wn.init_params(cfg, jax.random.PRNGKey(0))
+    B, P, N = 2, 9, 16
+    prime = jax.random.randint(jax.random.PRNGKey(9), (B, P), 0, 256)
+    one = pdec.generate_pallas(params, cfg, jax.random.PRNGKey(0),
+                               num_samples=N, batch=B, prime_tokens=prime,
+                               temperature=0.0, interpret=True, chunk=64)
+    many = pdec.generate_pallas(params, cfg, jax.random.PRNGKey(0),
+                                num_samples=N, batch=B, prime_tokens=prime,
+                                temperature=0.0, interpret=True, chunk=8)
+    np.testing.assert_array_equal(np.asarray(one), np.asarray(many))

@@ -73,3 +73,31 @@ def test_config_saved_next_to_checkpoints(tmp_path):
     Trainer(cfg, ds, checkpoint_dir=d)
     from wavenet_tpu.training.checkpoint import CheckpointManager
     assert CheckpointManager.load_config(d) == cfg
+
+
+def test_evaluate():
+    cfg = micro_cfg()
+    ds = AudioDataset.synthetic(cfg, num_clips=2)
+    tr = Trainer(cfg, ds)
+    m = tr.evaluate(num_batches=2)
+    assert set(m) >= {"eval_loss", "eval_accuracy"}
+    assert abs(m["eval_loss"] - np.log(256)) < 0.2
+    # deterministic
+    m2 = tr.evaluate(num_batches=2)
+    assert m == m2
+
+
+def test_lr_schedules():
+    from wavenet_tpu.training.trainer import make_lr_schedule
+    for sched, kw in [("constant", {}),
+                      ("cosine", {}),
+                      ("exponential", {}),
+                      ("cosine", dict(warmup_steps=10))]:
+        cfg = micro_cfg(lr_schedule=sched, lr_decay_steps=100, **kw)
+        f = make_lr_schedule(cfg)
+        v0, vmid, vend = float(f(0)), float(f(50)), float(f(100))
+        assert np.isfinite([v0, vmid, vend]).all()
+        if sched != "constant" and not kw:
+            assert vend < v0
+        if kw.get("warmup_steps"):
+            assert v0 == 0.0 and float(f(10)) > 0

@@ -78,6 +78,10 @@ class WaveNetConfig:
     batch_size: int = 8
     train_window: int = 4096           # samples per training crop (incl. RF)
     learning_rate: float = 2e-4
+    lr_schedule: str = "constant"      # constant | cosine | exponential
+    lr_decay_steps: int = 200_000      # horizon for cosine/exponential
+    lr_min_ratio: float = 0.1          # floor as fraction of peak lr
+    warmup_steps: int = 0
     adam_b1: float = 0.9
     adam_b2: float = 0.999
     grad_clip_norm: Optional[float] = None

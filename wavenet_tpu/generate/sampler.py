@@ -38,10 +38,10 @@ def generate_auto(params: wn.Params, cfg: WaveNetConfig, key: jax.Array,
     fits VMEM and no priming/conditioning is requested, else the XLA scan."""
     from wavenet_tpu.ops.pallas import decode as pdec
     on_tpu = jax.devices()[0].platform != "cpu"
-    if (on_tpu and prime_tokens is None and cond is None
-            and pdec.fits_vmem(cfg, batch)):
+    if on_tpu and cond is None and pdec.fits_vmem(cfg, batch):
         return pdec.generate_pallas(params, cfg, key, num_samples,
-                                    batch=batch, temperature=temperature)
+                                    batch=batch, prime_tokens=prime_tokens,
+                                    temperature=temperature)
     return wn.generate(params, cfg, key, num_samples, batch=batch,
                        prime_tokens=prime_tokens, cond=cond,
                        temperature=temperature)

@@ -156,22 +156,20 @@ def _layer_step(cfg: WaveNetConfig, x, skip, lp, d, left_ctx, cond):
     """
     cdt = _dtype(cfg)
     x_prev = shift_right(x, d, left_ctx)
-    # Gate math runs in the compute dtype (bf16: halves z/h HBM traffic,
-    # measured +18% training throughput on v5e); the skip accumulator and
-    # residual-add stay f32-accumulated.  tanh/sigmoid are bounded so bf16
-    # gates are numerically tame.
-    z = (_dot(x, lp["w_cur"].astype(cdt), cdt)
-         + _dot(x_prev, lp["w_prev"].astype(cdt), cdt)
-         + lp["b"].astype(cdt))                  # [B, T, 2, R]
+    # Gate math in f32: matmul inputs are bf16 (MXU) but z, the activations,
+    # and the skip accumulator stay f32.  XLA compiles with excess precision
+    # on TPU (bf16 intermediates held in f32 through fusions), so an
+    # explicitly-bf16 z would DIVERGE from what XLA actually executes — f32
+    # keeps the scan path and the Pallas kernels numerically aligned.
+    z = (_dot(x, lp["w_cur"].astype(cdt))
+         + _dot(x_prev, lp["w_prev"].astype(cdt))
+         + lp["b"].astype(jnp.float32))          # [B, T, 2, R] f32
     if cond is not None:
-        z = z + cond.astype(cdt)
-    # activations in f32 regardless of compute dtype (cheap elementwise; and
-    # the Pallas kernels must match this exact dtype sequence)
-    h = (jnp.tanh(z[..., 0, :].astype(jnp.float32))
-         * jax.nn.sigmoid(z[..., 1, :].astype(jnp.float32))).astype(cdt)
+        z = z + cond
+    h = (jnp.tanh(z[..., 0, :]) * jax.nn.sigmoid(z[..., 1, :])).astype(cdt)
     skip = skip + _dot(h, lp["w_skip"].astype(cdt)) + lp["b_skip"].astype(jnp.float32)
-    x = x + (_dot(h, lp["w_res"].astype(cdt), cdt)
-             + lp["b_res"].astype(cdt))
+    x = x + (_dot(h, lp["w_res"].astype(cdt))
+             + lp["b_res"].astype(jnp.float32)).astype(cdt)
     return x, skip
 
 
@@ -370,16 +368,15 @@ def decode_step(params: Params, cfg: WaveNetConfig, state: DecodeState,
         lp = per_layer["lp"]
         x_prev = per_layer["old"].astype(cdt)
         # identical dtype path to _layer_step so fast == naive per-step
-        z = (_dot(x, lp["w_cur"].astype(cdt), cdt)
-             + _dot(x_prev, lp["w_prev"].astype(cdt), cdt)
-             + lp["b"].astype(cdt))              # [B, 2, R]
+        z = (_dot(x, lp["w_cur"].astype(cdt))
+             + _dot(x_prev, lp["w_prev"].astype(cdt))
+             + lp["b"].astype(jnp.float32))      # [B, 2, R] f32
         if "cond" in per_layer:
-            z = z + per_layer["cond"].astype(cdt)
-        h = (jnp.tanh(z[..., 0, :].astype(jnp.float32))
-             * jax.nn.sigmoid(z[..., 1, :].astype(jnp.float32))).astype(cdt)
+            z = z + per_layer["cond"]
+        h = (jnp.tanh(z[..., 0, :]) * jax.nn.sigmoid(z[..., 1, :])).astype(cdt)
         skip = skip + _dot(h, lp["w_skip"].astype(cdt)) + lp["b_skip"].astype(jnp.float32)
-        x_out = x + (_dot(h, lp["w_res"].astype(cdt), cdt)
-                     + lp["b_res"].astype(cdt))
+        x_out = x + (_dot(h, lp["w_res"].astype(cdt))
+                     + lp["b_res"].astype(jnp.float32)).astype(cdt)
         return (x_out, skip), x            # ys: this layer's INPUT -> queue
 
     xs: Dict[str, Any] = {"lp": stacked, "old": old_all}

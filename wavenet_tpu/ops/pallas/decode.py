@@ -94,8 +94,9 @@ def _counter_rng_uniform(seed, t, shape):
 
 
 def _decode_kernel(cfg: WaveNetConfig, num_steps: int, temperature: float,
+                   num_forced: int,
                    # inputs:
-                   seed_ref, t0_ref, tokens_init_ref,
+                   seed_ref, t0_ref, tokens_init_ref, forced_ref,
                    ecur_ref, eprev_ref,
                    wcur_ref, wprev_ref, b_ref,
                    wres_ref, bres_ref, wskip_ref, bskip_ref,
@@ -139,13 +140,14 @@ def _decode_kernel(cfg: WaveNetConfig, num_steps: int, temperature: float,
             d, off = dils[l], offs[l]
             slot = off + jax.lax.rem(t0 + t, d)
             old = rings_ref[slot]                            # [R, B]
-            # same bf16-gate dtype path as models/wavenet.py (_layer_step)
-            z = (jnp.dot(wcur_ref[l], x, preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+            # f32 gate math to match models/wavenet.py (_layer_step): XLA
+            # compiles the scan path with excess precision on TPU, so the
+            # kernel must NOT round z to bf16
+            z = (jnp.dot(wcur_ref[l], x, preferred_element_type=jnp.float32)
                  + jnp.dot(wprev_ref[l], old,
-                           preferred_element_type=jnp.float32).astype(jnp.bfloat16)
-                 + b_ref[l])                    # [2R, B] (+ [2R, 1] bias)
-            h = (jnp.tanh(z[:R, :].astype(jnp.float32))
-                 * jax.nn.sigmoid(z[R:, :].astype(jnp.float32))
+                           preferred_element_type=jnp.float32)
+                 + b_ref[l])                    # [2R, B] f32 (+ [2R, 1] bias)
+            h = (jnp.tanh(z[:R, :]) * jax.nn.sigmoid(z[R:, :])
                  ).astype(jnp.bfloat16)
             skip = (skip
                     + jnp.dot(wskip_ref[l], h,
@@ -153,8 +155,8 @@ def _decode_kernel(cfg: WaveNetConfig, num_steps: int, temperature: float,
                     + bskip_ref[l])
             rings_ref[slot] = x
             x = x + (jnp.dot(wres_ref[l], h,
-                             preferred_element_type=jnp.float32).astype(jnp.bfloat16)
-                     + bres_ref[l])
+                             preferred_element_type=jnp.float32)
+                     + bres_ref[l]).astype(jnp.bfloat16)
 
         s = jnp.maximum(skip, 0.0).astype(jnp.bfloat16)
         s = jnp.maximum(
@@ -172,6 +174,13 @@ def _decode_kernel(cfg: WaveNetConfig, num_steps: int, temperature: float,
         nxt = jnp.argmax(scores, axis=0, keepdims=True).astype(jnp.int32)
 
         tokens_out_ref[pl.ds(t, 1), :] = nxt    # [1, B] row store
+        if num_forced > 0:
+            # teacher-forced priming: the token CONSUMED at step t+1 comes
+            # from the prime sequence while t+1 < num_forced (global steps)
+            g = t0 + t + 1
+            idx = jnp.minimum(g, num_forced - 1)
+            forced_row = forced_ref[pl.ds(idx, 1), :]
+            nxt = jnp.where(g < num_forced, forced_row, nxt)
         return (nxt, token)
 
     token, prev = jax.lax.fori_loop(
@@ -201,9 +210,9 @@ def _flatten_params(params, cfg: WaveNetConfig):
         ecur.T.astype(bf), eprev.T.astype(bf),                # [R, Q]
         fuse_t(params["w_cur"]).astype(bf),                   # [L, 2R, R]
         fuse_t(params["w_prev"]).astype(bf),
-        params["b"].reshape(L, 2 * R)[..., None].astype(bf),  # [L, 2R, 1]
+        params["b"].reshape(L, 2 * R)[..., None].astype(jnp.float32),
         jnp.swapaxes(params["w_res"], 1, 2).astype(bf),       # [L, R, R]
-        params["b_res"][..., None].astype(bf),                # [L, R, 1]
+        params["b_res"][..., None].astype(jnp.float32),       # [L, R, 1]
         jnp.swapaxes(params["w_skip"], 1, 2).astype(bf),      # [L, S, R]
         col(params["b_skip"]),                                # [L, S, 1]
         params["head_w1"].T.astype(bf), col(params["head_b1"]),
@@ -216,7 +225,8 @@ def _flatten_params(params, cfg: WaveNetConfig):
 def decode_chunk(params, cfg: WaveNetConfig, rings: jax.Array,
                  tokens_init: jax.Array, t0: jax.Array, seed: jax.Array,
                  num_steps: int,
-                 temperature: float = 1.0, interpret: bool = False):
+                 temperature: float = 1.0, interpret: bool = False,
+                 forced=None):
     """Generate `num_steps` tokens in one kernel launch.
 
     rings: [sum_d, R, B] bf16 ring state in kernel layout (zeros at start;
@@ -231,8 +241,12 @@ def decode_chunk(params, cfg: WaveNetConfig, rings: jax.Array,
     _, sum_d = _ring_offsets(cfg)
     ops = _flatten_params(params, cfg)
 
-    kernel = functools.partial(_decode_kernel, cfg, num_steps, temperature)
-    n_in = 3 + len(ops) + 1
+    num_forced = 0 if forced is None else forced.shape[1]
+    forced_t = (jnp.zeros((1, B), jnp.int32) if forced is None
+                else forced.T.astype(jnp.int32))
+    kernel = functools.partial(_decode_kernel, cfg, num_steps, temperature,
+                               num_forced)
+    n_in = 4 + len(ops) + 1
     tokens_t, rings_out, carry_t = pl.pallas_call(
         kernel,
         out_shape=(
@@ -256,16 +270,18 @@ def decode_chunk(params, cfg: WaveNetConfig, rings: jax.Array,
             vmem_limit_bytes=VMEM_BUDGET + 2 * 1024 * 1024),
     )(jnp.asarray(seed, jnp.int32).reshape(1),
       jnp.asarray(t0, jnp.int32).reshape(1),
-      tokens_init.T, *ops, rings)
+      tokens_init.T, forced_t, *ops, rings)
     return tokens_t.T, rings_out, carry_t.T
 
 
 def generate_pallas(params, cfg: WaveNetConfig, key: jax.Array,
                     num_samples: int, batch: int = 1,
+                    prime_tokens=None,
                     temperature: float = 1.0,
                     chunk: int = 2048, interpret: bool = False) -> jax.Array:
     """Drop-in fast generation via the whole-loop kernel, chunked so the
-    output buffer stays in VMEM.  Unconditional only; callers should check
+    output buffer stays in VMEM.  Supports teacher-forced priming
+    (prime_tokens [B, P]); unconditional only — callers should check
     fits_vmem() and fall back to models.wavenet.generate otherwise."""
     if not fits_vmem(cfg, batch, min(chunk, num_samples)):
         raise ValueError("model/batch too large for the VMEM-resident decode "
@@ -273,17 +289,24 @@ def generate_pallas(params, cfg: WaveNetConfig, key: jax.Array,
     _, sum_d = _ring_offsets(cfg)
     R = cfg.residual_channels
     rings = jnp.zeros((sum_d, R, batch), jnp.bfloat16)
-    carry = jnp.concatenate([
-        jnp.full((batch, 1), cfg.quantization_channels // 2, jnp.int32),
-        jnp.zeros((batch, 1), jnp.int32)], axis=1)
+    P = 0 if prime_tokens is None else prime_tokens.shape[1]
+    if P:
+        first = prime_tokens[:, 0:1].astype(jnp.int32)
+    else:
+        first = jnp.full((batch, 1), cfg.quantization_channels // 2,
+                         jnp.int32)
+    carry = jnp.concatenate([first, jnp.zeros((batch, 1), jnp.int32)], axis=1)
     seed = jax.random.randint(key, (), 0, 2**31 - 1)
+    # total steps: P-1 priming steps consume prime[1:], then num_samples
+    # free-running steps; outputs before the first free sample are dropped
+    total = max(P - 1, 0) + num_samples
     outs = []
     done = 0
-    while done < num_samples:
-        n = min(chunk, num_samples - done)
+    while done < total:
+        n = min(chunk, total - done)
         toks, rings, carry = decode_chunk(
             params, cfg, rings, carry, jnp.int32(done), seed, n, temperature,
-            interpret=interpret)
+            interpret=interpret, forced=prime_tokens)
         outs.append(toks)
         done += n
-    return jnp.concatenate(outs, axis=1)
+    return jnp.concatenate(outs, axis=1)[:, max(P - 1, 0):]

@@ -112,19 +112,16 @@ def _fwd_kernel(cfg: WaveNetConfig, TT: int,
         ring = rings[off:off + d]                # [d, R] left context
         xp = jnp.concatenate([ring, x], axis=0)[:TT]
         rings[off:off + d] = x[TT - d:]
-        z = (jnp.dot(x, wcur_ref[l], preferred_element_type=jnp.float32).astype(jnp.bfloat16)
-             + jnp.dot(xp, wprev_ref[l], preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+        z = (jnp.dot(x, wcur_ref[l], preferred_element_type=jnp.float32)
+             + jnp.dot(xp, wprev_ref[l], preferred_element_type=jnp.float32)
              + b_ref[l])                         # [TT, 2R] bf16
-        # activations in f32: Mosaic mis-verifies bf16 logistic (f32 const
-        # broadcast into a bf16 vector)
-        h = (jnp.tanh(z[:, :R].astype(jnp.float32))
-             * jax.nn.sigmoid(z[:, R:].astype(jnp.float32))
+        h = (jnp.tanh(z[:, :R]) * jax.nn.sigmoid(z[:, R:])
              ).astype(jnp.bfloat16)
         skip = (skip
                 + jnp.dot(h, wskip_ref[l], preferred_element_type=jnp.float32)
                 + bskip_ref[l])
-        x = x + (jnp.dot(h, wres_ref[l], preferred_element_type=jnp.float32).astype(jnp.bfloat16)
-                 + bres_ref[l])
+        x = x + (jnp.dot(h, wres_ref[l], preferred_element_type=jnp.float32)
+                 + bres_ref[l]).astype(jnp.bfloat16)
 
     skip_ref[0] = skip
 
@@ -167,16 +164,13 @@ def _bwd_kernel(cfg: WaveNetConfig, TT: int, nT: int,
     for l, (d, off) in enumerate(zip(dils, offs)):
         ring = snaps_ref[0, 0, off:off + d]
         xp = jnp.concatenate([ring, x], axis=0)[:TT]
-        z = (jnp.dot(x, wcur_ref[l], preferred_element_type=jnp.float32).astype(jnp.bfloat16)
-             + jnp.dot(xp, wprev_ref[l], preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+        z = (jnp.dot(x, wcur_ref[l], preferred_element_type=jnp.float32)
+             + jnp.dot(xp, wprev_ref[l], preferred_element_type=jnp.float32)
              + b_ref[l])
-        # activations in f32: Mosaic mis-verifies bf16 logistic (f32 const
-        # broadcast into a bf16 vector)
-        h = (jnp.tanh(z[:, :R].astype(jnp.float32))
-             * jax.nn.sigmoid(z[:, R:].astype(jnp.float32))
+        h = (jnp.tanh(z[:, :R]) * jax.nn.sigmoid(z[:, R:])
              ).astype(jnp.bfloat16)
-        x = x + (jnp.dot(h, wres_ref[l], preferred_element_type=jnp.float32).astype(jnp.bfloat16)
-                 + bres_ref[l])
+        x = x + (jnp.dot(h, wres_ref[l], preferred_element_type=jnp.float32)
+                 + bres_ref[l]).astype(jnp.bfloat16)
         xs[l + 1] = x
 
     # ---- reverse pass ----
@@ -189,11 +183,11 @@ def _bwd_kernel(cfg: WaveNetConfig, TT: int, nT: int,
         x_l = xs[l]
         ring = snaps_ref[0, 0, off:off + d]
         xp_l = jnp.concatenate([ring, x_l], axis=0)[:TT]
-        z = (jnp.dot(x_l, wcur_ref[l], preferred_element_type=jnp.float32).astype(jnp.bfloat16)
-             + jnp.dot(xp_l, wprev_ref[l], preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+        z = (jnp.dot(x_l, wcur_ref[l], preferred_element_type=jnp.float32)
+             + jnp.dot(xp_l, wprev_ref[l], preferred_element_type=jnp.float32)
              + b_ref[l])
-        tf = jnp.tanh(z[:, :R].astype(jnp.float32))
-        sg = jax.nn.sigmoid(z[:, R:].astype(jnp.float32))
+        tf = jnp.tanh(z[:, :R])
+        sg = jax.nn.sigmoid(z[:, R:])
         h = (tf * sg).astype(jnp.bfloat16)
 
         dbres_ref[l:l + 1, :] += jnp.sum(dx, axis=0, keepdims=True)
@@ -240,9 +234,9 @@ def _prep_weights(cfg, w_cur, w_prev, b, w_res, b_res, w_skip, b_skip):
     return (
         w_cur.reshape(L, R, 2 * R).astype(bf),
         w_prev.reshape(L, R, 2 * R).astype(bf),
-        b.reshape(L, 1, 2 * R).astype(bf),
+        b.reshape(L, 1, 2 * R).astype(jnp.float32),
         w_res.astype(bf),
-        b_res.reshape(L, 1, R).astype(bf),
+        b_res.reshape(L, 1, R).astype(jnp.float32),
         w_skip.astype(bf),
         b_skip.reshape(L, 1, -1).astype(jnp.float32),
     )

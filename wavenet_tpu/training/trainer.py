@@ -32,8 +32,29 @@ class TrainState(NamedTuple):
     step: jax.Array          # scalar int32
 
 
+def make_lr_schedule(cfg: WaveNetConfig):
+    peak = cfg.learning_rate
+    floor = peak * cfg.lr_min_ratio
+    if cfg.lr_schedule == "constant":
+        sched = optax.constant_schedule(peak)
+    elif cfg.lr_schedule == "cosine":
+        sched = optax.cosine_decay_schedule(
+            peak, cfg.lr_decay_steps, alpha=cfg.lr_min_ratio)
+    elif cfg.lr_schedule == "exponential":
+        sched = optax.exponential_decay(
+            peak, cfg.lr_decay_steps, decay_rate=cfg.lr_min_ratio,
+            end_value=floor)
+    else:
+        raise ValueError(f"unknown lr_schedule {cfg.lr_schedule!r}")
+    if cfg.warmup_steps:
+        sched = optax.join_schedules(
+            [optax.linear_schedule(0.0, peak, cfg.warmup_steps), sched],
+            [cfg.warmup_steps])
+    return sched
+
+
 def make_optimizer(cfg: WaveNetConfig) -> optax.GradientTransformation:
-    tx = optax.adam(cfg.learning_rate, b1=cfg.adam_b1, b2=cfg.adam_b2)
+    tx = optax.adam(make_lr_schedule(cfg), b1=cfg.adam_b1, b2=cfg.adam_b2)
     if cfg.grad_clip_norm is not None:
         tx = optax.chain(optax.clip_by_global_norm(cfg.grad_clip_norm), tx)
     return tx
@@ -101,6 +122,7 @@ class Trainer:
         self.batch_shardings = shd.batch_shardings(
             self.mesh, with_mel=cfg.mel is not None)
         self.iter_state = IteratorState(seed=cfg.seed, step=0)
+        self._eval_step = None
 
         # init sharded state directly on the mesh: eval_shape + jit(out_shardings)
         def _init(key):
@@ -204,6 +226,30 @@ class Trainer:
             last["audio_seconds_per_sec"] = (
                 steps_timed * audio_seconds_per_batch / dt)
         return last
+
+    # ------------------------------------------------------------------
+    def evaluate(self, dataset: Optional[AudioDataset] = None,
+                 num_batches: int = 8, seed: int = 987) -> Dict[str, float]:
+        """Mean loss/accuracy over deterministic held-out batches (the
+        reference had no eval loop at all; SURVEY.md §4)."""
+        ds = dataset or self.dataset
+        if self._eval_step is None:
+            cfg = self.cfg
+
+            def eval_loss(params, batch):
+                return wn.loss_fn(params, cfg, batch["tokens"],
+                                  mel=batch.get("mel"))[1]
+
+            self._eval_step = jax.jit(eval_loss)
+        it = IteratorState(seed=seed, step=0)
+        sums: Dict[str, float] = {}
+        with self.mesh:
+            for _ in range(num_batches):
+                batch, it = ds.sample_batch(it)
+                m = jax.device_get(self._eval_step(self.state.params, batch))
+                for k, v in m.items():
+                    sums[k] = sums.get(k, 0.0) + float(v)
+        return {f"eval_{k}": v / num_batches for k, v in sums.items()}
 
     # ------------------------------------------------------------------
     def save(self):
