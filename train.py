@@ -33,6 +33,13 @@ def parse_args(argv=None):
     p.add_argument("--lr", type=float, default=None)
     p.add_argument("--profile-dir", default=None,
                    help="write a jax profiler trace of steps 10-15 here")
+    p.add_argument("--sample-every", type=int, default=0,
+                   help="every N steps, dump a generated wav next to the "
+                        "checkpoints (ear-validation, reference README "
+                        "workflow)")
+    p.add_argument("--sample-seconds", type=float, default=1.0)
+    p.add_argument("--metrics-file", default=None,
+                   help="append JSONL metrics here")
     p.add_argument("--override", action="append", default=[],
                    help="config overrides as key=json, e.g. --override remat=true")
     return p.parse_args(argv)
@@ -74,14 +81,40 @@ def main(argv=None):
         tr.restore()
         print(f"resumed at step {tr.ckpt.latest_step()}", file=sys.stderr)
 
+    from wavenet_tpu.training.metrics import MetricsLogger
+    mlog = MetricsLogger(args.metrics_file, also_print=False) \
+        if args.metrics_file else None
+
+    def log_fn(msg):
+        print(msg, file=sys.stderr)
+
+    def run_chunk(n):
+        m = tr.run(n, log_every=args.log_every,
+                   checkpoint_every=args.ckpt_every if args.ckpt else None,
+                   log_fn=log_fn)
+        if mlog:
+            mlog.log(int(jax.device_get(tr.state.step)), m)
+        return m
+
+    import jax
     if args.profile_dir:
         from wavenet_tpu.utils.profiling import profiled_steps
         with profiled_steps(tr, args.profile_dir, start=10, stop=15):
-            metrics = tr.run(args.steps, log_every=args.log_every,
-                             checkpoint_every=args.ckpt_every if args.ckpt else None)
+            metrics = run_chunk(args.steps)
+    elif args.sample_every and args.ckpt:
+        from wavenet_tpu.generate.sampler import generate_wav
+        done = 0
+        metrics = {}
+        while done < args.steps:
+            n = min(args.sample_every, args.steps - done)
+            metrics = run_chunk(n)
+            done += n
+            step = int(jax.device_get(tr.state.step))
+            out = f"{args.ckpt}/sample_step{step}.wav"
+            generate_wav(tr.state.params, cfg, out, args.sample_seconds)
+            print(f"wrote {out}", file=sys.stderr)
     else:
-        metrics = tr.run(args.steps, log_every=args.log_every,
-                         checkpoint_every=args.ckpt_every if args.ckpt else None)
+        metrics = run_chunk(args.steps)
     if args.ckpt:
         tr.save()
         tr.ckpt.wait()
