@@ -101,3 +101,34 @@ def test_lr_schedules():
             assert vend < v0
         if kw.get("warmup_steps"):
             assert v0 == 0.0 and float(f(10)) > 0
+
+
+def test_overfit_then_generate_distribution():
+    """SURVEY.md §4 integration gate: overfit one clip, then free-running
+    generation (primed with the clip's prefix) must reproduce the clip's
+    mu-law token distribution — the stand-in for 'bit-matched mu-law sample
+    distributions vs reference' while the reference mount is empty."""
+    from wavenet_tpu.models import wavenet as wn
+    import jax.numpy as jnp
+
+    cfg = micro_cfg(max_dilation=32, residual_channels=24, skip_channels=24,
+                    train_window=512, batch_size=4, learning_rate=3e-3)
+    ds = AudioDataset.synthetic(cfg, num_clips=1, clip_seconds=0.15)
+    tr = Trainer(cfg, ds)
+    m = tr.run(num_steps=400, log_every=0)
+    assert m["loss"] < 1.5, m
+
+    clip_tokens = ds.tokens[0]
+    prime = jnp.asarray(clip_tokens[:cfg.receptive_field + 32])[None]
+    n = 600
+    out = np.asarray(wn.generate(
+        tr.state.params, cfg, jax.random.PRNGKey(3), num_samples=n,
+        batch=1, prime_tokens=prime, temperature=0.8))[0]
+
+    # compare coarse token histograms (32 bins over the 256 classes)
+    ref_hist = np.histogram(clip_tokens, bins=32, range=(0, 256))[0] / len(clip_tokens)
+    gen_hist = np.histogram(out, bins=32, range=(0, 256))[0] / n
+    l1 = np.abs(ref_hist - gen_hist).sum()
+    assert l1 < 0.8, (l1, ref_hist.round(2), gen_hist.round(2))
+    # generated audio must not be constant/silent
+    assert out.std() > 1.0

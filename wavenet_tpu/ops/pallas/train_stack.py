@@ -105,23 +105,29 @@ def _fwd_kernel(cfg: WaveNetConfig, TT: int,
 
     snaps_ref[0, 0] = rings[:]                   # ring state at tile START
 
-    x = xin_ref[0]                               # [TT, R] bf16
+    # The residual stream is CARRIED IN f32 (VMEM-resident, so free) and
+    # rounded to bf16 only at matmul inputs/ring stores: on TPU, XLA compiles
+    # the scan path with excess precision — elementwise chains (residual
+    # adds, gate) effectively stay f32 — and a true-bf16 carry measurably
+    # degraded training convergence vs that path.
+    x = xin_ref[0].astype(jnp.float32)           # [TT, R]
     skip = jnp.zeros((TT, cfg.skip_channels), jnp.float32)
 
     for l, (d, off) in enumerate(zip(dils, offs)):
-        ring = rings[off:off + d]                # [d, R] left context
-        xp = jnp.concatenate([ring, x], axis=0)[:TT]
-        rings[off:off + d] = x[TT - d:]
-        z = (jnp.dot(x, wcur_ref[l], preferred_element_type=jnp.float32)
+        x_b = x.astype(jnp.bfloat16)
+        ring = rings[off:off + d]                # [d, R] bf16 left context
+        xp = jnp.concatenate([ring, x_b], axis=0)[:TT]
+        rings[off:off + d] = x_b[TT - d:]
+        z = (jnp.dot(x_b, wcur_ref[l], preferred_element_type=jnp.float32)
              + jnp.dot(xp, wprev_ref[l], preferred_element_type=jnp.float32)
-             + b_ref[l])                         # [TT, 2R] bf16
+             + b_ref[l])                         # [TT, 2R] f32
         h = (jnp.tanh(z[:, :R]) * jax.nn.sigmoid(z[:, R:])
              ).astype(jnp.bfloat16)
         skip = (skip
                 + jnp.dot(h, wskip_ref[l], preferred_element_type=jnp.float32)
                 + bskip_ref[l])
         x = x + (jnp.dot(h, wres_ref[l], preferred_element_type=jnp.float32)
-                 + bres_ref[l]).astype(jnp.bfloat16)
+                 + bres_ref[l])
 
     skip_ref[0] = skip
 
@@ -159,63 +165,74 @@ def _bwd_kernel(cfg: WaveNetConfig, TT: int, nT: int,
         dz_rings[:] = jnp.zeros_like(dz_rings)
 
     # ---- recompute this tile's layer inputs from the ring snapshot ----
-    x = xin_ref[0]
+    # mirrors the forward exactly: f32 carry, bf16 matmul inputs
+    x = xin_ref[0].astype(jnp.float32)
     xs[0] = x
     for l, (d, off) in enumerate(zip(dils, offs)):
+        x_b = x.astype(jnp.bfloat16)
         ring = snaps_ref[0, 0, off:off + d]
-        xp = jnp.concatenate([ring, x], axis=0)[:TT]
-        z = (jnp.dot(x, wcur_ref[l], preferred_element_type=jnp.float32)
+        xp = jnp.concatenate([ring, x_b], axis=0)[:TT]
+        z = (jnp.dot(x_b, wcur_ref[l], preferred_element_type=jnp.float32)
              + jnp.dot(xp, wprev_ref[l], preferred_element_type=jnp.float32)
              + b_ref[l])
         h = (jnp.tanh(z[:, :R]) * jax.nn.sigmoid(z[:, R:])
              ).astype(jnp.bfloat16)
         x = x + (jnp.dot(h, wres_ref[l], preferred_element_type=jnp.float32)
-                 + bres_ref[l]).astype(jnp.bfloat16)
+                 + bres_ref[l])
         xs[l + 1] = x
 
     # ---- reverse pass ----
+    # GRADIENTS STAY f32 END-TO-END (dz/dx/dskip and the dz ring): XLA's
+    # autodiff of the scan path keeps cotangents in f32 and quantizing them
+    # to bf16 here measurably degraded convergence (loss 2.65 vs 2.30 at
+    # step 300 on the small preset).  Only the saved forward residuals
+    # (h, x) are bf16 — cast up exactly for the f32 MXU dots.
     dskip = dskip_ref[0]                         # [TT, S] f32
-    dskip_b = dskip.astype(jnp.bfloat16)
     dx = jnp.zeros((TT, R), jnp.float32)         # d/dx_L == 0 (head uses skip)
 
     for l in reversed(range(L)):
         d, off = dils[l], offs[l]
         x_l = xs[l]
+        x_lb16 = x_l.astype(jnp.bfloat16)
         ring = snaps_ref[0, 0, off:off + d]
-        xp_l = jnp.concatenate([ring, x_l], axis=0)[:TT]
-        z = (jnp.dot(x_l, wcur_ref[l], preferred_element_type=jnp.float32)
+        xp_l = jnp.concatenate([ring, x_lb16], axis=0)[:TT]
+        z = (jnp.dot(x_lb16, wcur_ref[l], preferred_element_type=jnp.float32)
              + jnp.dot(xp_l, wprev_ref[l], preferred_element_type=jnp.float32)
              + b_ref[l])
         tf = jnp.tanh(z[:, :R])
         sg = jax.nn.sigmoid(z[:, R:])
-        h = (tf * sg).astype(jnp.bfloat16)
+        # h as the forward computed it (bf16), held in f32 exactly
+        h = (tf * sg).astype(jnp.bfloat16).astype(jnp.float32)
 
         dbres_ref[l:l + 1, :] += jnp.sum(dx, axis=0, keepdims=True)
-        dx_b = dx.astype(jnp.bfloat16)
-        dh = (_dg(dskip_b, wskip_ref[l], 1, 1)       # dskip @ wskip^T
-              + _dg(dx_b, wres_ref[l], 1, 1))        # dx @ wres^T
-        dwskip_ref[l] += _dg(h, dskip_b, 0, 0)       # h^T @ dskip
-        dwres_ref[l] += _dg(h, dx_b, 0, 0)           # h^T @ dx
+        wskip_f = wskip_ref[l].astype(jnp.float32)
+        wres_f = wres_ref[l].astype(jnp.float32)
+        dh = (_dg(dskip, wskip_f, 1, 1)              # dskip @ wskip^T
+              + _dg(dx, wres_f, 1, 1))               # dx @ wres^T
+        dwskip_ref[l] += _dg(h, dskip, 0, 0)         # h^T @ dskip
+        dwres_ref[l] += _dg(h, dx, 0, 0)             # h^T @ dx
 
         dzf = dh * sg * (1.0 - tf * tf)
         dzg = dh * tf * sg * (1.0 - sg)
-        dz = jnp.concatenate([dzf, dzg], axis=1).astype(jnp.bfloat16)  # [TT,2R]
+        dz = jnp.concatenate([dzf, dzg], axis=1)     # [TT, 2R] f32
 
-        dwcur_ref[l] += _dg(xs[l], dz, 0, 0)         # x^T @ dz
-        dwprev_ref[l] += _dg(xp_l, dz, 0, 0)         # xp^T @ dz
-        db_ref[l:l + 1, :] += jnp.sum(dz.astype(jnp.float32), axis=0,
-                                      keepdims=True)
+        xs_f = x_lb16.astype(jnp.float32)
+        xp_f = xp_l.astype(jnp.float32)
+        dwcur_ref[l] += _dg(xs_f, dz, 0, 0)          # x^T @ dz
+        dwprev_ref[l] += _dg(xp_f, dz, 0, 0)         # xp^T @ dz
+        db_ref[l:l + 1, :] += jnp.sum(dz, axis=0, keepdims=True)
 
-        dprev = _dg(dz, wprev_ref[l], 1, 1)          # dz @ wprev^T -> [TT, R]
+        wprev_f = wprev_ref[l].astype(jnp.float32)
+        dprev = _dg(dz, wprev_f, 1, 1)               # dz @ wprev^T -> [TT, R]
         # transposed causal shift: dx[s] += dprev[s + d]; rows s >= TT-d come
         # from the LATER tile's dprev head, held in the dz ring
-        later = dz_rings[off:off + d].astype(jnp.float32)
+        later = dz_rings[off:off + d]
         shifted = jnp.concatenate([dprev, later], axis=0)[d:TT + d]
-        dz_rings[off:off + d] = dprev[:d].astype(jnp.bfloat16)
+        dz_rings[off:off + d] = dprev[:d]
 
-        dx = dx + _dg(dz, wcur_ref[l], 1, 1) + shifted
+        dx = dx + _dg(dz, wcur_ref[l].astype(jnp.float32), 1, 1) + shifted
 
-    dx_ref[0] = dx.astype(jnp.bfloat16)
+    dx_ref[0] = dx
 
 
 # ---------------------------------------------------------------------------
@@ -332,7 +349,7 @@ def _vjp_bwd(cfg, interpret, tile, res, dskip):
             pl.BlockSpec((L, R, S), const, memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((B, T, R), jnp.bfloat16),
+            jax.ShapeDtypeStruct((B, T, R), jnp.float32),
             jax.ShapeDtypeStruct((L, R, 2 * R), jnp.float32),
             jax.ShapeDtypeStruct((L, R, 2 * R), jnp.float32),
             jax.ShapeDtypeStruct((L, 2 * R), jnp.float32),
@@ -341,8 +358,8 @@ def _vjp_bwd(cfg, interpret, tile, res, dskip):
             jax.ShapeDtypeStruct((L, R, S), jnp.float32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((L + 1, TT, R), jnp.bfloat16),       # xs stash
-            pltpu.VMEM((sum_d, R), jnp.bfloat16),           # dz rings
+            pltpu.VMEM((L + 1, TT, R), jnp.float32),        # xs stash (f32 carry)
+            pltpu.VMEM((sum_d, R), jnp.float32),            # dz rings (f32)
         ],
         interpret=interpret,
     )(x.astype(jnp.bfloat16), snaps, dskip, *wops)
