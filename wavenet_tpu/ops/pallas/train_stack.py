@@ -77,10 +77,10 @@ def supported(cfg: WaveNetConfig, T: int) -> bool:
     L, R, S = cfg.num_layers, cfg.residual_channels, cfg.skip_channels
     _, sum_d = _ring_offsets(cfg)
     # fwd working set (bf16 weights + rings + tiles) and bwd extras
-    # (f32 dW blocks + xs stash) must fit VMEM
+    # (f32 dW blocks + f32 xs stash + f32 dz ring) must fit VMEM
     wbytes = 2 * L * (4 * R * R + R * R + R * S)
     dwbytes = 4 * L * (4 * R * R + R * R + R * S) + 4 * L * 3 * R
-    bwd = (dwbytes + 2 * (L + 1) * TT * R + 2 * sum_d * R * 2
+    bwd = (dwbytes + 4 * (L + 1) * TT * R + 4 * sum_d * R + 2 * sum_d * R
            + 4 * TT * S * 2 + wbytes)
     return bwd < VMEM_BUDGET
 
@@ -93,7 +93,7 @@ def _fwd_kernel(cfg: WaveNetConfig, TT: int,
                 xin_ref, wcur_ref, wprev_ref, b_ref,
                 wres_ref, bres_ref, wskip_ref, bskip_ref,
                 skip_ref, snaps_ref,
-                rings):
+                rings, xbuf):
     R = cfg.residual_channels
     dils = cfg.dilations
     offs, _ = _ring_offsets(cfg)
@@ -113,10 +113,17 @@ def _fwd_kernel(cfg: WaveNetConfig, TT: int,
     x = xin_ref[0].astype(jnp.float32)           # [TT, R]
     skip = jnp.zeros((TT, cfg.skip_channels), jnp.float32)
 
+    maxd = cfg.max_dilation
     for l, (d, off) in enumerate(zip(dils, offs)):
         x_b = x.astype(jnp.bfloat16)
-        ring = rings[off:off + d]                # [d, R] bf16 left context
-        xp = jnp.concatenate([ring, x_b], axis=0)[:TT]
+        # Causal shift via a scratch window buffer with STATIC offsets:
+        # Mosaic miscompiles vector concat+slice at non-sublane-aligned
+        # boundaries (outputs wrong past the first 8 rows; found by a
+        # hardware-vs-interpret bisect), so xp is assembled with ref
+        # stores/loads instead.
+        xbuf[maxd:] = x_b
+        xbuf[maxd - d:maxd] = rings[off:off + d]
+        xp = xbuf[maxd - d:maxd - d + TT]
         rings[off:off + d] = x_b[TT - d:]
         z = (jnp.dot(x_b, wcur_ref[l], preferred_element_type=jnp.float32)
              + jnp.dot(xp, wprev_ref[l], preferred_element_type=jnp.float32)
@@ -141,7 +148,7 @@ def _bwd_kernel(cfg: WaveNetConfig, TT: int, nT: int,
                 wcur_ref, wprev_ref, b_ref, wres_ref, bres_ref, wskip_ref,
                 dx_ref, dwcur_ref, dwprev_ref, db_ref,
                 dwres_ref, dbres_ref, dwskip_ref,
-                xs, dz_rings):
+                xs, dz_rings, xbuf, dbuf):
     R = cfg.residual_channels
     L = cfg.num_layers
     dils = cfg.dilations
@@ -166,12 +173,15 @@ def _bwd_kernel(cfg: WaveNetConfig, TT: int, nT: int,
 
     # ---- recompute this tile's layer inputs from the ring snapshot ----
     # mirrors the forward exactly: f32 carry, bf16 matmul inputs
+    maxd = cfg.max_dilation
     x = xin_ref[0].astype(jnp.float32)
     xs[0] = x
     for l, (d, off) in enumerate(zip(dils, offs)):
         x_b = x.astype(jnp.bfloat16)
-        ring = snaps_ref[0, 0, off:off + d]
-        xp = jnp.concatenate([ring, x_b], axis=0)[:TT]
+        # scratch-window shift (see _fwd_kernel comment re Mosaic concat bug)
+        xbuf[maxd:] = x_b
+        xbuf[maxd - d:maxd] = snaps_ref[0, 0, off:off + d]
+        xp = xbuf[maxd - d:maxd - d + TT]
         z = (jnp.dot(x_b, wcur_ref[l], preferred_element_type=jnp.float32)
              + jnp.dot(xp, wprev_ref[l], preferred_element_type=jnp.float32)
              + b_ref[l])
@@ -194,8 +204,9 @@ def _bwd_kernel(cfg: WaveNetConfig, TT: int, nT: int,
         d, off = dils[l], offs[l]
         x_l = xs[l]
         x_lb16 = x_l.astype(jnp.bfloat16)
-        ring = snaps_ref[0, 0, off:off + d]
-        xp_l = jnp.concatenate([ring, x_lb16], axis=0)[:TT]
+        xbuf[maxd:] = x_lb16
+        xbuf[maxd - d:maxd] = snaps_ref[0, 0, off:off + d]
+        xp_l = xbuf[maxd - d:maxd - d + TT]
         z = (jnp.dot(x_lb16, wcur_ref[l], preferred_element_type=jnp.float32)
              + jnp.dot(xp_l, wprev_ref[l], preferred_element_type=jnp.float32)
              + b_ref[l])
@@ -226,8 +237,9 @@ def _bwd_kernel(cfg: WaveNetConfig, TT: int, nT: int,
         dprev = _dg(dz, wprev_f, 1, 1)               # dz @ wprev^T -> [TT, R]
         # transposed causal shift: dx[s] += dprev[s + d]; rows s >= TT-d come
         # from the LATER tile's dprev head, held in the dz ring
-        later = dz_rings[off:off + d]
-        shifted = jnp.concatenate([dprev, later], axis=0)[d:TT + d]
+        dbuf[:TT] = dprev
+        dbuf[TT:TT + d] = dz_rings[off:off + d]
+        shifted = dbuf[d:TT + d]
         dz_rings[off:off + d] = dprev[:d]
 
         dx = dx + _dg(dz, wcur_ref[l].astype(jnp.float32), 1, 1) + shifted
@@ -299,7 +311,10 @@ def _fwd(cfg, interpret, tile, x, w_cur, w_prev, b, w_res, b_res, w_skip,
             jax.ShapeDtypeStruct((B, T, S), jnp.float32),
             jax.ShapeDtypeStruct((B, nT, sum_d, R), jnp.bfloat16),
         ),
-        scratch_shapes=[pltpu.VMEM((sum_d, R), jnp.bfloat16)],
+        scratch_shapes=[
+            pltpu.VMEM((sum_d, R), jnp.bfloat16),
+            pltpu.VMEM((cfg.max_dilation + TT, R), jnp.bfloat16),
+        ],
         interpret=interpret,
     )(x.astype(jnp.bfloat16), *wops)
     return skip, snaps
@@ -360,6 +375,8 @@ def _vjp_bwd(cfg, interpret, tile, res, dskip):
         scratch_shapes=[
             pltpu.VMEM((L + 1, TT, R), jnp.float32),        # xs stash (f32 carry)
             pltpu.VMEM((sum_d, R), jnp.float32),            # dz rings (f32)
+            pltpu.VMEM((cfg.max_dilation + TT, R), jnp.bfloat16),  # xbuf
+            pltpu.VMEM((TT + cfg.max_dilation, R), jnp.float32),   # dbuf
         ],
         interpret=interpret,
     )(x.astype(jnp.bfloat16), snaps, dskip, *wops)
