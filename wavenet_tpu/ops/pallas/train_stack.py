@@ -175,7 +175,7 @@ def _bwd_kernel(cfg: WaveNetConfig, TT: int, nT: int,
     # mirrors the forward exactly: f32 carry, bf16 matmul inputs
     maxd = cfg.max_dilation
     x = xin_ref[0].astype(jnp.float32)
-    xs[0] = x
+    xs[0] = x.astype(jnp.bfloat16)
     for l, (d, off) in enumerate(zip(dils, offs)):
         x_b = x.astype(jnp.bfloat16)
         # scratch-window shift (see _fwd_kernel comment re Mosaic concat bug)
@@ -189,7 +189,7 @@ def _bwd_kernel(cfg: WaveNetConfig, TT: int, nT: int,
              ).astype(jnp.bfloat16)
         x = x + (jnp.dot(h, wres_ref[l], preferred_element_type=jnp.float32)
                  + bres_ref[l])
-        xs[l + 1] = x
+        xs[l + 1] = x.astype(jnp.bfloat16)
 
     # ---- reverse pass ----
     # GRADIENTS STAY f32 END-TO-END (dz/dx/dskip and the dz ring): XLA's
@@ -202,8 +202,7 @@ def _bwd_kernel(cfg: WaveNetConfig, TT: int, nT: int,
 
     for l in reversed(range(L)):
         d, off = dils[l], offs[l]
-        x_l = xs[l]
-        x_lb16 = x_l.astype(jnp.bfloat16)
+        x_lb16 = xs[l]                           # bf16, as the fwd consumed
         xbuf[maxd:] = x_lb16
         xbuf[maxd - d:maxd] = snaps_ref[0, 0, off:off + d]
         xp_l = xbuf[maxd - d:maxd - d + TT]
@@ -373,7 +372,7 @@ def _vjp_bwd(cfg, interpret, tile, res, dskip):
             jax.ShapeDtypeStruct((L, R, S), jnp.float32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((L + 1, TT, R), jnp.float32),        # xs stash (f32 carry)
+            pltpu.VMEM((L + 1, TT, R), jnp.bfloat16),       # xs stash
             pltpu.VMEM((sum_d, R), jnp.float32),            # dz rings (f32)
             pltpu.VMEM((cfg.max_dilation + TT, R), jnp.bfloat16),  # xbuf
             pltpu.VMEM((TT + cfg.max_dilation, R), jnp.float32),   # dbuf
