@@ -1,0 +1,59 @@
+"""Data-parallel shard_map loss (parallel/dataparallel.py): equals the plain
+loss for both the scan and the fused-kernel (interpret) stack."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from wavenet_tpu.config import WaveNetConfig
+from wavenet_tpu.models import wavenet as wn
+from wavenet_tpu.parallel import dataparallel as dp
+from wavenet_tpu.parallel.mesh import make_mesh
+
+
+def cfg_(**kw):
+    base = dict(num_blocks=2, max_dilation=8, residual_channels=16,
+                skip_channels=16, compute_dtype="bfloat16",
+                data_parallel=4, batch_size=8, train_window=64)
+    base.update(kw)
+    return WaveNetConfig(**base)
+
+
+def test_dp_scan_loss_matches():
+    cfg = cfg_()
+    mesh = make_mesh(cfg)
+    p = wn.init_params(cfg, jax.random.PRNGKey(0))
+    toks = jax.random.randint(jax.random.PRNGKey(1), (8, 65), 0, 256)
+    ref, _ = wn.loss_fn(p, cfg, toks)
+    got, aux = jax.jit(lambda p, t: dp.loss_fn_dp(p, cfg, mesh, t))(p, toks)
+    np.testing.assert_allclose(float(got), float(ref), rtol=2e-5)
+    assert set(aux) == {"loss", "bits_per_sample", "accuracy"}
+
+
+def test_dp_grads_match():
+    cfg = cfg_()
+    mesh = make_mesh(cfg)
+    p = wn.init_params(cfg, jax.random.PRNGKey(0))
+    toks = jax.random.randint(jax.random.PRNGKey(1), (8, 65), 0, 256)
+    ref_l, ref_g = jax.value_and_grad(lambda p: wn.loss_fn(p, cfg, toks)[0])(p)
+    dp_l, dp_g = jax.jit(jax.value_and_grad(
+        lambda p: dp.loss_fn_dp(p, cfg, mesh, toks)[0]))(p)
+    np.testing.assert_allclose(float(dp_l), float(ref_l), rtol=2e-5)
+    for (ka, a), (kb, b) in zip(
+            jax.tree_util.tree_flatten_with_path(ref_g)[0],
+            jax.tree_util.tree_flatten_with_path(dp_g)[0]):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=5e-5, rtol=1e-4, err_msg=str(ka))
+
+
+def test_dp_with_fused_interpret():
+    """The fused kernel (interpret mode) inside the data shard_map."""
+    cfg = cfg_()
+    mesh = make_mesh(cfg)
+    p = wn.init_params(cfg, jax.random.PRNGKey(0))
+    toks = jax.random.randint(jax.random.PRNGKey(1), (8, 65), 0, 256)
+    ref, _ = wn.loss_fn(p, cfg, toks, use_fused=True, interpret=True)
+    got, _ = jax.jit(lambda p, t: dp.loss_fn_dp(
+        p, cfg, mesh, t, use_fused=True, interpret=True))(p, toks)
+    np.testing.assert_allclose(float(got), float(ref), rtol=5e-4, atol=5e-4)

@@ -72,14 +72,17 @@ def make_train_step(cfg: WaveNetConfig, tx: optax.GradientTransformation,
         raise ValueError("seq_parallel > 1 requires the mesh")
 
     # fused Pallas stack: TPU backend + unconditional + fits VMEM + no
-    # model/seq sharding of the stack (the kernel is single-chip; tensor/
-    # sequence parallelism stays on the XLA scan path this round)
+    # model/seq sharding of the stack (the kernel is per-chip; tensor/
+    # sequence parallelism stays on the XLA scan path this round).  Under
+    # data parallelism the loss runs through a shard_map so the kernel sees
+    # a fully-local batch shard (parallel/dataparallel.py).
     from wavenet_tpu.ops.pallas import train_stack
     use_fused = (cfg.fused_stack
                  and not use_sp and cfg.model_parallel == 1
-                 and cfg.data_parallel <= 1
                  and jax.default_backend() != "cpu"
+                 and cfg.batch_size % max(cfg.data_parallel, 1) == 0
                  and train_stack.supported(cfg, cfg.train_window))
+    use_dp_map = use_fused and cfg.data_parallel > 1
 
     def train_step(state: TrainState, batch: Dict[str, jax.Array]
                    ) -> Tuple[TrainState, Dict[str, jax.Array]]:
@@ -90,6 +93,11 @@ def make_train_step(cfg: WaveNetConfig, tx: optax.GradientTransformation,
                 return seqpar.loss_fn_sp(p, cfg, mesh,
                                          toks[:, :-1], toks[:, 1:],
                                          mel=batch.get("mel"))
+            if use_dp_map:
+                from wavenet_tpu.parallel import dataparallel
+                return dataparallel.loss_fn_dp(p, cfg, mesh,
+                                               batch["tokens"],
+                                               use_fused=True)
             return wn.loss_fn(p, cfg, batch["tokens"], mel=batch.get("mel"),
                               use_fused=use_fused)
 
