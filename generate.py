@@ -42,22 +42,10 @@ def main(argv=None):
     from wavenet_tpu.audio.io import read_wav, write_wav
     from wavenet_tpu.generate.sampler import (generate_auto, generate_naive,
                                               tokens_to_waveform)
-    from wavenet_tpu.models import wavenet as wn
-    from wavenet_tpu.training.checkpoint import CheckpointManager
-    from wavenet_tpu.training.trainer import Trainer, make_optimizer
+    from wavenet_tpu.models.api import WaveNet
 
-    cfg = CheckpointManager.load_config(args.ckpt)
-    ckpt = CheckpointManager(args.ckpt, cfg)
-    # restore params only (via abstract state of params subtree)
-    params = jax.eval_shape(lambda: wn.init_params(cfg, jax.random.PRNGKey(0)))
-    import optax
-    tx = make_optimizer(cfg)
-    opt_shapes = jax.eval_shape(lambda p: tx.init(p), params)
-    from wavenet_tpu.training.trainer import TrainState
-    abstract = TrainState(params, opt_shapes,
-                          jax.ShapeDtypeStruct((), jnp.int32))
-    state, _ = ckpt.restore(abstract, step=args.step)
-    params = state.params
+    model = WaveNet.from_checkpoint(args.ckpt, step=args.step)
+    cfg, params = model.cfg, model.params
 
     prime_tokens = None
     if args.prime:

@@ -124,3 +124,28 @@ def test_remat_matches_no_remat():
     g2 = jax.grad(lambda p: wn.loss_fn(p, cfg_r, toks)[0])(p)
     for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
         np.testing.assert_allclose(a, b, atol=1e-5, rtol=1e-5)
+
+
+def test_wavenet_facade(tmp_path):
+    import jax.numpy as jnp
+    from wavenet_tpu import WaveNet
+
+    cfg = small_cfg(batch_size=2, train_window=128)
+    m = WaveNet(cfg).init()
+    assert m.num_params > 0
+    toks = jax.random.randint(jax.random.PRNGKey(1), (2, 64), 0, 256)
+    assert m.logits(toks).shape == (2, 64, 256)
+    loss, aux = m.loss(toks)
+    assert np.isfinite(float(loss))
+    out = m.generate(num_samples=12, batch=2)
+    assert out.shape == (2, 12)
+
+    # round-trip through a checkpoint
+    from wavenet_tpu.audio.dataset import AudioDataset
+    from wavenet_tpu.training.trainer import Trainer
+    ds = AudioDataset.synthetic(cfg, num_clips=1)
+    tr = Trainer(cfg, ds, checkpoint_dir=str(tmp_path / "c"))
+    tr.run(2, log_every=0); tr.save(); tr.ckpt.wait()
+    m2 = WaveNet.from_checkpoint(str(tmp_path / "c"))
+    assert m2.cfg == cfg
+    assert m2.num_params == sum(x.size for x in jax.tree.leaves(tr.state.params))

@@ -6,5 +6,6 @@ mel conditioning, multi-chip sharding, Pallas kernels. See SURVEY.md.
 """
 
 from wavenet_tpu.config import WaveNetConfig, MelConfig, get_config, PRESETS
+from wavenet_tpu.models.api import WaveNet
 
 __version__ = "0.1.0"

@@ -1,0 +1,82 @@
+"""Object-style facade over the functional model core.
+
+The reference exposes a `WaveNet` model class (SURVEY.md §1 "model core"
+public interface: forward/loss and save/load); this wraps the functional
+API (models/wavenet.py) in the same ergonomic shape while staying a thin
+veneer — params remain an explicit pytree so sharding/checkpointing
+compose unchanged.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from wavenet_tpu.config import WaveNetConfig
+from wavenet_tpu.models import wavenet as wn
+
+
+class WaveNet:
+    """Convenience wrapper: model = WaveNet(cfg); model.init(key);
+    model.loss(tokens); model.generate(seconds=1.0)."""
+
+    def __init__(self, cfg: WaveNetConfig, params: Optional[wn.Params] = None):
+        self.cfg = cfg
+        self.params = params
+
+    # ---- lifecycle ----
+
+    def init(self, key: Optional[jax.Array] = None) -> "WaveNet":
+        key = jax.random.PRNGKey(self.cfg.seed) if key is None else key
+        self.params = wn.init_params(self.cfg, key)
+        return self
+
+    @classmethod
+    def from_checkpoint(cls, directory: str, step: Optional[int] = None
+                        ) -> "WaveNet":
+        from wavenet_tpu.training.checkpoint import CheckpointManager
+        from wavenet_tpu.training.trainer import TrainState, make_optimizer
+        cfg = CheckpointManager.load_config(directory)
+        ckpt = CheckpointManager(directory, cfg)
+        params = jax.eval_shape(lambda: wn.init_params(cfg, jax.random.PRNGKey(0)))
+        tx = make_optimizer(cfg)
+        opt = jax.eval_shape(lambda p: tx.init(p), params)
+        abstract = TrainState(params, opt, jax.ShapeDtypeStruct((), jnp.int32))
+        state, _ = ckpt.restore(abstract, step=step)
+        return cls(cfg, state.params)
+
+    # ---- model surface ----
+
+    def logits(self, tokens, mel=None):
+        return wn.forward_logits(self.params, self.cfg, tokens, mel=mel)
+
+    def loss(self, tokens, mel=None):
+        return wn.loss_fn(self.params, self.cfg, tokens, mel=mel)
+
+    def generate(self, seconds: Optional[float] = None,
+                 num_samples: Optional[int] = None, batch: int = 1,
+                 key: Optional[jax.Array] = None, prime_tokens=None,
+                 mel=None, temperature: float = 1.0):
+        from wavenet_tpu.generate.sampler import generate_auto
+        from wavenet_tpu.models.conditioning import prepare_decode_cond
+        if num_samples is None:
+            if seconds is None:
+                raise ValueError("pass seconds= or num_samples=")
+            num_samples = int(seconds * self.cfg.sample_rate)
+        key = jax.random.PRNGKey(0) if key is None else key
+        cond = None
+        if mel is not None:
+            cond = prepare_decode_cond(self.params, self.cfg, mel, num_samples)
+        return generate_auto(self.params, self.cfg, key, num_samples,
+                             batch=batch, prime_tokens=prime_tokens,
+                             cond=cond, temperature=temperature)
+
+    def generate_wav(self, path: str, seconds: float, **kw):
+        from wavenet_tpu.generate.sampler import generate_wav
+        return generate_wav(self.params, self.cfg, path, seconds, **kw)
+
+    @property
+    def num_params(self) -> int:
+        return sum(x.size for x in jax.tree.leaves(self.params))
