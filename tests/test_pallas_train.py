@@ -60,12 +60,48 @@ def test_supported_matrix():
     assert ts.supported(tiny(), tiny().train_window)
     assert ts.supported(small(), small().train_window)
     assert ts.supported(fastgen_bench(), 8192)
-    # full preset's f32 grad blocks exceed the VMEM budget for now
-    assert not ts.supported(full(), full().train_window)
+    # the full preset runs as multiple layer groups
+    assert ts.supported(full(), full().train_window)
+    assert len(ts.group_plan(full(), 512)) > 1
     from wavenet_tpu.config import conditional
     c = conditional()
     assert not ts.supported(c, c.train_window)
     assert not ts.supported(cfg_(), 100)        # indivisible T
+
+
+def test_multi_group_grads_match_oracle(monkeypatch):
+    """Shrink the VMEM budget so the tiny test model splits into several
+    layer groups; gradients must still match the oracle."""
+    cfg = cfg_()
+    TT = 16
+    # find a budget that forces >= 3 groups
+    budget = max(max(ts._group_sizes(cfg, TT, l, l + 3)) for l in range(0, 6))
+    monkeypatch.setattr(ts, "VMEM_BUDGET", budget)
+    plan = ts.group_plan(cfg, TT)
+    assert len(plan) >= 3, plan
+
+    p = wn.init_params(cfg, jax.random.PRNGKey(0))
+    toks = jax.random.randint(jax.random.PRNGKey(1), (2, 64), 0, 256)
+    tgt = jax.random.normal(jax.random.PRNGKey(2),
+                            (2, 64, cfg.skip_channels))
+
+    def loss_with(stack_fn, p):
+        x = embed(p, cfg, toks)
+        return jnp.mean((stack_fn(p, x) - tgt) ** 2)
+
+    ref_l, ref_g = jax.value_and_grad(
+        lambda p: loss_with(lambda p, x: oracle_skip(p, cfg, x), p))(p)
+    fus_l, fus_g = jax.value_and_grad(
+        lambda p: loss_with(lambda p, x: ts.forward_skip_fused(
+            p, cfg, x, interpret=True, tile=TT), p))(p)
+    np.testing.assert_allclose(float(fus_l), float(ref_l), rtol=2e-3)
+    for (ka, a), (kb, b) in zip(
+            jax.tree_util.tree_flatten_with_path(ref_g)[0],
+            jax.tree_util.tree_flatten_with_path(fus_g)[0]):
+        a, b = np.asarray(a, np.float32), np.asarray(b, np.float32)
+        scale = max(np.abs(a).max(), 1e-3)
+        np.testing.assert_allclose(b / scale, a / scale, atol=0.02,
+                                   err_msg=str(ka))
 
 
 @pytest.mark.parametrize("tile", [None, 8])

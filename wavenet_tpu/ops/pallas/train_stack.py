@@ -1,44 +1,45 @@
-"""Fused training-path Pallas kernel: the ENTIRE dilated-causal conv stack
-(all L gated residual layers) as one kernel with a custom VJP.
+"""Fused training-path Pallas kernels: the dilated-causal conv stack as a
+chain of layer-group kernels with a custom VJP.
 
 This is the BASELINE-mandated fused training kernel ("Pallas kernels fuse the
-dilated causal conv + gating + residual/skip path").  Why fusion wins here:
-the XLA scan path round-trips x, z, h, and the f32 skip accumulator through
-HBM for every layer (~60 MB/layer on the small preset); this kernel walks the
-sequence ONCE, keeping the entire layer pipeline VMEM-resident:
+dilated causal conv + gating + residual/skip path").  Why fusion wins: the
+XLA scan path round-trips x, z, h, and the f32 skip accumulator through HBM
+for every layer (~60 MB/layer on the small preset); these kernels walk the
+sequence once per LAYER GROUP, keeping the group's layer pipeline
+VMEM-resident:
 
-  * grid (B, T/TT) with time tiles processed left-to-right; per-layer causal
-    left context lives in a compact VMEM ring [sum(dilations), R] carried
-    across tiles (same ring structure as the decode kernel, at tile
-    granularity);
-  * HBM traffic per step: read the embedded input once, write the skip-sum
-    once — weights and rings stay on chip (constant-index blocks);
-  * the only thing the head needs is the skip-sum (WaveNet paper Fig 4), so
-    the residual stream never leaves the chip;
-  * backward: "ring-snapshot rematerialization" — the forward stores each
-    tile's ring state ([B, nT, sum_d, R], a few MB), and the backward
-    RECOMPUTES the tile's layer inputs from that snapshot while walking
-    tiles right-to-left, accumulating weight grads in VMEM output blocks and
-    propagating the transposed causal shift through a dz ring.  No
-    [L, B, T, R] activation stash, no second XLA-level forward.
+  * layers are split into contiguous groups sized so each kernel's weights,
+    rings, and (backward) f32 weight-grad blocks fit VMEM — small models are
+    a single group; the `full` preset (L=40, R=128) runs as five groups;
+  * grid (B, T/TT) walks time tiles left-to-right; per-layer causal left
+    context lives in a compact VMEM ring carried across tiles (the decode
+    kernel's ring structure at tile granularity);
+  * the skip-sum accumulates ACROSS group calls through an aliased
+    input/output (one [B, T, S] f32 buffer, never duplicated);
+  * backward = "ring-snapshot rematerialization": each forward group stores
+    its per-tile ring state; each backward group walks tiles right-to-left,
+    recomputes its layers from the snapshot + the group-input stash,
+    accumulates f32 weight grads in constant-index VMEM output blocks, and
+    chains the residual cotangent dx to the group below.  The transposed
+    causal shift rides a dz ring from later to earlier tiles.
 
-Restrictions (callers fall back to the XLA scan path otherwise —
-models.wavenet.forward_logits handles the dispatch):
-  * unconditional stack (mel conditioning adds a per-layer gate input; lands
-    in a later revision);
-  * T % TT == 0 and TT >= max_dilation;
-  * f32 weight-grad blocks for all L layers must fit VMEM (true for the
-    tiny/small/fastgen presets; the `full` preset needs ~18 MB and falls
-    back for now).
+Numerics: f32 residual carry and gate math, bf16 at MXU inputs and ring/stash
+stores, f32 gradient flow end-to-end (docs/ARCHITECTURE.md §3 — matches what
+XLA's excess-precision compilation effectively executes for the scan path).
+Two hardware lessons encoded here: Mosaic requires 32-bit matmul
+accumulators, and it MISCOMPILES vector concat+slice at non-sublane-aligned
+boundaries — every causal shift goes through scratch window buffers with
+static ref stores/loads instead.
 
-Equivalence vs the scan path is tested in interpret mode (tests/
-test_pallas_train.py) for both outputs and all gradients.
+Equivalence is tested against a pure-jnp oracle of the exact same recipe
+(tests/test_pallas_train.py) in interpret mode; hardware output was verified
+bit-exact against interpret mode on a v5e.
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import List, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -48,14 +49,6 @@ from jax.experimental.pallas import tpu as pltpu
 from wavenet_tpu.config import WaveNetConfig
 
 VMEM_BUDGET = 13 * 1024 * 1024
-
-
-def _ring_offsets(cfg: WaveNetConfig):
-    offs, acc = [], 0
-    for d in cfg.dilations:
-        offs.append(acc)
-        acc += d
-    return tuple(offs), acc
 
 
 def pick_tile(cfg: WaveNetConfig, T: int) -> int:
@@ -68,36 +61,65 @@ def pick_tile(cfg: WaveNetConfig, T: int) -> int:
     return tt
 
 
+def _group_sizes(cfg: WaveNetConfig, TT: int, lo: int, hi: int):
+    R, S = cfg.residual_channels, cfg.skip_channels
+    Lg = hi - lo
+    sum_dg = sum(cfg.dilations[lo:hi])
+    maxd = cfg.max_dilation
+    w = 2 * Lg * (4 * R * R + R * R + R * S)
+    dw = 4 * Lg * (4 * R * R + R * R + R * S + 3 * R)
+    fwd = (w + 2 * sum_dg * R + 2 * (maxd + TT) * R
+           + 2 * (2 * TT * R * 2 + 4 * TT * S * 2 + 2 * sum_dg * R
+                  + 2 * TT * R))
+    bwd = (w + dw + 2 * (Lg + 1) * TT * R
+           + 4 * sum_dg * R + 2 * (maxd + TT) * R + 4 * (TT + maxd) * R
+           + 2 * (2 * TT * R * 2 + 4 * TT * R * 4 + 4 * TT * S
+                  + 2 * sum_dg * R))
+    return fwd, bwd
+
+
+def group_plan(cfg: WaveNetConfig, TT: int) -> List[Tuple[int, int]]:
+    """Fewest contiguous layer groups whose fwd AND bwd kernels fit VMEM."""
+    L = cfg.num_layers
+    groups, lo = [], 0
+    while lo < L:
+        hi = lo + 1
+        if max(_group_sizes(cfg, TT, lo, hi)) > VMEM_BUDGET:
+            return []                                   # cannot fit at all
+        while hi < L and max(_group_sizes(cfg, TT, lo, hi + 1)) <= VMEM_BUDGET:
+            hi += 1
+        groups.append((lo, hi))
+        lo = hi
+    return groups
+
+
 def supported(cfg: WaveNetConfig, T: int) -> bool:
     if cfg.mel is not None:
         return False
     TT = pick_tile(cfg, T)
-    if not TT:
-        return False
-    L, R, S = cfg.num_layers, cfg.residual_channels, cfg.skip_channels
-    _, sum_d = _ring_offsets(cfg)
-    # fwd working set (bf16 weights + rings + tiles) and bwd extras
-    # (f32 dW blocks + f32 xs stash + f32 dz ring) must fit VMEM
-    wbytes = 2 * L * (4 * R * R + R * R + R * S)
-    dwbytes = 4 * L * (4 * R * R + R * R + R * S) + 4 * L * 3 * R
-    bwd = (dwbytes + 4 * (L + 1) * TT * R + 4 * sum_d * R + 2 * sum_d * R
-           + 4 * TT * S * 2 + wbytes)
-    return bwd < VMEM_BUDGET
+    return bool(TT) and bool(group_plan(cfg, TT))
 
 
 # ---------------------------------------------------------------------------
-# forward kernel
+# forward kernel for one layer group
 # ---------------------------------------------------------------------------
 
-def _fwd_kernel(cfg: WaveNetConfig, TT: int,
-                xin_ref, wcur_ref, wprev_ref, b_ref,
+def _fwd_kernel(cfg: WaveNetConfig, TT: int, lo: int, hi: int,
+                first_group: bool,
+                xin_ref, skip_in_ref,
+                wcur_ref, wprev_ref, b_ref,
                 wres_ref, bres_ref, wskip_ref, bskip_ref,
-                skip_ref, snaps_ref,
+                skip_ref, snaps_ref, xout_ref,
                 rings, xbuf):
     R = cfg.residual_channels
-    dils = cfg.dilations
-    offs, _ = _ring_offsets(cfg)
+    dils = cfg.dilations[lo:hi]
+    # group-local ring offsets
+    offs, acc = [], 0
+    for d in dils:
+        offs.append(acc)
+        acc += d
     j = pl.program_id(1)
+    maxd = cfg.max_dilation
 
     @pl.when(j == 0)
     def _():
@@ -105,59 +127,58 @@ def _fwd_kernel(cfg: WaveNetConfig, TT: int,
 
     snaps_ref[0, 0] = rings[:]                   # ring state at tile START
 
-    # The residual stream is CARRIED IN f32 (VMEM-resident, so free) and
-    # rounded to bf16 only at matmul inputs/ring stores: on TPU, XLA compiles
-    # the scan path with excess precision — elementwise chains (residual
-    # adds, gate) effectively stay f32 — and a true-bf16 carry measurably
-    # degraded training convergence vs that path.
+    # f32 residual carry; bf16 only at MXU inputs / ring+stash stores
     x = xin_ref[0].astype(jnp.float32)           # [TT, R]
-    skip = jnp.zeros((TT, cfg.skip_channels), jnp.float32)
+    skip = (jnp.zeros((TT, cfg.skip_channels), jnp.float32)
+            if first_group else skip_in_ref[0])
 
-    maxd = cfg.max_dilation
-    for l, (d, off) in enumerate(zip(dils, offs)):
+    for li, (d, off) in enumerate(zip(dils, offs)):
         x_b = x.astype(jnp.bfloat16)
-        # Causal shift via a scratch window buffer with STATIC offsets:
-        # Mosaic miscompiles vector concat+slice at non-sublane-aligned
-        # boundaries (outputs wrong past the first 8 rows; found by a
-        # hardware-vs-interpret bisect), so xp is assembled with ref
-        # stores/loads instead.
+        # causal shift via scratch window (static offsets — Mosaic
+        # miscompiles misaligned vector concat+slice)
         xbuf[maxd:] = x_b
         xbuf[maxd - d:maxd] = rings[off:off + d]
         xp = xbuf[maxd - d:maxd - d + TT]
         rings[off:off + d] = x_b[TT - d:]
-        z = (jnp.dot(x_b, wcur_ref[l], preferred_element_type=jnp.float32)
-             + jnp.dot(xp, wprev_ref[l], preferred_element_type=jnp.float32)
-             + b_ref[l])                         # [TT, 2R] f32
+        z = (jnp.dot(x_b, wcur_ref[li], preferred_element_type=jnp.float32)
+             + jnp.dot(xp, wprev_ref[li], preferred_element_type=jnp.float32)
+             + b_ref[li])                        # [TT, 2R] f32
         h = (jnp.tanh(z[:, :R]) * jax.nn.sigmoid(z[:, R:])
              ).astype(jnp.bfloat16)
         skip = (skip
-                + jnp.dot(h, wskip_ref[l], preferred_element_type=jnp.float32)
-                + bskip_ref[l])
-        x = x + (jnp.dot(h, wres_ref[l], preferred_element_type=jnp.float32)
-                 + bres_ref[l])
+                + jnp.dot(h, wskip_ref[li], preferred_element_type=jnp.float32)
+                + bskip_ref[li])
+        x = x + (jnp.dot(h, wres_ref[li], preferred_element_type=jnp.float32)
+                 + bres_ref[li])
 
     skip_ref[0] = skip
+    xout_ref[0] = x.astype(jnp.bfloat16)
 
 
 # ---------------------------------------------------------------------------
-# backward kernel (tiles right-to-left; recompute from ring snapshots)
+# backward kernel for one layer group (tiles right-to-left)
 # ---------------------------------------------------------------------------
 
-def _bwd_kernel(cfg: WaveNetConfig, TT: int, nT: int,
-                xin_ref, snaps_ref, dskip_ref,
+def _bwd_kernel(cfg: WaveNetConfig, TT: int, nT: int, lo: int, hi: int,
+                xin_ref, snaps_ref, dskip_ref, dxin_ref,
                 wcur_ref, wprev_ref, b_ref, wres_ref, bres_ref, wskip_ref,
                 dx_ref, dwcur_ref, dwprev_ref, db_ref,
                 dwres_ref, dbres_ref, dwskip_ref,
                 xs, dz_rings, xbuf, dbuf):
+    """Backward over layers [lo, hi).  xin is the stashed input of layer lo;
+    dxin is the cotangent of layer hi's input (zeros for the top group)."""
     R = cfg.residual_channels
-    L = cfg.num_layers
-    dils = cfg.dilations
-    offs, _ = _ring_offsets(cfg)
+    dils = cfg.dilations[lo:hi]
+    offs, acc = [], 0
+    for d in dils:
+        offs.append(acc)
+        acc += d
+    Lg = hi - lo
     bi = pl.program_id(0)
     jr = pl.program_id(1)                        # 0 .. nT-1, tile = nT-1-jr
+    maxd = cfg.max_dilation
 
     def _dg(a, b, ca, cb, prec=jnp.float32):
-        # contraction without materialised transposes (Mosaic-friendly)
         return jax.lax.dot_general(a, b, (((ca,), (cb,)), ((), ())),
                                    preferred_element_type=prec)
 
@@ -171,77 +192,65 @@ def _bwd_kernel(cfg: WaveNetConfig, TT: int, nT: int,
     def _():
         dz_rings[:] = jnp.zeros_like(dz_rings)
 
-    # ---- recompute this tile's layer inputs from the ring snapshot ----
-    # mirrors the forward exactly: f32 carry, bf16 matmul inputs
-    maxd = cfg.max_dilation
+    # ---- recompute this tile's group-layer inputs from ring snapshots ----
     x = xin_ref[0].astype(jnp.float32)
     xs[0] = x.astype(jnp.bfloat16)
-    for l, (d, off) in enumerate(zip(dils, offs)):
+    for li, (d, off) in enumerate(zip(dils, offs)):
         x_b = x.astype(jnp.bfloat16)
-        # scratch-window shift (see _fwd_kernel comment re Mosaic concat bug)
         xbuf[maxd:] = x_b
         xbuf[maxd - d:maxd] = snaps_ref[0, 0, off:off + d]
         xp = xbuf[maxd - d:maxd - d + TT]
-        z = (jnp.dot(x_b, wcur_ref[l], preferred_element_type=jnp.float32)
-             + jnp.dot(xp, wprev_ref[l], preferred_element_type=jnp.float32)
-             + b_ref[l])
+        z = (jnp.dot(x_b, wcur_ref[li], preferred_element_type=jnp.float32)
+             + jnp.dot(xp, wprev_ref[li], preferred_element_type=jnp.float32)
+             + b_ref[li])
         h = (jnp.tanh(z[:, :R]) * jax.nn.sigmoid(z[:, R:])
              ).astype(jnp.bfloat16)
-        x = x + (jnp.dot(h, wres_ref[l], preferred_element_type=jnp.float32)
-                 + bres_ref[l])
-        xs[l + 1] = x.astype(jnp.bfloat16)
+        x = x + (jnp.dot(h, wres_ref[li], preferred_element_type=jnp.float32)
+                 + bres_ref[li])
+        xs[li + 1] = x.astype(jnp.bfloat16)
 
-    # ---- reverse pass ----
-    # GRADIENTS STAY f32 END-TO-END (dz/dx/dskip and the dz ring): XLA's
-    # autodiff of the scan path keeps cotangents in f32 and quantizing them
-    # to bf16 here measurably degraded convergence (loss 2.65 vs 2.30 at
-    # step 300 on the small preset).  Only the saved forward residuals
-    # (h, x) are bf16 — cast up exactly for the f32 MXU dots.
+    # ---- reverse pass: GRADIENTS STAY f32 END-TO-END (quantizing them to
+    # bf16 measurably degraded convergence); forward residuals (h, x) are
+    # bf16, cast up exactly for the f32 MXU dots ----
     dskip = dskip_ref[0]                         # [TT, S] f32
-    dx = jnp.zeros((TT, R), jnp.float32)         # d/dx_L == 0 (head uses skip)
+    dx = dxin_ref[0]                             # [TT, R] f32 (d x_{hi})
 
-    for l in reversed(range(L)):
-        d, off = dils[l], offs[l]
-        x_lb16 = xs[l]                           # bf16, as the fwd consumed
+    for li in reversed(range(Lg)):
+        d, off = dils[li], offs[li]
+        x_lb16 = xs[li]                          # bf16, as the fwd consumed
         xbuf[maxd:] = x_lb16
         xbuf[maxd - d:maxd] = snaps_ref[0, 0, off:off + d]
         xp_l = xbuf[maxd - d:maxd - d + TT]
-        z = (jnp.dot(x_lb16, wcur_ref[l], preferred_element_type=jnp.float32)
-             + jnp.dot(xp_l, wprev_ref[l], preferred_element_type=jnp.float32)
-             + b_ref[l])
+        z = (jnp.dot(x_lb16, wcur_ref[li], preferred_element_type=jnp.float32)
+             + jnp.dot(xp_l, wprev_ref[li], preferred_element_type=jnp.float32)
+             + b_ref[li])
         tf = jnp.tanh(z[:, :R])
         sg = jax.nn.sigmoid(z[:, R:])
-        # h as the forward computed it (bf16), held in f32 exactly
         h = (tf * sg).astype(jnp.bfloat16).astype(jnp.float32)
 
-        dbres_ref[l:l + 1, :] += jnp.sum(dx, axis=0, keepdims=True)
-        wskip_f = wskip_ref[l].astype(jnp.float32)
-        wres_f = wres_ref[l].astype(jnp.float32)
-        dh = (_dg(dskip, wskip_f, 1, 1)              # dskip @ wskip^T
-              + _dg(dx, wres_f, 1, 1))               # dx @ wres^T
-        dwskip_ref[l] += _dg(h, dskip, 0, 0)         # h^T @ dskip
-        dwres_ref[l] += _dg(h, dx, 0, 0)             # h^T @ dx
+        dbres_ref[li:li + 1, :] += jnp.sum(dx, axis=0, keepdims=True)
+        dh = (_dg(dskip, wskip_ref[li].astype(jnp.float32), 1, 1)
+              + _dg(dx, wres_ref[li].astype(jnp.float32), 1, 1))
+        dwskip_ref[li] += _dg(h, dskip, 0, 0)        # h^T @ dskip
+        dwres_ref[li] += _dg(h, dx, 0, 0)            # h^T @ dx
 
         dzf = dh * sg * (1.0 - tf * tf)
         dzg = dh * tf * sg * (1.0 - sg)
         dz = jnp.concatenate([dzf, dzg], axis=1)     # [TT, 2R] f32
 
-        xs_f = x_lb16.astype(jnp.float32)
-        xp_f = xp_l.astype(jnp.float32)
-        dwcur_ref[l] += _dg(xs_f, dz, 0, 0)          # x^T @ dz
-        dwprev_ref[l] += _dg(xp_f, dz, 0, 0)         # xp^T @ dz
-        db_ref[l:l + 1, :] += jnp.sum(dz, axis=0, keepdims=True)
+        dwcur_ref[li] += _dg(x_lb16.astype(jnp.float32), dz, 0, 0)
+        dwprev_ref[li] += _dg(xp_l.astype(jnp.float32), dz, 0, 0)
+        db_ref[li:li + 1, :] += jnp.sum(dz, axis=0, keepdims=True)
 
-        wprev_f = wprev_ref[l].astype(jnp.float32)
-        dprev = _dg(dz, wprev_f, 1, 1)               # dz @ wprev^T -> [TT, R]
-        # transposed causal shift: dx[s] += dprev[s + d]; rows s >= TT-d come
-        # from the LATER tile's dprev head, held in the dz ring
+        dprev = _dg(dz, wprev_ref[li].astype(jnp.float32), 1, 1)  # [TT, R]
+        # transposed causal shift via scratch window: dx[s] += dprev[s+d];
+        # rows s >= TT-d come from the LATER tile's dprev head (dz ring)
         dbuf[:TT] = dprev
         dbuf[TT:TT + d] = dz_rings[off:off + d]
         shifted = dbuf[d:TT + d]
         dz_rings[off:off + d] = dprev[:d]
 
-        dx = dx + _dg(dz, wcur_ref[l].astype(jnp.float32), 1, 1) + shifted
+        dx = dx + _dg(dz, wcur_ref[li].astype(jnp.float32), 1, 1) + shifted
 
     dx_ref[0] = dx
 
@@ -275,9 +284,9 @@ def stack_skip_sum(cfg: WaveNetConfig, interpret: bool, tile, x,
                    w_cur, w_prev, b, w_res, b_res, w_skip, b_skip):
     """[B, T, R] embedded input -> [B, T, S] f32 skip-sum (fused stack).
     tile=None picks the largest valid time tile; tests pass small tiles to
-    exercise the cross-tile ring carry."""
-    skip, _ = _fwd(cfg, interpret, tile, x, w_cur, w_prev, b, w_res, b_res,
-                   w_skip, b_skip)
+    exercise the cross-tile ring carry and the group chaining."""
+    skip, _, _ = _fwd(cfg, interpret, tile, x, w_cur, w_prev, b, w_res,
+                      b_res, w_skip, b_skip)
     return skip
 
 
@@ -286,108 +295,136 @@ def _fwd(cfg, interpret, tile, x, w_cur, w_prev, b, w_res, b_res, w_skip,
     B, T, R = x.shape
     TT = tile or pick_tile(cfg, T)
     nT = T // TT
-    _, sum_d = _ring_offsets(cfg)
     S = cfg.skip_channels
     wops = _prep_weights(cfg, w_cur, w_prev, b, w_res, b_res, w_skip, b_skip)
+    groups = group_plan(cfg, TT)
 
     const = lambda *_: (0, 0, 0)
-    kernel = functools.partial(_fwd_kernel, cfg, TT)
-    skip, snaps = pl.pallas_call(
-        kernel,
-        grid=(B, nT),
-        in_specs=[
-            pl.BlockSpec((1, TT, R), lambda bi, j: (bi, j, 0),
-                         memory_space=pltpu.VMEM),
-        ] + [pl.BlockSpec(w.shape, const, memory_space=pltpu.VMEM)
-             for w in wops],
-        out_specs=(
-            pl.BlockSpec((1, TT, S), lambda bi, j: (bi, j, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, sum_d, R), lambda bi, j: (bi, j, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((B, T, S), jnp.float32),
-            jax.ShapeDtypeStruct((B, nT, sum_d, R), jnp.bfloat16),
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((sum_d, R), jnp.bfloat16),
-            pltpu.VMEM((cfg.max_dilation + TT, R), jnp.bfloat16),
-        ],
-        interpret=interpret,
-    )(x.astype(jnp.bfloat16), *wops)
-    return skip, snaps
+    blk = lambda bi, j: (bi, j, 0)
+
+    skip = jnp.zeros((B, T, S), jnp.float32)
+    x_g = x.astype(jnp.bfloat16)
+    snaps_list, stash_list = [], []
+    for gi, (lo, hi) in enumerate(groups):
+        sum_dg = sum(cfg.dilations[lo:hi])
+        gops = tuple(w[lo:hi] for w in wops)
+        kernel = functools.partial(_fwd_kernel, cfg, TT, lo, hi, gi == 0)
+        n_in = 2 + len(gops)
+        skip, snaps_g, x_next = pl.pallas_call(
+            kernel,
+            grid=(B, nT),
+            in_specs=[
+                pl.BlockSpec((1, TT, R), blk, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, TT, S), blk, memory_space=pltpu.VMEM),
+            ] + [pl.BlockSpec(w.shape, const, memory_space=pltpu.VMEM)
+                 for w in gops],
+            out_specs=(
+                pl.BlockSpec((1, TT, S), blk, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, sum_dg, R),
+                             lambda bi, j: (bi, j, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, TT, R), blk, memory_space=pltpu.VMEM),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((B, T, S), jnp.float32),
+                jax.ShapeDtypeStruct((B, nT, sum_dg, R), jnp.bfloat16),
+                jax.ShapeDtypeStruct((B, T, R), jnp.bfloat16),
+            ),
+            input_output_aliases={1: 0},              # skip accumulator
+            scratch_shapes=[
+                pltpu.VMEM((sum_dg, R), jnp.bfloat16),
+                pltpu.VMEM((cfg.max_dilation + TT, R), jnp.bfloat16),
+            ],
+            interpret=interpret,
+        )(x_g, skip, *gops)
+        snaps_list.append(snaps_g)
+        stash_list.append(x_g)                   # INPUT of group gi
+        x_g = x_next
+    return skip, tuple(snaps_list), tuple(stash_list)
 
 
 def _vjp_fwd(cfg, interpret, tile, x, w_cur, w_prev, b, w_res, b_res,
              w_skip, b_skip):
-    skip, snaps = _fwd(cfg, interpret, tile, x, w_cur, w_prev, b, w_res,
-                       b_res, w_skip, b_skip)
-    res = (x, snaps, w_cur, w_prev, b, w_res, b_res, w_skip)
+    skip, snaps, stash = _fwd(cfg, interpret, tile, x, w_cur, w_prev, b,
+                              w_res, b_res, w_skip, b_skip)
+    res = (snaps, stash, w_cur, w_prev, b, w_res, b_res, w_skip)
     return skip, res
 
 
 def _vjp_bwd(cfg, interpret, tile, res, dskip):
-    x, snaps, w_cur, w_prev, b, w_res, b_res, w_skip = res
-    B, T, R = x.shape
+    snaps, stash, w_cur, w_prev, b, w_res, b_res, w_skip = res
+    B, T, R = stash[0].shape
     L = cfg.num_layers
     S = cfg.skip_channels
     TT = tile or pick_tile(cfg, T)
     nT = T // TT
-    _, sum_d = _ring_offsets(cfg)
     wops = _prep_weights(cfg, w_cur, w_prev, b, w_res, b_res, w_skip,
                          jnp.zeros((L, S), jnp.float32))[:6]
+    groups = group_plan(cfg, TT)
 
     const = lambda *_: (0, 0, 0)
     rev = lambda bi, jr: (bi, nT - 1 - jr, 0)
-    kernel = functools.partial(_bwd_kernel, cfg, TT, nT)
-    outs = pl.pallas_call(
-        kernel,
-        grid=(B, nT),
-        in_specs=[
-            pl.BlockSpec((1, TT, R), rev, memory_space=pltpu.VMEM),      # x
-            pl.BlockSpec((1, 1, sum_d, R),
-                         lambda bi, jr: (bi, nT - 1 - jr, 0, 0),
-                         memory_space=pltpu.VMEM),                       # snaps
-            pl.BlockSpec((1, TT, S), rev, memory_space=pltpu.VMEM),      # dskip
-        ] + [pl.BlockSpec(w.shape, const, memory_space=pltpu.VMEM)
-             for w in wops],
-        out_specs=(
-            pl.BlockSpec((1, TT, R), rev, memory_space=pltpu.VMEM),      # dx
-            pl.BlockSpec((L, R, 2 * R), const, memory_space=pltpu.VMEM),
-            pl.BlockSpec((L, R, 2 * R), const, memory_space=pltpu.VMEM),
-            pl.BlockSpec((L, 2 * R), lambda *_: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((L, R, R), const, memory_space=pltpu.VMEM),
-            pl.BlockSpec((L, R), lambda *_: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((L, R, S), const, memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((B, T, R), jnp.float32),
-            jax.ShapeDtypeStruct((L, R, 2 * R), jnp.float32),
-            jax.ShapeDtypeStruct((L, R, 2 * R), jnp.float32),
-            jax.ShapeDtypeStruct((L, 2 * R), jnp.float32),
-            jax.ShapeDtypeStruct((L, R, R), jnp.float32),
-            jax.ShapeDtypeStruct((L, R), jnp.float32),
-            jax.ShapeDtypeStruct((L, R, S), jnp.float32),
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((L + 1, TT, R), jnp.bfloat16),       # xs stash
-            pltpu.VMEM((sum_d, R), jnp.float32),            # dz rings (f32)
-            pltpu.VMEM((cfg.max_dilation + TT, R), jnp.bfloat16),  # xbuf
-            pltpu.VMEM((TT + cfg.max_dilation, R), jnp.float32),   # dbuf
-        ],
-        interpret=interpret,
-    )(x.astype(jnp.bfloat16), snaps, dskip, *wops)
-    dx, dwcur, dwprev, db, dwres, dbres, dwskip = outs
 
-    # shapes back to model layout; bskip grad is layer-independent
+    parts = [None] * len(groups)
+    dx = jnp.zeros((B, T, R), jnp.float32)       # d x_L == 0 (head uses skip)
+    for gi in reversed(range(len(groups))):
+        lo, hi = groups[gi]
+        Lg = hi - lo
+        sum_dg = sum(cfg.dilations[lo:hi])
+        gops = tuple(w[lo:hi] for w in wops)
+        kernel = functools.partial(_bwd_kernel, cfg, TT, nT, lo, hi)
+        outs = pl.pallas_call(
+            kernel,
+            grid=(B, nT),
+            in_specs=[
+                pl.BlockSpec((1, TT, R), rev, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, sum_dg, R),
+                             lambda bi, jr: (bi, nT - 1 - jr, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, TT, S), rev, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, TT, R), rev, memory_space=pltpu.VMEM),
+            ] + [pl.BlockSpec(w.shape, const, memory_space=pltpu.VMEM)
+                 for w in gops],
+            out_specs=(
+                pl.BlockSpec((1, TT, R), rev, memory_space=pltpu.VMEM),
+                pl.BlockSpec((Lg, R, 2 * R), const, memory_space=pltpu.VMEM),
+                pl.BlockSpec((Lg, R, 2 * R), const, memory_space=pltpu.VMEM),
+                pl.BlockSpec((Lg, 2 * R), lambda *_: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((Lg, R, R), const, memory_space=pltpu.VMEM),
+                pl.BlockSpec((Lg, R), lambda *_: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((Lg, R, S), const, memory_space=pltpu.VMEM),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((B, T, R), jnp.float32),
+                jax.ShapeDtypeStruct((Lg, R, 2 * R), jnp.float32),
+                jax.ShapeDtypeStruct((Lg, R, 2 * R), jnp.float32),
+                jax.ShapeDtypeStruct((Lg, 2 * R), jnp.float32),
+                jax.ShapeDtypeStruct((Lg, R, R), jnp.float32),
+                jax.ShapeDtypeStruct((Lg, R), jnp.float32),
+                jax.ShapeDtypeStruct((Lg, R, S), jnp.float32),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((Lg + 1, TT, R), jnp.bfloat16),      # xs stash
+                pltpu.VMEM((sum_dg, R), jnp.float32),           # dz rings
+                pltpu.VMEM((cfg.max_dilation + TT, R), jnp.bfloat16),
+                pltpu.VMEM((TT + cfg.max_dilation, R), jnp.float32),
+            ],
+            interpret=interpret,
+        )(stash[gi], snaps[gi], dskip, dx, *gops)
+        dx = outs[0]
+        parts[gi] = outs[1:]
+
+    dwcur, dwprev, db, dwres, dbres, dwskip = (
+        jnp.concatenate([p[i] for p in parts], axis=0) for i in range(6))
+
     dwcur = dwcur.reshape(L, R, 2, R).astype(w_cur.dtype)
     dwprev = dwprev.reshape(L, R, 2, R).astype(w_prev.dtype)
     db = db.reshape(L, 2, R).astype(b.dtype)
     dbskip = jnp.broadcast_to(jnp.sum(dskip, axis=(0, 1)), (L, S)
                               ).astype(b.dtype)
-    return (dx.astype(x.dtype), dwcur, dwprev, db,
+    return (dx.astype(stash[0].dtype), dwcur, dwprev, db,
             dwres.astype(w_res.dtype), dbres.astype(b_res.dtype),
             dwskip.astype(w_skip.dtype), dbskip)
 
@@ -397,5 +434,5 @@ stack_skip_sum.defvjp(_vjp_fwd, _vjp_bwd)
 
 def forward_skip_fused(params, cfg: WaveNetConfig, x: jax.Array,
                        interpret: bool = False, tile=None) -> jax.Array:
-    """Embedded input [B, T, R] -> skip-sum [B, T, S] via the fused kernel."""
+    """Embedded input [B, T, R] -> skip-sum [B, T, S] via the fused kernels."""
     return stack_skip_sum(cfg, interpret, tile, x, *_stacked(params))
