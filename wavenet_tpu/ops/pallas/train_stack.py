@@ -51,6 +51,22 @@ from wavenet_tpu.config import WaveNetConfig
 VMEM_BUDGET = 13 * 1024 * 1024
 
 
+def _pad8(d: int) -> int:
+    return (d + 7) // 8 * 8
+
+
+def _ring_layout(dils):
+    """Padded ring layout: each layer's ring region is round_up(d, 8) rows
+    holding the last pad samples of that layer's input.  Every ring STORE is
+    then 8-row aligned — Mosaic miscompiles stores at misaligned sublane
+    offsets (loads at misaligned offsets are fine)."""
+    offs, acc = [], 0
+    for d in dils:
+        offs.append(acc)
+        acc += _pad8(d)
+    return tuple(offs), acc
+
+
 def pick_tile(cfg: WaveNetConfig, T: int) -> int:
     """Largest power-of-two tile >= max_dilation that divides T, capped."""
     tt = max(cfg.max_dilation, 512)
@@ -64,7 +80,7 @@ def pick_tile(cfg: WaveNetConfig, T: int) -> int:
 def _group_sizes(cfg: WaveNetConfig, TT: int, lo: int, hi: int):
     R, S = cfg.residual_channels, cfg.skip_channels
     Lg = hi - lo
-    sum_dg = sum(cfg.dilations[lo:hi])
+    sum_dg = sum(_pad8(d) for d in cfg.dilations[lo:hi])
     maxd = cfg.max_dilation
     w = 2 * Lg * (4 * R * R + R * R + R * S)
     dw = 4 * Lg * (4 * R * R + R * R + R * S + 3 * R)
@@ -113,11 +129,7 @@ def _fwd_kernel(cfg: WaveNetConfig, TT: int, lo: int, hi: int,
                 rings, xbuf):
     R = cfg.residual_channels
     dils = cfg.dilations[lo:hi]
-    # group-local ring offsets
-    offs, acc = [], 0
-    for d in dils:
-        offs.append(acc)
-        acc += d
+    offs, _ = _ring_layout(dils)                 # group-local padded offsets
     j = pl.program_id(1)
     maxd = cfg.max_dilation
 
@@ -133,13 +145,22 @@ def _fwd_kernel(cfg: WaveNetConfig, TT: int, lo: int, hi: int,
             if first_group else skip_in_ref[0])
 
     for li, (d, off) in enumerate(zip(dils, offs)):
+        pad = _pad8(d)
         x_b = x.astype(jnp.bfloat16)
-        # causal shift via scratch window (static offsets — Mosaic
-        # miscompiles misaligned vector concat+slice)
-        xbuf[maxd:] = x_b
-        xbuf[maxd - d:maxd] = rings[off:off + d]
-        xp = xbuf[maxd - d:maxd - d + TT]
-        rings[off:off + d] = x_b[TT - d:]
+        # Causal shift via scratch window.  ALL stores are 8-row aligned
+        # (padded ring regions); only loads use misaligned offsets — Mosaic
+        # miscompiles misaligned vector slices AND misaligned-destination
+        # stores (both found by hardware-vs-interpret bisects).
+        xbuf[maxd:] = x_b.astype(jnp.float32)
+        xbuf[maxd - pad:maxd] = rings[off:off + pad].astype(jnp.float32)
+        # xp via an aligned full-buffer load + roll: BOTH misaligned vector
+        # slices and misaligned ref loads of nonzero data miscompile under
+        # Mosaic (three hardware-vs-interpret bisects).  The buffer is f32
+        # because tpu.dynamic_rotate only handles 32-bit lanes; values are
+        # bf16-representable so the round-trip is exact.
+        xp = pltpu.roll(xbuf[:], TT + d, 0)[:TT].astype(jnp.bfloat16)
+        rings[off:off + pad] = xbuf[maxd + TT - pad:maxd + TT
+                                    ].astype(jnp.bfloat16)
         z = (jnp.dot(x_b, wcur_ref[li], preferred_element_type=jnp.float32)
              + jnp.dot(xp, wprev_ref[li], preferred_element_type=jnp.float32)
              + b_ref[li])                        # [TT, 2R] f32
@@ -169,10 +190,7 @@ def _bwd_kernel(cfg: WaveNetConfig, TT: int, nT: int, lo: int, hi: int,
     dxin is the cotangent of layer hi's input (zeros for the top group)."""
     R = cfg.residual_channels
     dils = cfg.dilations[lo:hi]
-    offs, acc = [], 0
-    for d in dils:
-        offs.append(acc)
-        acc += d
+    offs, _ = _ring_layout(dils)                 # group-local padded offsets
     Lg = hi - lo
     bi = pl.program_id(0)
     jr = pl.program_id(1)                        # 0 .. nT-1, tile = nT-1-jr
@@ -196,10 +214,12 @@ def _bwd_kernel(cfg: WaveNetConfig, TT: int, nT: int, lo: int, hi: int,
     x = xin_ref[0].astype(jnp.float32)
     xs[0] = x.astype(jnp.bfloat16)
     for li, (d, off) in enumerate(zip(dils, offs)):
+        pad = _pad8(d)
         x_b = x.astype(jnp.bfloat16)
-        xbuf[maxd:] = x_b
-        xbuf[maxd - d:maxd] = snaps_ref[0, 0, off:off + d]
-        xp = xbuf[maxd - d:maxd - d + TT]
+        xbuf[maxd:] = x_b.astype(jnp.float32)
+        xbuf[maxd - pad:maxd] = snaps_ref[0, 0, off:off + pad
+                                          ].astype(jnp.float32)
+        xp = pltpu.roll(xbuf[:], TT + d, 0)[:TT].astype(jnp.bfloat16)
         z = (jnp.dot(x_b, wcur_ref[li], preferred_element_type=jnp.float32)
              + jnp.dot(xp, wprev_ref[li], preferred_element_type=jnp.float32)
              + b_ref[li])
@@ -217,10 +237,12 @@ def _bwd_kernel(cfg: WaveNetConfig, TT: int, nT: int, lo: int, hi: int,
 
     for li in reversed(range(Lg)):
         d, off = dils[li], offs[li]
+        pad = _pad8(d)
         x_lb16 = xs[li]                          # bf16, as the fwd consumed
-        xbuf[maxd:] = x_lb16
-        xbuf[maxd - d:maxd] = snaps_ref[0, 0, off:off + d]
-        xp_l = xbuf[maxd - d:maxd - d + TT]
+        xbuf[maxd:] = x_lb16.astype(jnp.float32)
+        xbuf[maxd - pad:maxd] = snaps_ref[0, 0, off:off + pad
+                                          ].astype(jnp.float32)
+        xp_l = pltpu.roll(xbuf[:], TT + d, 0)[:TT].astype(jnp.bfloat16)
         z = (jnp.dot(x_lb16, wcur_ref[li], preferred_element_type=jnp.float32)
              + jnp.dot(xp_l, wprev_ref[li], preferred_element_type=jnp.float32)
              + b_ref[li])
@@ -246,9 +268,9 @@ def _bwd_kernel(cfg: WaveNetConfig, TT: int, nT: int, lo: int, hi: int,
         # transposed causal shift via scratch window: dx[s] += dprev[s+d];
         # rows s >= TT-d come from the LATER tile's dprev head (dz ring)
         dbuf[:TT] = dprev
-        dbuf[TT:TT + d] = dz_rings[off:off + d]
-        shifted = dbuf[d:TT + d]
-        dz_rings[off:off + d] = dprev[:d]
+        dbuf[TT:TT + pad] = dz_rings[off:off + pad]
+        shifted = pltpu.roll(dbuf[:], TT + maxd - d, 0)[:TT]
+        dz_rings[off:off + pad] = dbuf[:pad]     # head of dprev, aligned
 
         dx = dx + _dg(dz, wcur_ref[li].astype(jnp.float32), 1, 1) + shifted
 
@@ -306,7 +328,7 @@ def _fwd(cfg, interpret, tile, x, w_cur, w_prev, b, w_res, b_res, w_skip,
     x_g = x.astype(jnp.bfloat16)
     snaps_list, stash_list = [], []
     for gi, (lo, hi) in enumerate(groups):
-        sum_dg = sum(cfg.dilations[lo:hi])
+        _, sum_dg = _ring_layout(cfg.dilations[lo:hi])
         gops = tuple(w[lo:hi] for w in wops)
         kernel = functools.partial(_fwd_kernel, cfg, TT, lo, hi, gi == 0)
         n_in = 2 + len(gops)
@@ -333,8 +355,10 @@ def _fwd(cfg, interpret, tile, x, w_cur, w_prev, b, w_res, b_res, w_skip,
             input_output_aliases={1: 0},              # skip accumulator
             scratch_shapes=[
                 pltpu.VMEM((sum_dg, R), jnp.bfloat16),
-                pltpu.VMEM((cfg.max_dilation + TT, R), jnp.bfloat16),
+                pltpu.VMEM((cfg.max_dilation + TT, R), jnp.float32),
             ],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary", "arbitrary")),
             interpret=interpret,
         )(x_g, skip, *gops)
         snaps_list.append(snaps_g)
@@ -370,7 +394,7 @@ def _vjp_bwd(cfg, interpret, tile, res, dskip):
     for gi in reversed(range(len(groups))):
         lo, hi = groups[gi]
         Lg = hi - lo
-        sum_dg = sum(cfg.dilations[lo:hi])
+        _, sum_dg = _ring_layout(cfg.dilations[lo:hi])
         gops = tuple(w[lo:hi] for w in wops)
         kernel = functools.partial(_bwd_kernel, cfg, TT, nT, lo, hi)
         outs = pl.pallas_call(
@@ -408,9 +432,11 @@ def _vjp_bwd(cfg, interpret, tile, res, dskip):
             scratch_shapes=[
                 pltpu.VMEM((Lg + 1, TT, R), jnp.bfloat16),      # xs stash
                 pltpu.VMEM((sum_dg, R), jnp.float32),           # dz rings
-                pltpu.VMEM((cfg.max_dilation + TT, R), jnp.bfloat16),
+                pltpu.VMEM((cfg.max_dilation + TT, R), jnp.float32),
                 pltpu.VMEM((TT + cfg.max_dilation, R), jnp.float32),
             ],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary", "arbitrary")),
             interpret=interpret,
         )(stash[gi], snaps[gi], dskip, dx, *gops)
         dx = outs[0]
