@@ -66,15 +66,21 @@ def bench_decode(num_samples: int = 3072, batch: int = 64):
     }
 
 
-def bench_decode_pallas(num_samples: int = 4096, batch: int = 16):
-    """Whole-loop Pallas kernel decoder (VMEM-resident weights + rings)."""
+def bench_decode_pallas(num_samples: int = 4096, batch: int = 0):
+    """Whole-loop Pallas kernel decoder (VMEM-resident weights + rings).
+    batch=0 picks the largest batch that fits the VMEM budget."""
     import jax
     from wavenet_tpu.config import fastgen_bench
     from wavenet_tpu.models import wavenet as wn
     from wavenet_tpu.ops.pallas import decode as pdec
 
     cfg = fastgen_bench()
-    if not pdec.fits_vmem(cfg, batch):
+    if not batch:
+        for b in (64, 48, 32, 24, 16, 8):
+            if pdec.fits_vmem(cfg, b):
+                batch = b
+                break
+    if not batch or not pdec.fits_vmem(cfg, batch):
         return {}
     params = wn.init_params(cfg, jax.random.PRNGKey(0))
     key = jax.random.PRNGKey(1)
