@@ -48,3 +48,20 @@ def test_gather_windows(threads):
     for b in range(B):
         np.testing.assert_array_equal(out[b],
                                       clips[idx[b]][starts[b]:starts[b] + W])
+
+
+def test_dataset_native_path_matches_numpy():
+    """AudioDataset batches must be identical with and without the C++
+    gatherer (the NumPy loop is the reference implementation)."""
+    from wavenet_tpu.audio.dataset import AudioDataset, IteratorState
+    from wavenet_tpu.config import WaveNetConfig
+
+    cfg = WaveNetConfig(num_blocks=1, max_dilation=8, residual_channels=8,
+                        skip_channels=8, batch_size=4, train_window=256)
+    ds = AudioDataset.synthetic(cfg, num_clips=3)
+    assert ds._gatherer is not None
+    st = IteratorState(seed=1, step=3)
+    fast, _ = ds.sample_batch(st)
+    ds._gatherer = None
+    ref, _ = ds.sample_batch(st)
+    np.testing.assert_array_equal(fast["tokens"], ref["tokens"])

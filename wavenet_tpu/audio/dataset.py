@@ -60,6 +60,15 @@ class AudioDataset:
         if cfg.mel is not None:
             self.mels = [
                 mel_lib.log_mel(c, cfg.sample_rate, cfg.mel) for c in kept]
+        # native C++ batched window gather (bit-identical fast path; the
+        # NumPy loop below stays as the reference implementation)
+        self._gatherer = None
+        try:
+            from wavenet_tpu.cpp import loader as _cpp
+            if _cpp.available():
+                self._gatherer = _cpp.WindowGatherer(self.tokens)
+        except Exception:
+            pass
 
     # ---- constructors ----
 
@@ -105,23 +114,31 @@ class AudioDataset:
         rng = np.random.default_rng((self.cfg.seed, state.seed, state.step))
         hop = cfg.mel.hop_length if cfg.mel is not None else 1
 
-        toks = np.empty((B, W + 1), np.int32)
         mels = None
         if self.mels is not None:
             F = W // hop
             mels = np.empty((B, F, cfg.mel.num_mels), np.float32)
+
+        # the random draws are identical on both paths (pure fn of `rng`)
+        clip_idx = np.empty(B, np.int32)
+        starts = np.empty(B, np.int64)
         for i in range(B):
             ci = int(rng.integers(0, len(self.tokens)))
-            clip = self.tokens[ci]
-            max_start = len(clip) - (W + 1)
+            max_start = len(self.tokens[ci]) - (W + 1)
             s = int(rng.integers(0, max_start + 1))
             if mels is not None:
                 # align crop start to a mel hop boundary so frame fs maps to
                 # sample s exactly
                 s = (s // hop) * hop
-                fs = s // hop
-                mels[i] = self.mels[ci][fs:fs + W // hop]
-            toks[i] = clip[s:s + W + 1]
+                mels[i] = self.mels[ci][s // hop:s // hop + W // hop]
+            clip_idx[i], starts[i] = ci, s
+
+        if self._gatherer is not None:
+            toks = self._gatherer.gather(clip_idx, starts, W + 1)
+        else:
+            toks = np.empty((B, W + 1), np.int32)
+            for i in range(B):
+                toks[i] = self.tokens[clip_idx[i]][starts[i]:starts[i] + W + 1]
         batch: Dict[str, np.ndarray] = {"tokens": toks}
         if mels is not None:
             batch["mel"] = mels
