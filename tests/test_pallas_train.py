@@ -24,7 +24,7 @@ def cfg_(**kw):
     return WaveNetConfig(**base)
 
 
-def oracle_skip(params, cfg, x):
+def oracle_skip(params, cfg, x, y=None):
     """Pure-jnp mirror of the kernel's recipe: f32 carry, bf16 dot inputs."""
     L, R = cfg.num_layers, cfg.residual_channels
     bf = jnp.bfloat16
@@ -40,6 +40,11 @@ def oracle_skip(params, cfg, x):
         z = (jnp.dot(xb, wcur, preferred_element_type=jnp.float32)
              + jnp.dot(xp, wprev, preferred_element_type=jnp.float32)
              + params["b"][l].reshape(2 * R).astype(jnp.float32))
+        if y is not None:
+            M = cfg.mel.num_mels
+            z = z + jnp.dot(y.astype(bf),
+                            params["v_cond"][l].reshape(M, 2 * R).astype(bf),
+                            preferred_element_type=jnp.float32)
         h = (jnp.tanh(z[..., :R]) * jax.nn.sigmoid(z[..., R:])).astype(bf)
         skip = (skip + jnp.dot(h, params["w_skip"][l].astype(bf),
                                preferred_element_type=jnp.float32)
@@ -65,7 +70,7 @@ def test_supported_matrix():
     assert len(ts.group_plan(full(), 512)) > 1
     from wavenet_tpu.config import conditional
     c = conditional()
-    assert not ts.supported(c, c.train_window)
+    assert ts.supported(c, c.train_window)      # cond runs fused too
     assert not ts.supported(cfg_(), 100)        # indivisible T
 
 
@@ -154,3 +159,73 @@ def test_logits_sane_vs_scan():
     ref = wn.loss_fn(p, cfg, toks)[0]
     got = wn.loss_fn(p, cfg, toks, use_fused=True, interpret=True)[0]
     np.testing.assert_allclose(float(got), float(ref), atol=5e-3, rtol=2e-3)
+
+
+def test_conditional_fused_matches_oracle():
+    """Conditional fused path (y @ v_cond in-kernel): tight gradient match
+    against the recipe oracle with conditioning (incl. v_cond and y/upsampler
+    cotangents), plus scan-path loss closeness."""
+    from wavenet_tpu.config import MelConfig
+    from wavenet_tpu.models.conditioning import upsample_mel
+    from wavenet_tpu.ops.pallas.train_stack import forward_skip_fused
+    mel_cfg = MelConfig(num_mels=8, hop_length=16, win_length=64,
+                        fmax=4000.0, upsample_factors=(4, 4))
+    cfg = cfg_(mel=mel_cfg)
+    p = wn.init_params(cfg, jax.random.PRNGKey(0))
+    toks = jax.random.randint(jax.random.PRNGKey(1), (2, 65), 0, 256)
+    mel = jax.random.normal(jax.random.PRNGKey(2), (2, 5, 8))
+    tgt = jax.random.normal(jax.random.PRNGKey(3), (2, 64, 16))
+
+    def loss_with(stack_fn, p):
+        x = embed(p, cfg, toks[:, :64])
+        y = upsample_mel(p["upsampler"], cfg.mel, mel, 64)
+        return jnp.mean((stack_fn(p, x, y) - tgt) ** 2)
+
+    ref_l, ref_g = jax.value_and_grad(lambda p: loss_with(
+        lambda p, x, y: oracle_skip(p, cfg, x, y=y), p))(p)
+    fus_l, fus_g = jax.value_and_grad(lambda p: loss_with(
+        lambda p, x, y: forward_skip_fused(p, cfg, x, interpret=True, y=y),
+        p))(p)
+    np.testing.assert_allclose(float(fus_l), float(ref_l), rtol=2e-3)
+    for (ka, a), (kb, b) in zip(
+            jax.tree_util.tree_flatten_with_path(ref_g)[0],
+            jax.tree_util.tree_flatten_with_path(fus_g)[0]):
+        a, b = np.asarray(a, np.float32), np.asarray(b, np.float32)
+        scale = max(np.abs(a).max(), 1e-3)
+        np.testing.assert_allclose(b / scale, a / scale, atol=0.02,
+                                   err_msg=str(ka))
+
+    # scan-path sanity: losses close (65-token window -> T=64 inputs)
+    ref2 = wn.loss_fn(p, cfg, toks, mel=mel)[0]
+    got2 = wn.loss_fn(p, cfg, toks, mel=mel, use_fused=True,
+                      interpret=True)[0]
+    np.testing.assert_allclose(float(got2), float(ref2), atol=5e-3,
+                               rtol=2e-3)
+
+
+def test_conditional_fused_multi_group(monkeypatch):
+    from wavenet_tpu.config import MelConfig
+    mel_cfg = MelConfig(num_mels=8, hop_length=16, win_length=64,
+                        fmax=4000.0, upsample_factors=(4, 4))
+    cfg = cfg_(mel=mel_cfg)
+    TT = 16
+    budget = max(max(ts._group_sizes(cfg, TT, l, l + 3)) for l in range(0, 6))
+    monkeypatch.setattr(ts, "VMEM_BUDGET", budget)
+    assert len(ts.group_plan(cfg, TT)) >= 3
+    p = wn.init_params(cfg, jax.random.PRNGKey(0))
+    toks = jax.random.randint(jax.random.PRNGKey(1), (2, 65), 0, 256)
+    mel = jax.random.normal(jax.random.PRNGKey(2), (2, 4, 8))
+    ref_l = wn.loss_fn(p, cfg, toks, mel=mel)[0]
+
+    def fused_loss(p):
+        logits = wn.forward_logits_fused(p, cfg, toks[:, :-1],
+                                         interpret=True, tile=TT, mel=mel)
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        return jnp.mean(-jnp.take_along_axis(
+            logp, toks[:, 1:][..., None], -1)[..., 0])
+
+    fus_l, fus_g = jax.value_and_grad(fused_loss)(p)
+    np.testing.assert_allclose(float(fus_l), float(ref_l), atol=5e-3,
+                               rtol=2e-3)
+    assert all(np.isfinite(np.asarray(x, np.float32)).all()
+               for x in jax.tree.leaves(fus_g))

@@ -254,14 +254,24 @@ def head_logits(params: Params, cfg: WaveNetConfig, skip: jax.Array) -> jax.Arra
 
 def forward_logits_fused(params: Params, cfg: WaveNetConfig,
                          tokens: jax.Array,
-                         interpret: bool = False, tile=None) -> jax.Array:
-    """forward_logits via the fused Pallas training-stack kernel
-    (ops/pallas/train_stack.py).  Unconditional only; callers must check
-    train_stack.supported(cfg, T)."""
+                         interpret: bool = False, tile=None,
+                         mel: Optional[jax.Array] = None) -> jax.Array:
+    """forward_logits via the fused Pallas training-stack kernels
+    (ops/pallas/train_stack.py); callers must check
+    train_stack.supported(cfg, T).  Mel conditioning is supported: the
+    upsampler runs in XLA (its params autodiff normally) and the per-layer
+    gate contribution y @ v_cond runs inside the kernels."""
     from wavenet_tpu.ops.pallas.train_stack import forward_skip_fused
     prev = _shifted_tokens(tokens)
     x = embed_tokens(params, cfg, tokens, prev)
-    skip = forward_skip_fused(params, cfg, x, interpret=interpret, tile=tile)
+    y = None
+    if cfg.mel is not None:
+        if mel is None:
+            raise ValueError("cfg.mel set but no mel features passed")
+        from wavenet_tpu.models.conditioning import upsample_mel
+        y = upsample_mel(params["upsampler"], cfg.mel, mel, tokens.shape[1])
+    skip = forward_skip_fused(params, cfg, x, interpret=interpret, tile=tile,
+                              y=y)
     return head_logits(params, cfg, skip)
 
 
@@ -279,7 +289,7 @@ def loss_fn(params: Params, cfg: WaveNetConfig, tokens: jax.Array,
     targets = tokens[:, 1:]
     if use_fused:
         logits = forward_logits_fused(params, cfg, inputs,
-                                      interpret=interpret)
+                                      interpret=interpret, mel=mel)
     else:
         logits = forward_logits(params, cfg, inputs, mel=mel)
     logp = jax.nn.log_softmax(logits, axis=-1)

@@ -82,8 +82,10 @@ def _group_sizes(cfg: WaveNetConfig, TT: int, lo: int, hi: int):
     Lg = hi - lo
     sum_dg = sum(_pad8(d) for d in cfg.dilations[lo:hi])
     maxd = cfg.max_dilation
-    w = 2 * Lg * (4 * R * R + R * R + R * S)
-    dw = 4 * Lg * (4 * R * R + R * R + R * S + 3 * R)
+    M = cfg.mel.num_mels if cfg.mel is not None else 0
+    w = 2 * Lg * (4 * R * R + R * R + R * S) + 2 * Lg * M * 2 * R
+    dw = (4 * Lg * (4 * R * R + R * R + R * S + 3 * R)
+          + 4 * Lg * M * 2 * R + 8 * TT * M)
     fwd = (w + 2 * sum_dg * R + 2 * (maxd + TT) * R
            + 2 * (2 * TT * R * 2 + 4 * TT * S * 2 + 2 * sum_dg * R
                   + 2 * TT * R))
@@ -110,8 +112,6 @@ def group_plan(cfg: WaveNetConfig, TT: int) -> List[Tuple[int, int]]:
 
 
 def supported(cfg: WaveNetConfig, T: int) -> bool:
-    if cfg.mel is not None:
-        return False
     TT = pick_tile(cfg, T)
     return bool(TT) and bool(group_plan(cfg, TT))
 
@@ -121,12 +121,18 @@ def supported(cfg: WaveNetConfig, T: int) -> bool:
 # ---------------------------------------------------------------------------
 
 def _fwd_kernel(cfg: WaveNetConfig, TT: int, lo: int, hi: int,
-                first_group: bool,
-                xin_ref, skip_in_ref,
-                wcur_ref, wprev_ref, b_ref,
-                wres_ref, bres_ref, wskip_ref, bskip_ref,
-                skip_ref, snaps_ref, xout_ref,
-                rings, xbuf):
+                first_group: bool, has_cond: bool, *refs):
+    if has_cond:
+        (xin_ref, skip_in_ref, y_ref,
+         wcur_ref, wprev_ref, b_ref, wres_ref, bres_ref, wskip_ref,
+         bskip_ref, vcond_ref,
+         skip_ref, snaps_ref, xout_ref, rings, xbuf) = refs
+    else:
+        (xin_ref, skip_in_ref,
+         wcur_ref, wprev_ref, b_ref, wres_ref, bres_ref, wskip_ref,
+         bskip_ref,
+         skip_ref, snaps_ref, xout_ref, rings, xbuf) = refs
+        y_ref = vcond_ref = None
     R = cfg.residual_channels
     dils = cfg.dilations[lo:hi]
     offs, _ = _ring_layout(dils)                 # group-local padded offsets
@@ -143,6 +149,7 @@ def _fwd_kernel(cfg: WaveNetConfig, TT: int, lo: int, hi: int,
     x = xin_ref[0].astype(jnp.float32)           # [TT, R]
     skip = (jnp.zeros((TT, cfg.skip_channels), jnp.float32)
             if first_group else skip_in_ref[0])
+    y = y_ref[0] if has_cond else None           # [TT, M] bf16
 
     for li, (d, off) in enumerate(zip(dils, offs)):
         pad = _pad8(d)
@@ -164,6 +171,9 @@ def _fwd_kernel(cfg: WaveNetConfig, TT: int, lo: int, hi: int,
         z = (jnp.dot(x_b, wcur_ref[li], preferred_element_type=jnp.float32)
              + jnp.dot(xp, wprev_ref[li], preferred_element_type=jnp.float32)
              + b_ref[li])                        # [TT, 2R] f32
+        if has_cond:                             # paper eq.3: V*y into gate
+            z = z + jnp.dot(y, vcond_ref[li],
+                            preferred_element_type=jnp.float32)
         h = (jnp.tanh(z[:, :R]) * jax.nn.sigmoid(z[:, R:])
              ).astype(jnp.bfloat16)
         skip = (skip
@@ -181,13 +191,23 @@ def _fwd_kernel(cfg: WaveNetConfig, TT: int, lo: int, hi: int,
 # ---------------------------------------------------------------------------
 
 def _bwd_kernel(cfg: WaveNetConfig, TT: int, nT: int, lo: int, hi: int,
-                xin_ref, snaps_ref, dskip_ref, dxin_ref,
-                wcur_ref, wprev_ref, b_ref, wres_ref, bres_ref, wskip_ref,
-                dx_ref, dwcur_ref, dwprev_ref, db_ref,
-                dwres_ref, dbres_ref, dwskip_ref,
-                xs, dz_rings, xbuf, dbuf):
+                has_cond: bool, *refs):
     """Backward over layers [lo, hi).  xin is the stashed input of layer lo;
     dxin is the cotangent of layer hi's input (zeros for the top group)."""
+    if has_cond:
+        (xin_ref, snaps_ref, dskip_ref, dxin_ref, y_ref,
+         wcur_ref, wprev_ref, b_ref, wres_ref, bres_ref, wskip_ref,
+         vcond_ref,
+         dx_ref, dwcur_ref, dwprev_ref, db_ref,
+         dwres_ref, dbres_ref, dwskip_ref, dvcond_ref, dy_ref,
+         xs, dz_rings, xbuf, dbuf) = refs
+    else:
+        (xin_ref, snaps_ref, dskip_ref, dxin_ref,
+         wcur_ref, wprev_ref, b_ref, wres_ref, bres_ref, wskip_ref,
+         dx_ref, dwcur_ref, dwprev_ref, db_ref,
+         dwres_ref, dbres_ref, dwskip_ref,
+         xs, dz_rings, xbuf, dbuf) = refs
+        y_ref = vcond_ref = dvcond_ref = dy_ref = None
     R = cfg.residual_channels
     dils = cfg.dilations[lo:hi]
     offs, _ = _ring_layout(dils)                 # group-local padded offsets
@@ -202,8 +222,11 @@ def _bwd_kernel(cfg: WaveNetConfig, TT: int, nT: int, lo: int, hi: int,
 
     @pl.when(jnp.logical_and(bi == 0, jr == 0))
     def _():
-        for ref in (dwcur_ref, dwprev_ref, db_ref, dwres_ref, dbres_ref,
-                    dwskip_ref):
+        zrefs = [dwcur_ref, dwprev_ref, db_ref, dwres_ref, dbres_ref,
+                 dwskip_ref]
+        if has_cond:
+            zrefs.append(dvcond_ref)
+        for ref in zrefs:
             ref[:] = jnp.zeros_like(ref)
 
     @pl.when(jr == 0)                            # new batch row: clear dz ring
@@ -223,6 +246,9 @@ def _bwd_kernel(cfg: WaveNetConfig, TT: int, nT: int, lo: int, hi: int,
         z = (jnp.dot(x_b, wcur_ref[li], preferred_element_type=jnp.float32)
              + jnp.dot(xp, wprev_ref[li], preferred_element_type=jnp.float32)
              + b_ref[li])
+        if has_cond:
+            z = z + jnp.dot(y_ref[0], vcond_ref[li],
+                            preferred_element_type=jnp.float32)
         h = (jnp.tanh(z[:, :R]) * jax.nn.sigmoid(z[:, R:])
              ).astype(jnp.bfloat16)
         x = x + (jnp.dot(h, wres_ref[li], preferred_element_type=jnp.float32)
@@ -234,6 +260,9 @@ def _bwd_kernel(cfg: WaveNetConfig, TT: int, nT: int, lo: int, hi: int,
     # bf16, cast up exactly for the f32 MXU dots ----
     dskip = dskip_ref[0]                         # [TT, S] f32
     dx = dxin_ref[0]                             # [TT, R] f32 (d x_{hi})
+    if has_cond:
+        y_f = y_ref[0].astype(jnp.float32)       # [TT, M]
+        dy = jnp.zeros_like(y_f)
 
     for li in reversed(range(Lg)):
         d, off = dils[li], offs[li]
@@ -246,6 +275,9 @@ def _bwd_kernel(cfg: WaveNetConfig, TT: int, nT: int, lo: int, hi: int,
         z = (jnp.dot(x_lb16, wcur_ref[li], preferred_element_type=jnp.float32)
              + jnp.dot(xp_l, wprev_ref[li], preferred_element_type=jnp.float32)
              + b_ref[li])
+        if has_cond:
+            z = z + jnp.dot(y_ref[0], vcond_ref[li],
+                            preferred_element_type=jnp.float32)
         tf = jnp.tanh(z[:, :R])
         sg = jax.nn.sigmoid(z[:, R:])
         h = (tf * sg).astype(jnp.bfloat16).astype(jnp.float32)
@@ -263,6 +295,9 @@ def _bwd_kernel(cfg: WaveNetConfig, TT: int, nT: int, lo: int, hi: int,
         dwcur_ref[li] += _dg(x_lb16.astype(jnp.float32), dz, 0, 0)
         dwprev_ref[li] += _dg(xp_l.astype(jnp.float32), dz, 0, 0)
         db_ref[li:li + 1, :] += jnp.sum(dz, axis=0, keepdims=True)
+        if has_cond:
+            dvcond_ref[li] += _dg(y_f, dz, 0, 0)          # y^T @ dz
+            dy = dy + _dg(dz, vcond_ref[li].astype(jnp.float32), 1, 1)
 
         dprev = _dg(dz, wprev_ref[li].astype(jnp.float32), 1, 1)  # [TT, R]
         # transposed causal shift via scratch window: dx[s] += dprev[s+d];
@@ -275,6 +310,8 @@ def _bwd_kernel(cfg: WaveNetConfig, TT: int, nT: int, lo: int, hi: int,
         dx = dx + _dg(dz, wcur_ref[li].astype(jnp.float32), 1, 1) + shifted
 
     dx_ref[0] = dx
+    if has_cond:
+        dy_ref[0] = dy
 
 
 # ---------------------------------------------------------------------------
@@ -312,13 +349,32 @@ def stack_skip_sum(cfg: WaveNetConfig, interpret: bool, tile, x,
     return skip
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def stack_skip_sum_cond(cfg: WaveNetConfig, interpret: bool, tile, x, y,
+                        w_cur, w_prev, b, w_res, b_res, w_skip, b_skip,
+                        v_cond):
+    """Conditional variant: y [B, T, M] upsampled mel features enter every
+    gate as y @ v_cond[l] (WaveNet paper eq.3)."""
+    skip, _, _ = _fwd(cfg, interpret, tile, x, w_cur, w_prev, b, w_res,
+                      b_res, w_skip, b_skip, y=y, v_cond=v_cond)
+    return skip
+
+
 def _fwd(cfg, interpret, tile, x, w_cur, w_prev, b, w_res, b_res, w_skip,
-         b_skip):
+         b_skip, y=None, v_cond=None):
     B, T, R = x.shape
     TT = tile or pick_tile(cfg, T)
+    if not TT:
+        raise ValueError(f"T={T} is not tileable for this config; gate fused "
+                         f"paths on train_stack.supported(cfg, T)")
     nT = T // TT
     S = cfg.skip_channels
+    has_cond = y is not None
     wops = _prep_weights(cfg, w_cur, w_prev, b, w_res, b_res, w_skip, b_skip)
+    if has_cond:
+        L, M = cfg.num_layers, cfg.mel.num_mels
+        vc = v_cond.reshape(L, M, 2 * R).astype(jnp.bfloat16)
+        y_b = y.astype(jnp.bfloat16)
     groups = group_plan(cfg, TT)
 
     const = lambda *_: (0, 0, 0)
@@ -330,16 +386,29 @@ def _fwd(cfg, interpret, tile, x, w_cur, w_prev, b, w_res, b_res, w_skip,
     for gi, (lo, hi) in enumerate(groups):
         _, sum_dg = _ring_layout(cfg.dilations[lo:hi])
         gops = tuple(w[lo:hi] for w in wops)
-        kernel = functools.partial(_fwd_kernel, cfg, TT, lo, hi, gi == 0)
-        n_in = 2 + len(gops)
+        kernel = functools.partial(_fwd_kernel, cfg, TT, lo, hi, gi == 0,
+                                   has_cond)
+        in_specs = [
+            pl.BlockSpec((1, TT, R), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TT, S), blk, memory_space=pltpu.VMEM),
+        ]
+        operands = [x_g, skip]
+        if has_cond:
+            in_specs.append(pl.BlockSpec((1, TT, cfg.mel.num_mels), blk,
+                                         memory_space=pltpu.VMEM))
+            operands.append(y_b)
+        in_specs += [pl.BlockSpec(w.shape, const, memory_space=pltpu.VMEM)
+                     for w in gops]
+        operands += list(gops)
+        if has_cond:
+            in_specs.append(pl.BlockSpec(vc[lo:hi].shape, const,
+                                         memory_space=pltpu.VMEM))
+            operands.append(vc[lo:hi])
+        skip_alias = 1
         skip, snaps_g, x_next = pl.pallas_call(
             kernel,
             grid=(B, nT),
-            in_specs=[
-                pl.BlockSpec((1, TT, R), blk, memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, TT, S), blk, memory_space=pltpu.VMEM),
-            ] + [pl.BlockSpec(w.shape, const, memory_space=pltpu.VMEM)
-                 for w in gops],
+            in_specs=in_specs,
             out_specs=(
                 pl.BlockSpec((1, TT, S), blk, memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, 1, sum_dg, R),
@@ -352,7 +421,7 @@ def _fwd(cfg, interpret, tile, x, w_cur, w_prev, b, w_res, b_res, w_skip,
                 jax.ShapeDtypeStruct((B, nT, sum_dg, R), jnp.bfloat16),
                 jax.ShapeDtypeStruct((B, T, R), jnp.bfloat16),
             ),
-            input_output_aliases={1: 0},              # skip accumulator
+            input_output_aliases={skip_alias: 0},     # skip accumulator
             scratch_shapes=[
                 pltpu.VMEM((sum_dg, R), jnp.bfloat16),
                 pltpu.VMEM((cfg.max_dilation + TT, R), jnp.float32),
@@ -360,7 +429,7 @@ def _fwd(cfg, interpret, tile, x, w_cur, w_prev, b, w_res, b_res, w_skip,
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("arbitrary", "arbitrary")),
             interpret=interpret,
-        )(x_g, skip, *gops)
+        )(*operands)
         snaps_list.append(snaps_g)
         stash_list.append(x_g)                   # INPUT of group gi
         x_g = x_next
@@ -371,12 +440,29 @@ def _vjp_fwd(cfg, interpret, tile, x, w_cur, w_prev, b, w_res, b_res,
              w_skip, b_skip):
     skip, snaps, stash = _fwd(cfg, interpret, tile, x, w_cur, w_prev, b,
                               w_res, b_res, w_skip, b_skip)
-    res = (snaps, stash, w_cur, w_prev, b, w_res, b_res, w_skip)
+    res = (snaps, stash, w_cur, w_prev, b, w_res, b_res, w_skip, None, None)
     return skip, res
 
 
+def _vjp_fwd_cond(cfg, interpret, tile, x, y, w_cur, w_prev, b, w_res,
+                  b_res, w_skip, b_skip, v_cond):
+    skip, snaps, stash = _fwd(cfg, interpret, tile, x, w_cur, w_prev, b,
+                              w_res, b_res, w_skip, b_skip, y=y,
+                              v_cond=v_cond)
+    res = (snaps, stash, w_cur, w_prev, b, w_res, b_res, w_skip, y, v_cond)
+    return skip, res
+
+
+def _vjp_bwd_cond(cfg, interpret, tile, res, dskip):
+    grads = _vjp_bwd(cfg, interpret, tile, res, dskip)
+    # reorder to the cond signature (x, y, w..., b_skip, v_cond)
+    dx, dwcur, dwprev, db, dwres, dbres, dwskip, dbskip, dy, dvcond = grads
+    return (dx, dy, dwcur, dwprev, db, dwres, dbres, dwskip, dbskip, dvcond)
+
+
 def _vjp_bwd(cfg, interpret, tile, res, dskip):
-    snaps, stash, w_cur, w_prev, b, w_res, b_res, w_skip = res
+    snaps, stash, w_cur, w_prev, b, w_res, b_res, w_skip, y, v_cond = res
+    has_cond = y is not None
     B, T, R = stash[0].shape
     L = cfg.num_layers
     S = cfg.skip_channels
@@ -384,51 +470,82 @@ def _vjp_bwd(cfg, interpret, tile, res, dskip):
     nT = T // TT
     wops = _prep_weights(cfg, w_cur, w_prev, b, w_res, b_res, w_skip,
                          jnp.zeros((L, S), jnp.float32))[:6]
+    if has_cond:
+        M = cfg.mel.num_mels
+        vc = v_cond.reshape(L, M, 2 * R).astype(jnp.bfloat16)
+        y_b = y.astype(jnp.bfloat16)
+        dy_total = jnp.zeros((B, T, M), jnp.float32)
+        dvc_parts = [None] * 0
     groups = group_plan(cfg, TT)
 
     const = lambda *_: (0, 0, 0)
     rev = lambda bi, jr: (bi, nT - 1 - jr, 0)
 
     parts = [None] * len(groups)
+    vparts = [None] * len(groups)
     dx = jnp.zeros((B, T, R), jnp.float32)       # d x_L == 0 (head uses skip)
     for gi in reversed(range(len(groups))):
         lo, hi = groups[gi]
         Lg = hi - lo
         _, sum_dg = _ring_layout(cfg.dilations[lo:hi])
         gops = tuple(w[lo:hi] for w in wops)
-        kernel = functools.partial(_bwd_kernel, cfg, TT, nT, lo, hi)
+        kernel = functools.partial(_bwd_kernel, cfg, TT, nT, lo, hi,
+                                   has_cond)
+        in_specs = [
+            pl.BlockSpec((1, TT, R), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, sum_dg, R),
+                         lambda bi, jr: (bi, nT - 1 - jr, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TT, S), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TT, R), rev, memory_space=pltpu.VMEM),
+        ]
+        operands = [stash[gi], snaps[gi], dskip, dx]
+        if has_cond:
+            in_specs.append(pl.BlockSpec((1, TT, M), rev,
+                                         memory_space=pltpu.VMEM))
+            operands.append(y_b)
+        in_specs += [pl.BlockSpec(w.shape, const, memory_space=pltpu.VMEM)
+                     for w in gops]
+        operands += list(gops)
+        if has_cond:
+            in_specs.append(pl.BlockSpec(vc[lo:hi].shape, const,
+                                         memory_space=pltpu.VMEM))
+            operands.append(vc[lo:hi])
+        out_specs = [
+            pl.BlockSpec((1, TT, R), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((Lg, R, 2 * R), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((Lg, R, 2 * R), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((Lg, 2 * R), lambda *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Lg, R, R), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((Lg, R), lambda *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Lg, R, S), const, memory_space=pltpu.VMEM),
+        ]
+        out_shape = [
+            jax.ShapeDtypeStruct((B, T, R), jnp.float32),
+            jax.ShapeDtypeStruct((Lg, R, 2 * R), jnp.float32),
+            jax.ShapeDtypeStruct((Lg, R, 2 * R), jnp.float32),
+            jax.ShapeDtypeStruct((Lg, 2 * R), jnp.float32),
+            jax.ShapeDtypeStruct((Lg, R, R), jnp.float32),
+            jax.ShapeDtypeStruct((Lg, R), jnp.float32),
+            jax.ShapeDtypeStruct((Lg, R, S), jnp.float32),
+        ]
+        if has_cond:
+            out_specs += [
+                pl.BlockSpec((Lg, M, 2 * R), const, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, TT, M), rev, memory_space=pltpu.VMEM),
+            ]
+            out_shape += [
+                jax.ShapeDtypeStruct((Lg, M, 2 * R), jnp.float32),
+                jax.ShapeDtypeStruct((B, T, M), jnp.float32),
+            ]
         outs = pl.pallas_call(
             kernel,
             grid=(B, nT),
-            in_specs=[
-                pl.BlockSpec((1, TT, R), rev, memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, sum_dg, R),
-                             lambda bi, jr: (bi, nT - 1 - jr, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, TT, S), rev, memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, TT, R), rev, memory_space=pltpu.VMEM),
-            ] + [pl.BlockSpec(w.shape, const, memory_space=pltpu.VMEM)
-                 for w in gops],
-            out_specs=(
-                pl.BlockSpec((1, TT, R), rev, memory_space=pltpu.VMEM),
-                pl.BlockSpec((Lg, R, 2 * R), const, memory_space=pltpu.VMEM),
-                pl.BlockSpec((Lg, R, 2 * R), const, memory_space=pltpu.VMEM),
-                pl.BlockSpec((Lg, 2 * R), lambda *_: (0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((Lg, R, R), const, memory_space=pltpu.VMEM),
-                pl.BlockSpec((Lg, R), lambda *_: (0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((Lg, R, S), const, memory_space=pltpu.VMEM),
-            ),
-            out_shape=(
-                jax.ShapeDtypeStruct((B, T, R), jnp.float32),
-                jax.ShapeDtypeStruct((Lg, R, 2 * R), jnp.float32),
-                jax.ShapeDtypeStruct((Lg, R, 2 * R), jnp.float32),
-                jax.ShapeDtypeStruct((Lg, 2 * R), jnp.float32),
-                jax.ShapeDtypeStruct((Lg, R, R), jnp.float32),
-                jax.ShapeDtypeStruct((Lg, R), jnp.float32),
-                jax.ShapeDtypeStruct((Lg, R, S), jnp.float32),
-            ),
+            in_specs=in_specs,
+            out_specs=tuple(out_specs),
+            out_shape=tuple(out_shape),
             scratch_shapes=[
                 pltpu.VMEM((Lg + 1, TT, R), jnp.bfloat16),      # xs stash
                 pltpu.VMEM((sum_dg, R), jnp.float32),           # dz rings
@@ -438,9 +555,14 @@ def _vjp_bwd(cfg, interpret, tile, res, dskip):
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("arbitrary", "arbitrary")),
             interpret=interpret,
-        )(stash[gi], snaps[gi], dskip, dx, *gops)
+        )(*operands)
         dx = outs[0]
-        parts[gi] = outs[1:]
+        if has_cond:
+            parts[gi] = outs[1:7]
+            vparts[gi] = outs[7]
+            dy_total = dy_total + outs[8]
+        else:
+            parts[gi] = outs[1:]
 
     dwcur, dwprev, db, dwres, dbres, dwskip = (
         jnp.concatenate([p[i] for p in parts], axis=0) for i in range(6))
@@ -450,15 +572,31 @@ def _vjp_bwd(cfg, interpret, tile, res, dskip):
     db = db.reshape(L, 2, R).astype(b.dtype)
     dbskip = jnp.broadcast_to(jnp.sum(dskip, axis=(0, 1)), (L, S)
                               ).astype(b.dtype)
+    dy = dvcond = None
+    if has_cond:
+        M = cfg.mel.num_mels
+        dvcond = jnp.concatenate(vparts, axis=0).reshape(
+            L, M, 2, R).astype(v_cond.dtype)
+        dy = dy_total.astype(y.dtype)
     return (dx.astype(stash[0].dtype), dwcur, dwprev, db,
             dwres.astype(w_res.dtype), dbres.astype(b_res.dtype),
-            dwskip.astype(w_skip.dtype), dbskip)
+            dwskip.astype(w_skip.dtype), dbskip, dy, dvcond)
 
 
-stack_skip_sum.defvjp(_vjp_fwd, _vjp_bwd)
+def _vjp_bwd_uncond(cfg, interpret, tile, res, dskip):
+    return _vjp_bwd(cfg, interpret, tile, res, dskip)[:8]
+
+
+stack_skip_sum.defvjp(_vjp_fwd, _vjp_bwd_uncond)
+stack_skip_sum_cond.defvjp(_vjp_fwd_cond, _vjp_bwd_cond)
 
 
 def forward_skip_fused(params, cfg: WaveNetConfig, x: jax.Array,
-                       interpret: bool = False, tile=None) -> jax.Array:
-    """Embedded input [B, T, R] -> skip-sum [B, T, S] via the fused kernels."""
+                       interpret: bool = False, tile=None,
+                       y=None) -> jax.Array:
+    """Embedded input [B, T, R] -> skip-sum [B, T, S] via the fused kernels.
+    y: optional [B, T, M] upsampled conditioning features (cfg.mel set)."""
+    if y is not None:
+        return stack_skip_sum_cond(cfg, interpret, tile, x, y,
+                                   *_stacked(params), params["v_cond"])
     return stack_skip_sum(cfg, interpret, tile, x, *_stacked(params))

@@ -82,7 +82,7 @@ def make_train_step(cfg: WaveNetConfig, tx: optax.GradientTransformation,
                  and jax.default_backend() != "cpu"
                  and cfg.batch_size % max(cfg.data_parallel, 1) == 0
                  and train_stack.supported(cfg, cfg.train_window))
-    use_dp_map = use_fused and cfg.data_parallel > 1
+    use_dp_map = use_fused and cfg.data_parallel > 1 and cfg.mel is None
 
     def train_step(state: TrainState, batch: Dict[str, jax.Array]
                    ) -> Tuple[TrainState, Dict[str, jax.Array]]:
