@@ -21,28 +21,51 @@
 extern "C" {
 
 // y = round_half_even((sign(x)*log1p(mu|x|)/log1p(mu) + 1)/2 * mu)
+//
+// Precision mirrors audio/mulaw.py encode_np under NumPy 2 (NEP 50) exactly:
+// the companding log1p runs in float32 (mu*|x| and sign(x)*log1p(...) stay
+// float32 because python-int/float operands are weak), then the division by
+// np.log1p(mu) — a strong float64 scalar — promotes to float64, as does
+// everything after.  Rounding is an explicit half-even (no dependence on the
+// process FP rounding mode, unlike nearbyint — advisor r1 #4).  Residual
+// risk is libm-vs-numpy ulp drift in log1pf, which tests/test_cpp_loader.py
+// pins by asserting bit-identity on this platform.
+static inline double round_half_even(double v) {
+  // v >= 0 here (the companded value is affinely mapped into [0, mu])
+  double fl = std::floor(v);
+  double diff = v - fl;
+  if (diff > 0.5) return fl + 1.0;
+  if (diff < 0.5) return fl;
+  return (std::fmod(fl, 2.0) == 0.0) ? fl : fl + 1.0;
+}
+
 void mulaw_encode(const float* x, int64_t n, int32_t q_channels,
                   int32_t* out) {
+  const float muf = static_cast<float>(q_channels - 1);
   const double mu = q_channels - 1;
   const double denom = std::log1p(mu);
   for (int64_t i = 0; i < n; ++i) {
-    double v = x[i];
-    if (v > 1.0) v = 1.0;
-    if (v < -1.0) v = -1.0;
-    double c = (v >= 0 ? 1.0 : -1.0) * std::log1p(mu * std::fabs(v)) / denom;
+    float v = x[i];
+    if (v > 1.0f) v = 1.0f;
+    if (v < -1.0f) v = -1.0f;
+    float c32 = (v >= 0.0f ? 1.0f : -1.0f) * std::log1p(muf * std::fabs(v));
+    double c = static_cast<double>(c32) / denom;
     double scaled = (c + 1.0) / 2.0 * mu;
-    // round-half-even to match numpy.round
-    double r = std::nearbyint(scaled);  // uses current rounding mode
-    out[i] = static_cast<int32_t>(r);
+    out[i] = static_cast<int32_t>(round_half_even(scaled));
   }
 }
 
 void mulaw_decode(const int32_t* q, int64_t n, int32_t q_channels,
                   float* out) {
   const double mu = q_channels - 1;
+  const float muf = static_cast<float>(q_channels - 1);
   const double lg = std::log1p(mu);
   for (int64_t i = 0; i < n; ++i) {
-    double c = 2.0 * q[i] / mu - 1.0;
+    // NumPy mirror (decode_np) computes c in float32 (python-float/int
+    // operands are weak under NEP 50), then expands in float64 via the
+    // strong np.log1p(mu) scalar — mirror that exactly for bit-identity
+    float c32 = 2.0f * static_cast<float>(q[i]) / muf - 1.0f;
+    double c = static_cast<double>(c32);
     double v = (c >= 0 ? 1.0 : -1.0) * std::expm1(std::fabs(c) * lg) / mu;
     out[i] = static_cast<float>(v);
   }

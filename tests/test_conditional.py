@@ -128,3 +128,62 @@ def test_generate_with_cond_runs():
     out = wn.generate(p, cfg, jax.random.PRNGKey(5), num_samples=N,
                       batch=B, cond=cond)
     assert out.shape == (B, N)
+
+
+def test_generate_priming_with_cond_matches_manual():
+    """Priming + conditioning together (advisor r1 #2): the queues must be
+    built WITH the conditioning contribution during teacher-forced priming,
+    and the cond timeline must span priming steps.  Reference is a manual
+    decode_step loop replicating generate()'s key folding."""
+    cfg = cfg_()
+    p = wn.init_params(cfg, jax.random.PRNGKey(0))
+    B, P, N = 2, 16, 24
+    key = jax.random.PRNGKey(7)
+    prime = jax.random.randint(jax.random.PRNGKey(3), (B, P), 0, 256)
+    total = P - 1 + N
+    mel = jax.random.normal(jax.random.PRNGKey(2), (B, 4, MEL.num_mels))
+    cond = prepare_decode_cond(p, cfg, mel, total)
+
+    got = wn.generate(p, cfg, key, num_samples=N, batch=B,
+                      prime_tokens=prime, cond=cond)
+
+    # manual reference: teacher-force prime[:-1] WITH cond, then sample
+    st = wn.decode_init(cfg, B)
+    for t in range(P - 1):
+        st, _ = wn.decode_step(p, cfg, st, prime[:, t], cond_t=cond[:, t])
+    tok = prime[:, -1]
+    outs = []
+    for i in range(N):
+        st, logits = wn.decode_step(p, cfg, st, tok, cond_t=cond[:, st.t])
+        k = jax.random.fold_in(key, i)
+        tok = jax.random.categorical(k, logits, axis=-1).astype(jnp.int32)
+        outs.append(tok)
+    want = jnp.stack(outs, axis=1)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_generate_cond_too_short_raises():
+    cfg = cfg_()
+    p = wn.init_params(cfg, jax.random.PRNGKey(0))
+    B, P, N = 2, 16, 24
+    prime = jax.random.randint(jax.random.PRNGKey(3), (B, P), 0, 256)
+    mel = jax.random.normal(jax.random.PRNGKey(2), (B, 4, MEL.num_mels))
+    cond = prepare_decode_cond(p, cfg, mel, N)       # misses priming steps
+    with pytest.raises(ValueError, match="cond covers"):
+        wn.generate(p, cfg, jax.random.PRNGKey(5), num_samples=N, batch=B,
+                    prime_tokens=prime, cond=cond)
+
+
+def test_facade_generate_mel_with_priming():
+    """WaveNet.generate sizes the cond timeline to cover priming."""
+    from wavenet_tpu.models.api import WaveNet
+    cfg = cfg_()
+    m = WaveNet(cfg).init()
+    B, P, N = 2, 8, 16
+    prime = jax.random.randint(jax.random.PRNGKey(3), (B, P), 0, 256)
+    # mel long enough for P-1+N upsampled samples: frames >= ceil(total/hop)
+    need_frames = (P - 1 + N + MEL.hop_length - 1) // MEL.hop_length + 1
+    mel = jax.random.normal(jax.random.PRNGKey(2), (B, need_frames,
+                                                    MEL.num_mels))
+    out = m.generate(num_samples=N, batch=B, prime_tokens=prime, mel=mel)
+    assert out.shape == (B, N)

@@ -21,10 +21,28 @@ def test_mulaw_encode_bit_identical():
                                   mulaw.encode_np(edges))
 
 
-def test_mulaw_decode_close():
+def test_mulaw_decode_bit_identical():
     q = np.arange(256, dtype=np.int32)
-    np.testing.assert_allclose(loader.mulaw_decode(q), mulaw.decode_np(q),
-                               atol=1e-7)
+    np.testing.assert_array_equal(loader.mulaw_decode(q), mulaw.decode_np(q))
+
+
+def test_mulaw_encode_independent_of_fp_rounding_mode():
+    """The encode uses an explicit half-even round (advisor r1 #4): flipping
+    the process FP rounding mode must not change a single bit."""
+    import ctypes
+    x = np.concatenate([
+        np.random.RandomState(2).uniform(-1, 1, 50000).astype(np.float32),
+        mulaw.decode_np(np.arange(256, dtype=np.int32)),   # near bin centers
+    ])
+    ref = mulaw.encode_np(x)
+    libm = ctypes.CDLL("libm.so.6")
+    FE_TONEAREST, FE_DOWNWARD, FE_UPWARD = 0x0, 0x400, 0x800
+    try:
+        for mode in (FE_DOWNWARD, FE_UPWARD, FE_TONEAREST):
+            libm.fesetround(mode)
+            np.testing.assert_array_equal(loader.mulaw_encode(x), ref)
+    finally:
+        libm.fesetround(FE_TONEAREST)
 
 
 def test_round_trip_via_cpp():

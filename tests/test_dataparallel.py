@@ -57,3 +57,30 @@ def test_dp_with_fused_interpret():
     got, _ = jax.jit(lambda p, t: dp.loss_fn_dp(
         p, cfg, mesh, t, use_fused=True, interpret=True))(p, toks)
     np.testing.assert_allclose(float(got), float(ref), rtol=5e-4, atol=5e-4)
+
+
+def test_dp_conditional_fused_grads_match():
+    """Conditional (mel) + data parallel + fused kernel — the combination
+    the round-1 trainer silently mis-gated (advisor r1 #3): mel shards on
+    batch through the dp shard_map and grads match the single-shard fused
+    loss, including the upsampler/v_cond leaves."""
+    from wavenet_tpu.config import MelConfig
+    mel_cfg = MelConfig(num_mels=8, hop_length=16, win_length=64,
+                        fmax=4000.0, upsample_factors=(4, 4))
+    cfg = cfg_(mel=mel_cfg)
+    mesh = make_mesh(cfg)
+    p = wn.init_params(cfg, jax.random.PRNGKey(0))
+    toks = jax.random.randint(jax.random.PRNGKey(1), (8, 65), 0, 256)
+    mel = jax.random.normal(jax.random.PRNGKey(2), (8, 4, 8))
+    ref_l, ref_g = jax.value_and_grad(lambda p: wn.loss_fn(
+        p, cfg, toks, mel=mel, use_fused=True, interpret=True)[0])(p)
+    dp_l, dp_g = jax.jit(jax.value_and_grad(lambda p: dp.loss_fn_dp(
+        p, cfg, mesh, toks, use_fused=True, interpret=True, mel=mel)[0]))(p)
+    np.testing.assert_allclose(float(dp_l), float(ref_l), rtol=5e-4,
+                               atol=5e-4)
+    for (ka, a), (kb, b) in zip(
+            jax.tree_util.tree_flatten_with_path(ref_g)[0],
+            jax.tree_util.tree_flatten_with_path(dp_g)[0]):
+        np.testing.assert_allclose(np.asarray(b, np.float32),
+                                   np.asarray(a, np.float32),
+                                   atol=5e-4, rtol=5e-3, err_msg=str(ka))

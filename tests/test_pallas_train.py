@@ -74,6 +74,35 @@ def test_supported_matrix():
     assert not ts.supported(cfg_(), 100)        # indivisible T
 
 
+def test_small_dilation_config_supported_and_correct():
+    """max_dilation < 8 configs must not crash the ring-store slice (advisor
+    r1 #1): the window pad floors at 8 rows, and the fused grads still match
+    the oracle."""
+    cfg = cfg_(max_dilation=4, num_blocks=1)
+    assert ts.supported(cfg, 64)
+    p = wn.init_params(cfg, jax.random.PRNGKey(0))
+    toks = jax.random.randint(jax.random.PRNGKey(1), (2, 64), 0, 256)
+    tgt = jax.random.normal(jax.random.PRNGKey(2), (2, 64, cfg.skip_channels))
+
+    def loss_with(stack_fn, p):
+        x = embed(p, cfg, toks)
+        return jnp.mean((stack_fn(p, x) - tgt) ** 2)
+
+    ref_l, ref_g = jax.value_and_grad(
+        lambda p: loss_with(lambda p, x: oracle_skip(p, cfg, x), p))(p)
+    fus_l, fus_g = jax.value_and_grad(
+        lambda p: loss_with(lambda p, x: ts.forward_skip_fused(
+            p, cfg, x, interpret=True, tile=8), p))(p)
+    np.testing.assert_allclose(float(fus_l), float(ref_l), rtol=2e-3)
+    for (ka, a), (kb, b) in zip(
+            jax.tree_util.tree_flatten_with_path(ref_g)[0],
+            jax.tree_util.tree_flatten_with_path(fus_g)[0]):
+        a, b = np.asarray(a, np.float32), np.asarray(b, np.float32)
+        scale = max(np.abs(a).max(), 1e-3)
+        np.testing.assert_allclose(b / scale, a / scale, atol=0.02,
+                                   err_msg=str(ka))
+
+
 def test_multi_group_grads_match_oracle(monkeypatch):
     """Shrink the VMEM budget so the tiny test model splits into several
     layer groups; gradients must still match the oracle."""

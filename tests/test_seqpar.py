@@ -28,13 +28,9 @@ def test_sp_forward_exact(sp, dp):
     T = 128
     toks = jax.random.randint(jax.random.PRNGKey(1), (2, T), 0, 256)
     ref = wn.forward_logits(p, cfg, toks)
-    got = jax.jit(lambda p, t: seqpar.forward_logits_sp(p, cfg, mesh, p_t(t)))(p, toks)
+    got = jax.jit(lambda p, t: seqpar.forward_logits_sp(p, cfg, mesh, t))(p, toks)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                atol=1e-5, rtol=1e-5)
-
-
-def p_t(t):
-    return t
 
 
 def test_sp_loss_and_grads_match():

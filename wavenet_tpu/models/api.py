@@ -68,7 +68,11 @@ class WaveNet:
         key = jax.random.PRNGKey(0) if key is None else key
         cond = None
         if mel is not None:
-            cond = prepare_decode_cond(self.params, self.cfg, mel, num_samples)
+            # conditioning must span the priming steps too (advisor r1 #2):
+            # decode_step consumes cond[:, t] for t in [0, max(P-1,0)+N)
+            P = 0 if prime_tokens is None else prime_tokens.shape[1]
+            cond = prepare_decode_cond(self.params, self.cfg, mel,
+                                       max(P - 1, 0) + num_samples)
         return generate_auto(self.params, self.cfg, key, num_samples,
                              batch=batch, prime_tokens=prime_tokens,
                              cond=cond, temperature=temperature)

@@ -416,16 +416,26 @@ def generate(params: Params, cfg: WaveNetConfig, key: jax.Array,
     Args:
       prime_tokens: optional [B, P] context to condition on (teacher-forced
         through the queues before free-running).
-      cond: optional [B, total_T, L, 2, R] per-step conditioning contributions.
+      cond: optional [B, total_T, L, 2, R] per-step conditioning
+        contributions, where total_T must cover ALL decode steps:
+        max(P-1, 0) + num_samples (the conditioning timeline spans the
+        priming context too — queues built without it would be wrong).
     Returns:
       [B, num_samples] int32 sampled tokens.
     """
     state = decode_init(cfg, batch)
     P = 0 if prime_tokens is None else prime_tokens.shape[1]
+    total_steps = max(P - 1, 0) + num_samples
+    if cond is not None and cond.shape[1] < total_steps:
+        raise ValueError(
+            f"cond covers {cond.shape[1]} steps < required {total_steps} "
+            f"(= max(P-1,0) + num_samples with P={P} priming tokens); size "
+            f"the conditioning to the full timeline including priming")
 
     def prime_body(carry, tok_t):
         state = carry
-        state, _ = decode_step(params, cfg, state, tok_t)
+        cond_t = None if cond is None else cond[:, state.t]
+        state, _ = decode_step(params, cfg, state, tok_t, cond_t=cond_t)
         return state, None
 
     if P > 0:

@@ -298,15 +298,19 @@ def generate_pallas(params, cfg: WaveNetConfig, key: jax.Array,
     carry = jnp.concatenate([first, jnp.zeros((batch, 1), jnp.int32)], axis=1)
     seed = jax.random.randint(key, (), 0, 2**31 - 1)
     # total steps: P-1 priming steps consume prime[1:], then num_samples
-    # free-running steps; outputs before the first free sample are dropped
+    # free-running steps; outputs before the first free sample are dropped.
+    # Every launch uses the SAME static chunk size (one compile): the tail
+    # over-generates up to chunk-1 discarded samples, far cheaper than a
+    # second ~30s kernel compile for the odd-sized tail.
     total = max(P - 1, 0) + num_samples
+    n = min(chunk, total)
     outs = []
     done = 0
     while done < total:
-        n = min(chunk, total - done)
         toks, rings, carry = decode_chunk(
             params, cfg, rings, carry, jnp.int32(done), seed, n, temperature,
             interpret=interpret, forced=prime_tokens)
         outs.append(toks)
         done += n
-    return jnp.concatenate(outs, axis=1)[:, max(P - 1, 0):]
+    return jnp.concatenate(outs, axis=1)[:, max(P - 1, 0):
+                                         max(P - 1, 0) + num_samples]

@@ -55,6 +55,19 @@ def _pad8(d: int) -> int:
     return (d + 7) // 8 * 8
 
 
+def _winpad(cfg: WaveNetConfig) -> int:
+    """Rows reserved for left context in the scratch window buffers.
+
+    max(8, max_dilation): every layer's padded ring region (_pad8(d)) must
+    fit, including configs whose max_dilation < 8 — with the raw
+    max_dilation, _pad8(d) would exceed the reserved region and the ring
+    store would slice negatively (found by the round-1 advisor).  The roll
+    arithmetic is independent of the pad size: for a window of
+    (pad + TT) rows the causal shift by d is roll(TT + d) and the
+    transposed shift is roll(TT + pad - d)."""
+    return max(8, cfg.max_dilation)
+
+
 def _ring_layout(dils):
     """Padded ring layout: each layer's ring region is round_up(d, 8) rows
     holding the last pad samples of that layer's input.  Every ring STORE is
@@ -68,11 +81,14 @@ def _ring_layout(dils):
 
 
 def pick_tile(cfg: WaveNetConfig, T: int) -> int:
-    """Largest power-of-two tile >= max_dilation that divides T, capped."""
-    tt = max(cfg.max_dilation, 512)
-    while tt > cfg.max_dilation and T % tt:
+    """Largest power-of-two tile >= max(max_dilation, 8) that divides T,
+    capped.  The floor of 8 keeps the ring-store source slice
+    xbuf[pad + TT - pad8 : ...] sublane-aligned for small-dilation configs."""
+    lo = max(cfg.max_dilation, 8)
+    tt = max(lo, 512)
+    while tt > lo and T % tt:
         tt //= 2
-    if T % tt or tt < cfg.max_dilation:
+    if T % tt or tt < lo:
         return 0
     return tt
 
@@ -81,7 +97,7 @@ def _group_sizes(cfg: WaveNetConfig, TT: int, lo: int, hi: int):
     R, S = cfg.residual_channels, cfg.skip_channels
     Lg = hi - lo
     sum_dg = sum(_pad8(d) for d in cfg.dilations[lo:hi])
-    maxd = cfg.max_dilation
+    maxd = _winpad(cfg)
     M = cfg.mel.num_mels if cfg.mel is not None else 0
     w = 2 * Lg * (4 * R * R + R * R + R * S) + 2 * Lg * M * 2 * R
     dw = (4 * Lg * (4 * R * R + R * R + R * S + 3 * R)
@@ -137,7 +153,7 @@ def _fwd_kernel(cfg: WaveNetConfig, TT: int, lo: int, hi: int,
     dils = cfg.dilations[lo:hi]
     offs, _ = _ring_layout(dils)                 # group-local padded offsets
     j = pl.program_id(1)
-    maxd = cfg.max_dilation
+    maxd = _winpad(cfg)
 
     @pl.when(j == 0)
     def _():
@@ -214,7 +230,7 @@ def _bwd_kernel(cfg: WaveNetConfig, TT: int, nT: int, lo: int, hi: int,
     Lg = hi - lo
     bi = pl.program_id(0)
     jr = pl.program_id(1)                        # 0 .. nT-1, tile = nT-1-jr
-    maxd = cfg.max_dilation
+    maxd = _winpad(cfg)
 
     def _dg(a, b, ca, cb, prec=jnp.float32):
         return jax.lax.dot_general(a, b, (((ca,), (cb,)), ((), ())),
@@ -424,7 +440,7 @@ def _fwd(cfg, interpret, tile, x, w_cur, w_prev, b, w_res, b_res, w_skip,
             input_output_aliases={skip_alias: 0},     # skip accumulator
             scratch_shapes=[
                 pltpu.VMEM((sum_dg, R), jnp.bfloat16),
-                pltpu.VMEM((cfg.max_dilation + TT, R), jnp.float32),
+                pltpu.VMEM((_winpad(cfg) + TT, R), jnp.float32),
             ],
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("arbitrary", "arbitrary")),
@@ -549,8 +565,8 @@ def _vjp_bwd(cfg, interpret, tile, res, dskip):
             scratch_shapes=[
                 pltpu.VMEM((Lg + 1, TT, R), jnp.bfloat16),      # xs stash
                 pltpu.VMEM((sum_dg, R), jnp.float32),           # dz rings
-                pltpu.VMEM((cfg.max_dilation + TT, R), jnp.float32),
-                pltpu.VMEM((TT + cfg.max_dilation, R), jnp.float32),
+                pltpu.VMEM((_winpad(cfg) + TT, R), jnp.float32),
+                pltpu.VMEM((TT + _winpad(cfg), R), jnp.float32),
             ],
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("arbitrary", "arbitrary")),

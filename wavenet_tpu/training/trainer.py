@@ -82,7 +82,10 @@ def make_train_step(cfg: WaveNetConfig, tx: optax.GradientTransformation,
                  and jax.default_backend() != "cpu"
                  and cfg.batch_size % max(cfg.data_parallel, 1) == 0
                  and train_stack.supported(cfg, cfg.train_window))
-    use_dp_map = use_fused and cfg.data_parallel > 1 and cfg.mel is None
+    # the fused kernel is per-chip: under data parallelism the loss MUST run
+    # through the dp shard_map (a bare pallas_call inside a GSPMD-partitioned
+    # computation is not auto-partitioned) — including the conditional path
+    use_dp_map = use_fused and cfg.data_parallel > 1
 
     def train_step(state: TrainState, batch: Dict[str, jax.Array]
                    ) -> Tuple[TrainState, Dict[str, jax.Array]]:
@@ -97,7 +100,8 @@ def make_train_step(cfg: WaveNetConfig, tx: optax.GradientTransformation,
                 from wavenet_tpu.parallel import dataparallel
                 return dataparallel.loss_fn_dp(p, cfg, mesh,
                                                batch["tokens"],
-                                               use_fused=True)
+                                               use_fused=True,
+                                               mel=batch.get("mel"))
             return wn.loss_fn(p, cfg, batch["tokens"], mel=batch.get("mel"),
                               use_fused=use_fused)
 
@@ -248,7 +252,10 @@ class Trainer:
                 return wn.loss_fn(params, cfg, batch["tokens"],
                                   mel=batch.get("mel"))[1]
 
-            self._eval_step = jax.jit(eval_loss)
+            self._eval_step = jax.jit(
+                eval_loss,
+                in_shardings=(self.state_shardings.params,
+                              self.batch_shardings))
         it = IteratorState(seed=seed, step=0)
         sums: Dict[str, float] = {}
         with self.mesh:
