@@ -1,0 +1,111 @@
+"""Distributed AR generation (P3, parallel/distdecode.py): sharded decode
+over the (data, model) mesh must sample the SAME tokens as a single-device
+run — the counter-based sampling noise is keyed by global coordinates, so
+any mesh layout is token-equivalent.  BASELINE north_star: "generation
+exchanges cached conv states and sampled tokens via collectives"."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from wavenet_tpu.config import WaveNetConfig
+from wavenet_tpu.models import wavenet as wn
+from wavenet_tpu.parallel import distdecode as dd
+from wavenet_tpu.parallel.mesh import make_mesh
+
+
+def cfg_(**kw):
+    base = dict(num_blocks=1, max_dilation=8, residual_channels=16,
+                skip_channels=16, compute_dtype="float32",
+                batch_size=4, train_window=128)
+    base.update(kw)
+    return WaveNetConfig(**base)
+
+
+def single_run(cfg, p, seed, n, batch, **kw):
+    mesh1 = make_mesh(cfg_(), devices=jax.devices()[:1])
+    return dd.generate_sharded(p, cfg_base_strip(cfg), mesh1, seed, n,
+                               batch, **kw)
+
+
+def cfg_base_strip(cfg):
+    return cfg.replace(data_parallel=1, model_parallel=1, seq_parallel=1)
+
+
+@pytest.mark.parametrize("dp,mp", [(4, 1), (1, 4), (2, 2), (2, 4)])
+def test_sharded_tokens_match_single_device(dp, mp):
+    cfg = cfg_(data_parallel=dp, model_parallel=mp)
+    mesh = make_mesh(cfg)
+    p = wn.init_params(cfg, jax.random.PRNGKey(0))
+    ref = single_run(cfg, p, seed=7, n=40, batch=4)
+    got = dd.generate_sharded(p, cfg, mesh, 7, 40, batch=4)
+    assert got.shape == (4, 40)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+@pytest.mark.parametrize("dp,mp", [(1, 4), (2, 2)])
+def test_model_sharded_rings_match(dp, mp):
+    """shard_rings_model: conv caches shard channels over `model` and every
+    read reconstitutes them via all_gather — tokens must be unchanged."""
+    cfg = cfg_(data_parallel=dp, model_parallel=mp)
+    mesh = make_mesh(cfg)
+    p = wn.init_params(cfg, jax.random.PRNGKey(0))
+    ref = single_run(cfg, p, seed=3, n=32, batch=4)
+    got = dd.generate_sharded(p, cfg, mesh, 3, 32, batch=4,
+                              shard_rings_model=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_priming_matches_single_device():
+    cfg = cfg_(data_parallel=2, model_parallel=2)
+    mesh = make_mesh(cfg)
+    p = wn.init_params(cfg, jax.random.PRNGKey(0))
+    prime = jax.random.randint(jax.random.PRNGKey(2), (4, 12), 0, 256)
+    ref = single_run(cfg, p, seed=5, n=24, batch=4, prime_tokens=prime)
+    got = dd.generate_sharded(p, cfg, mesh, 5, 24, batch=4,
+                              prime_tokens=prime)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_greedy_matches_canonical_decoder():
+    """temperature=0 sharded decode == a manual argmax loop over the
+    canonical wn.decode_step — ties the sharded math to the reference
+    fast decoder, not just to itself."""
+    cfg = cfg_(data_parallel=2, model_parallel=2)
+    mesh = make_mesh(cfg)
+    p = wn.init_params(cfg, jax.random.PRNGKey(0))
+    B, N = 4, 24
+    got = dd.generate_sharded(p, cfg, mesh, 0, N, batch=B, temperature=0.0)
+
+    st = wn.decode_init(cfg, B)
+    tok = jnp.full((B,), cfg.quantization_channels // 2, jnp.int32)
+    outs = []
+    for _ in range(N):
+        st, logits = wn.decode_step(p, cfg, st, tok)
+        tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        outs.append(tok)
+    want = jnp.stack(outs, axis=1)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_pallas_dp_matches_per_shard_kernel():
+    """generate_pallas_dp (interpret): each data shard's tokens equal a
+    standalone kernel run with that shard's key and batch slice."""
+    cfg = cfg_(compute_dtype="bfloat16")
+    cfg = cfg.replace(data_parallel=4)
+    mesh = make_mesh(cfg)
+    from wavenet_tpu.ops.pallas import decode as pdec
+    p = wn.init_params(cfg, jax.random.PRNGKey(0))
+    key = jax.random.PRNGKey(9)
+    B, N = 8, 16
+    got = dd.generate_pallas_dp(p, cfg, mesh, key, N, batch=B,
+                                interpret=True)
+    assert got.shape == (B, N)
+    per = B // 4
+    for i in range(4):
+        ki = jax.random.fold_in(key, i)
+        want = pdec.generate_pallas(p, cfg, ki, N, batch=per,
+                                    interpret=True)
+        np.testing.assert_array_equal(np.asarray(got[i * per:(i + 1) * per]),
+                                      np.asarray(want), err_msg=f"shard {i}")
