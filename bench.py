@@ -105,21 +105,16 @@ def _timed(f):
     return time.perf_counter() - t0
 
 
-def bench_decode_pallas(num_samples: int = 4096, batch: int = 0):
-    """Whole-loop Pallas kernel decoder (VMEM-resident weights + rings).
-    batch=0 picks the largest batch that fits the VMEM budget."""
+def bench_decode_pallas(num_samples: int = 4096, batch: int = 64):
+    """Whole-loop Pallas kernel decoder (VMEM-resident weights + rings,
+    batch-tiled grid) at the mandated fastgen B=64 setting."""
     import jax
     from wavenet_tpu.config import fastgen_bench
     from wavenet_tpu.models import wavenet as wn
     from wavenet_tpu.ops.pallas import decode as pdec
 
     cfg = fastgen_bench()
-    if not batch:
-        for b in (64, 48, 32, 24, 16, 8):
-            if pdec.fits_vmem(cfg, b):
-                batch = b
-                break
-    if not batch or not pdec.fits_vmem(cfg, batch):
+    if not pdec.fits_vmem(cfg, batch):
         return {}
     params = wn.init_params(cfg, jax.random.PRNGKey(0))
     key = jax.random.PRNGKey(1)
@@ -128,11 +123,47 @@ def bench_decode_pallas(num_samples: int = 4096, batch: int = 0):
     dt = min(_timed(lambda: jax.block_until_ready(
         pdec.generate_pallas(params, cfg, key, num_samples, batch=batch)))
         for _ in range(3))
+    bt, tc = pdec.plan_tiles(cfg, batch)
     return {
         "pallas_decode_samples_per_sec": num_samples * batch / dt,
         "pallas_decode_steps_per_sec": num_samples / dt,
         "pallas_decode_batch": batch,
+        "pallas_decode_batch_tile": bt,
         "pallas_decode_realtime_factor": (num_samples / dt) / cfg.sample_rate,
+    }
+
+
+def bench_decode_conditional(num_samples: int = 4096, batch: int = 8):
+    """Conditional vocoder decode fully in-kernel (streamed mel features,
+    in-kernel v_cond projection) — BASELINE config 5's product path."""
+    import jax
+    import jax.numpy as jnp
+    from wavenet_tpu.config import conditional
+    from wavenet_tpu.models import wavenet as wn
+    from wavenet_tpu.models.conditioning import upsample_mel
+    from wavenet_tpu.ops.pallas import decode as pdec
+
+    cfg = conditional()
+    if not pdec.fits_vmem(cfg, batch):
+        return {}
+    params = wn.init_params(cfg, jax.random.PRNGKey(0))
+    key = jax.random.PRNGKey(1)
+    frames = num_samples // cfg.mel.hop_length + 1
+    mel = jax.random.normal(jax.random.PRNGKey(2),
+                            (batch, frames, cfg.mel.num_mels))
+    y = upsample_mel(params["upsampler"], cfg.mel, mel, num_samples)
+
+    def run():
+        return pdec.generate_pallas(params, cfg, key, num_samples,
+                                    batch=batch, y=y)
+
+    jax.block_until_ready(run())                     # compile
+    dt = min(_timed(lambda: jax.block_until_ready(run())) for _ in range(3))
+    return {
+        "cond_decode_samples_per_sec": num_samples * batch / dt,
+        "cond_decode_steps_per_sec": num_samples / dt,
+        "cond_decode_batch": batch,
+        "cond_decode_realtime_factor": (num_samples / dt) / cfg.sample_rate,
     }
 
 
@@ -179,6 +210,7 @@ def main():
     details.update(bench_training(args.train_steps, target=target))
     details.update(bench_decode(args.decode_samples))
     details.update(bench_decode_pallas())
+    details.update(bench_decode_conditional())
     if not args.skip_naive:
         details.update(bench_decode_naive())
         details["fast_vs_naive_speedup"] = (

@@ -90,11 +90,18 @@ def test_sampled_tokens_in_range_interpret():
 
 
 def test_fits_vmem_budget():
-    from wavenet_tpu.config import fastgen_bench, full
+    from wavenet_tpu.config import conditional, fastgen_bench, full
     assert pdec.fits_vmem(cfg_(), batch=2)
-    # fastgen preset at batch 64 exceeds the VMEM-resident budget
-    assert not pdec.fits_vmem(fastgen_bench(), batch=64)
-    assert not pdec.fits_vmem(full(), batch=64)
+    # round 2: batch tiling serves the mandated fastgen B=64 config
+    # in-kernel (BASELINE config 4 — round 1 topped out at B=32)
+    bt, tc = pdec.plan_tiles(fastgen_bench(), 64)
+    assert bt > 0 and 64 % bt == 0
+    assert pdec.fits_vmem(fastgen_bench(), batch=64)
+    # and the conditional vocoder decodes in-kernel too (config 5)
+    assert pdec.fits_vmem(conditional(), batch=8)
+    # every tile must genuinely fit the budget
+    assert pdec._tile_bytes(fastgen_bench(), bt, tc) <= pdec.VMEM_BUDGET
+    assert pdec.fits_vmem(full(), batch=8)      # bt=1 streaming tiles
 
 
 def test_priming_matches_xla():
@@ -121,6 +128,103 @@ def test_priming_matches_xla():
     got = pdec.generate_pallas(params, cfg, jax.random.PRNGKey(0),
                                num_samples=N, batch=B, prime_tokens=prime,
                                temperature=0.0, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), ref)
+
+
+def test_batch_tiled_equals_single_tile_interpret():
+    """Forcing a small batch tile must not change greedy tokens (tiles share
+    weights, carry independent rings/carries)."""
+    cfg = cfg_()
+    params = wn.init_params(cfg, jax.random.PRNGKey(0))
+    B, N = 8, 24
+    token0 = jnp.full((B,), 128, jnp.int32)
+    ref = np.asarray(xla_greedy_rollout(params, cfg, token0, N))
+
+    bt, tc = pdec.plan_tiles(cfg, B)
+    assert bt == B                               # tiny model: one tile fits
+    import unittest.mock as mock
+    with mock.patch.object(pdec, "plan_tiles",
+                           lambda c, b, tc_hint=2048: (2, 8)):
+        _, sum_d = pdec._ring_offsets(cfg)
+        rings = jnp.zeros((sum_d, cfg.residual_channels, B), jnp.bfloat16)
+        init = jnp.concatenate([token0[:, None],
+                                jnp.zeros((B, 1), jnp.int32)], 1)
+        toks, _, carry = pdec.decode_chunk(
+            params, cfg, rings, init, jnp.int32(0), jnp.int32(0), N,
+            temperature=0.0, interpret=True)
+    np.testing.assert_array_equal(np.asarray(toks), ref)
+    np.testing.assert_array_equal(np.asarray(carry)[:, 0], ref[:, -1])
+
+
+def test_conditional_decode_matches_xla_interpret():
+    """In-kernel mel conditioning == the XLA scan decoder with cond_t."""
+    from wavenet_tpu.config import MelConfig
+    from wavenet_tpu.models.conditioning import upsample_mel
+    mel_cfg = MelConfig(num_mels=8, hop_length=16, win_length=64,
+                        fmax=4000.0, upsample_factors=(4, 4))
+    cfg = cfg_(mel=mel_cfg)
+    params = wn.init_params(cfg, jax.random.PRNGKey(0))
+    B, N = 2, 32
+    mel = jax.random.normal(jax.random.PRNGKey(2), (B, 4, 8))
+    y = upsample_mel(params["upsampler"], mel_cfg, mel, N)      # [B, N, M]
+
+    # XLA reference: greedy rollout with per-step cond contributions
+    # mirror the kernel's MXU precision: bf16 inputs, f32 accumulation
+    cond = jnp.einsum("btm,lmgr->btlgr", y.astype(jnp.bfloat16),
+                      params["v_cond"].astype(jnp.bfloat16),
+                      preferred_element_type=jnp.float32)
+    st = wn.decode_init(cfg, B)
+    tok = jnp.full((B,), 128, jnp.int32)
+    outs = []
+    for t in range(N):
+        st, logits = wn.decode_step(params, cfg, st, tok, cond_t=cond[:, t])
+        tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        outs.append(tok)
+    ref = np.asarray(jnp.stack(outs, axis=1))
+
+    _, sum_d = pdec._ring_offsets(cfg)
+    rings = jnp.zeros((sum_d, cfg.residual_channels, B), jnp.bfloat16)
+    init = jnp.concatenate([jnp.full((B, 1), 128, jnp.int32),
+                            jnp.zeros((B, 1), jnp.int32)], 1)
+    toks, _, _ = pdec.decode_chunk(params, cfg, rings, init, jnp.int32(0),
+                                   jnp.int32(0), N, temperature=0.0,
+                                   interpret=True, y=y)
+    np.testing.assert_array_equal(np.asarray(toks), ref)
+
+
+def test_conditional_generate_pallas_with_priming_interpret():
+    from wavenet_tpu.config import MelConfig
+    from wavenet_tpu.models.conditioning import upsample_mel
+    mel_cfg = MelConfig(num_mels=8, hop_length=16, win_length=64,
+                        fmax=4000.0, upsample_factors=(4, 4))
+    cfg = cfg_(mel=mel_cfg)
+    params = wn.init_params(cfg, jax.random.PRNGKey(0))
+    B, P, N = 2, 9, 16
+    prime = jax.random.randint(jax.random.PRNGKey(9), (B, P), 0, 256)
+    total = P - 1 + N
+    mel = jax.random.normal(jax.random.PRNGKey(2), (B, 4, 8))
+    y = upsample_mel(params["upsampler"], mel_cfg, mel, total)
+
+    # XLA reference: teacher-force prime WITH cond, then greedy with cond
+    # mirror the kernel's MXU precision: bf16 inputs, f32 accumulation
+    cond = jnp.einsum("btm,lmgr->btlgr", y.astype(jnp.bfloat16),
+                      params["v_cond"].astype(jnp.bfloat16),
+                      preferred_element_type=jnp.float32)
+    st = wn.decode_init(cfg, B)
+    for t in range(P - 1):
+        st, _ = wn.decode_step(params, cfg, st, prime[:, t],
+                               cond_t=cond[:, t])
+    tok = prime[:, -1]
+    outs = []
+    for i in range(N):
+        st, logits = wn.decode_step(params, cfg, st, tok, cond_t=cond[:, st.t])
+        tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        outs.append(tok)
+    ref = np.asarray(jnp.stack(outs, axis=1))
+
+    got = pdec.generate_pallas(params, cfg, jax.random.PRNGKey(0),
+                               num_samples=N, batch=B, prime_tokens=prime,
+                               y=y, temperature=0.0, interpret=True)
     np.testing.assert_array_equal(np.asarray(got), ref)
 
 

@@ -33,15 +33,28 @@ def generate_auto(params: wn.Params, cfg: WaveNetConfig, key: jax.Array,
                   num_samples: int, batch: int = 1,
                   prime_tokens: Optional[jax.Array] = None,
                   cond: Optional[jax.Array] = None,
+                  y: Optional[jax.Array] = None,
                   temperature: float = 1.0) -> jax.Array:
     """Fastest available decoder: the whole-loop Pallas kernel when the model
-    fits VMEM and no priming/conditioning is requested, else the XLA scan."""
+    fits the per-tile VMEM budget (incl. priming and, via `y`, local mel
+    conditioning), else the XLA scan.
+
+    y: [B, T, M] UPSAMPLED conditioning features (sample rate) — the Pallas
+       kernel streams these and projects them in-kernel.  `cond` is the
+       pre-projected [B, T, L, 2, R] form consumed by the XLA path; pass one
+       or the other, not both.
+    """
     from wavenet_tpu.ops.pallas import decode as pdec
+    if cond is not None and y is not None:
+        raise ValueError("pass either y (features) or cond (projections)")
     on_tpu = jax.devices()[0].platform != "cpu"
     if on_tpu and cond is None and pdec.fits_vmem(cfg, batch):
         return pdec.generate_pallas(params, cfg, key, num_samples,
                                     batch=batch, prime_tokens=prime_tokens,
-                                    temperature=temperature)
+                                    y=y, temperature=temperature)
+    if y is not None:
+        cond = jnp.einsum("btm,lmgr->btlgr", y, params["v_cond"],
+                          preferred_element_type=jnp.float32)
     return wn.generate(params, cfg, key, num_samples, batch=batch,
                        prime_tokens=prime_tokens, cond=cond,
                        temperature=temperature)

@@ -60,22 +60,22 @@ class WaveNet:
                  key: Optional[jax.Array] = None, prime_tokens=None,
                  mel=None, temperature: float = 1.0):
         from wavenet_tpu.generate.sampler import generate_auto
-        from wavenet_tpu.models.conditioning import prepare_decode_cond
+        from wavenet_tpu.models.conditioning import upsample_mel
         if num_samples is None:
             if seconds is None:
                 raise ValueError("pass seconds= or num_samples=")
             num_samples = int(seconds * self.cfg.sample_rate)
         key = jax.random.PRNGKey(0) if key is None else key
-        cond = None
+        y = None
         if mel is not None:
             # conditioning must span the priming steps too (advisor r1 #2):
-            # decode_step consumes cond[:, t] for t in [0, max(P-1,0)+N)
+            # the decoder consumes features for t in [0, max(P-1,0)+N)
             P = 0 if prime_tokens is None else prime_tokens.shape[1]
-            cond = prepare_decode_cond(self.params, self.cfg, mel,
-                                       max(P - 1, 0) + num_samples)
+            y = upsample_mel(self.params["upsampler"], self.cfg.mel, mel,
+                             max(P - 1, 0) + num_samples)
         return generate_auto(self.params, self.cfg, key, num_samples,
                              batch=batch, prime_tokens=prime_tokens,
-                             cond=cond, temperature=temperature)
+                             y=y, temperature=temperature)
 
     def generate_wav(self, path: str, seconds: float, **kw):
         from wavenet_tpu.generate.sampler import generate_wav

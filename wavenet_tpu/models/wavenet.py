@@ -168,8 +168,14 @@ def _layer_step(cfg: WaveNetConfig, x, skip, lp, d, left_ctx, cond):
         z = z + cond
     h = (jnp.tanh(z[..., 0, :]) * jax.nn.sigmoid(z[..., 1, :])).astype(cdt)
     skip = skip + _dot(h, lp["w_skip"].astype(cdt)) + lp["b_skip"].astype(jnp.float32)
-    x = x + (_dot(h, lp["w_res"].astype(cdt))
-             + lp["b_res"].astype(jnp.float32)).astype(cdt)
+    # residual update with ONE explicit f32 accumulate + ONE rounding: a
+    # bf16 + bf16 formulation is backend-DEPENDENT (XLA-TPU elides the
+    # intermediate round via excess precision, XLA-CPU and Mosaic keep it),
+    # so the single-round form is the only recipe that is bit-identical
+    # across the scan path, the Pallas decode kernel, and interpret mode
+    x = (x.astype(jnp.float32)
+         + _dot(h, lp["w_res"].astype(cdt))
+         + lp["b_res"].astype(jnp.float32)).astype(cdt)
     return x, skip
 
 
@@ -385,8 +391,10 @@ def decode_step(params: Params, cfg: WaveNetConfig, state: DecodeState,
             z = z + per_layer["cond"]
         h = (jnp.tanh(z[..., 0, :]) * jax.nn.sigmoid(z[..., 1, :])).astype(cdt)
         skip = skip + _dot(h, lp["w_skip"].astype(cdt)) + lp["b_skip"].astype(jnp.float32)
-        x_out = x + (_dot(h, lp["w_res"].astype(cdt))
-                     + lp["b_res"].astype(jnp.float32)).astype(cdt)
+        # single-round residual update — see _layer_step for why
+        x_out = (x.astype(jnp.float32)
+                 + _dot(h, lp["w_res"].astype(cdt))
+                 + lp["b_res"].astype(jnp.float32)).astype(cdt)
         return (x_out, skip), x            # ys: this layer's INPUT -> queue
 
     xs: Dict[str, Any] = {"lp": stacked, "old": old_all}

@@ -4,34 +4,44 @@ This is the BASELINE-mandated fast-generation kernel ("the fast-generation
 queue update kernel makes per-sample decode latency HBM-bound rather than
 dispatch-bound").  It goes beyond fusing the queue update: the whole
 generate() loop — embed, all L gated residual layers, ring-buffer reads/
-writes, the softmax head, and Gumbel-max categorical sampling — runs inside
-a single `pallas_call`, so per-sample cost is pure VPU/MXU work:
+writes, local conditioning, the softmax head, and Gumbel-max categorical
+sampling — runs inside a single `pallas_call`:
 
   * weights stay VMEM-resident across ALL generated samples (the XLA scan
     path re-streams them from HBM every step);
-  * ring buffers use a COMPACT layout [sum(dilations), B, R] (vs the XLA
+  * ring buffers use a COMPACT layout [sum(dilations), R, B] (vs the XLA
     path's [L, B, maxd, R]) — each layer's ring is exactly its dilation long,
     indexed at t mod d with static per-layer offsets.  The ring axis leads so
     every access is a leading-axis dynamic index (Mosaic lowers middle-axis
     stores of reshaped vectors poorly);
-  * sampling uses an in-kernel counter-based RNG with the Gumbel-max trick
-    (plain VPU integer ops -> identical on TPU and in interpret mode), so no
-    host RNG round-trips.
+  * the grid is (batch_tiles, time_chunks): the BATCH axis tiles on lanes so
+    any batch size runs in-kernel (each tile's rings + working set fit VMEM,
+    weights are revisited across tiles — round-1 capped out at B=32), and
+    the TIME axis streams per-chunk blocks (sampled-token output and, when
+    conditioning, the upsampled mel features) through Pallas' double-buffered
+    pipeline, so total sample count is no longer VMEM-bound;
+  * local conditioning (WaveNet paper eq.3) runs IN-KERNEL: the upsampled
+    features y stream in as [TC, M, Bt] time blocks and each layer adds
+    v_cond[l] @ y_t on the MXU — the conditional vocoder (BASELINE config 5)
+    decodes without falling back to the XLA scan;
+  * sampling uses an in-kernel counter-based RNG with the Gumbel-max trick,
+    keyed by (seed, global step, global batch index, class) — identical on
+    TPU and in interpret mode, and independent of the batch tiling.
 
 Interface mirrors models/wavenet.py's decoder; equivalence is tested against
 it (tests/test_pallas_decode.py) in interpret mode on CPU and compiled on
-TPU.  Local conditioning and priming run through the XLA path for now; this
-kernel serves the unconditional fast-generation benchmark config.
+TPU.
 
-VMEM budget: weights ~= L*(2*R*2R + R*R + R*S)*2B + embeds + head; rings
-B*sum_d*R*2B.  `fits_vmem()` checks the budget and callers fall back to the
-XLA scan decoder when it does not fit.
+Everything runs TRANSPOSED: activations are [channels, batch_tile] so the
+batch lives on TPU lanes and channels on sublanes; every dynamic store is a
+LEADING-axis index and the sampled token is a [1, Bt] row (argmax over the
+sublane axis) — no in-kernel transposes exist at all.
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -52,17 +62,46 @@ def _ring_offsets(cfg: WaveNetConfig) -> Tuple[Tuple[int, ...], int]:
     return tuple(offs), acc
 
 
-def fits_vmem(cfg: WaveNetConfig, batch: int, num_steps: int = 2048) -> bool:
+def _tile_bytes(cfg: WaveNetConfig, bt: int, tc: int) -> int:
+    """VMEM bytes for one (batch_tile, time_chunk) grid step."""
     R, S, Q, L = (cfg.residual_channels, cfg.skip_channels,
                   cfg.quantization_channels, cfg.num_layers)
     _, sum_d = _ring_offsets(cfg)
-    bytes_ = 2 * (
+    M = cfg.mel.num_mels if cfg.mel is not None else 0
+    b = 2 * (
         L * (2 * R * 2 * R + R * R + R * S)      # layer weights
         + 2 * Q * R + S * S + S * Q              # embeds + head
-        + batch * sum_d * R                      # rings
-        + batch * (4 * R + S + 4 * Q)            # working set
-    ) + 4 * batch * num_steps                    # token output
-    return bytes_ < VMEM_BUDGET and cfg.mel is None
+        + bt * sum_d * R                         # ring tile
+        + bt * (4 * R + S + 4 * Q)               # working set
+    )
+    b += 2 * 4 * tc * bt                         # token block (dbl-buffered)
+    if M:
+        b += 2 * L * 2 * R * M                   # v_cond
+        b += 2 * 2 * tc * M * bt                 # y block (dbl-buffered)
+    return b
+
+
+def plan_tiles(cfg: WaveNetConfig, batch: int,
+               tc_hint: int = 2048) -> Tuple[int, int]:
+    """(batch_tile, time_chunk) for the grid; (0, 0) when nothing fits.
+    Largest batch tile first (lane occupancy), then the largest time chunk
+    (grid/pipeline amortization) that keeps the step under budget."""
+    tiles = [b for b in (256, 128, 64, 48, 32, 24, 16, 8, 4, 2, 1)
+             if b <= batch and batch % b == 0]
+    for bt in tiles:
+        tc = min(tc_hint, 2048)
+        while tc >= 128 and _tile_bytes(cfg, bt, tc) > VMEM_BUDGET:
+            tc //= 2
+        if tc >= 8 and _tile_bytes(cfg, bt, max(tc, 8)) <= VMEM_BUDGET:
+            return bt, max(tc, 8)
+    return 0, 0
+
+
+def fits_vmem(cfg: WaveNetConfig, batch: int, num_steps: int = 2048) -> bool:
+    """True when the whole-loop kernel can serve (cfg, batch) — with batch
+    tiling and time streaming this now covers large batches AND the
+    conditional vocoder (round 1 required cfg.mel is None and B <= 32)."""
+    return plan_tiles(cfg, batch)[0] > 0
 
 
 def _mix(h):
@@ -75,14 +114,16 @@ def _mix(h):
     return h
 
 
-def _counter_rng_uniform(seed, t, shape):
-    """Counter-based RNG: uniform f32 in (0,1) from (seed, step, lane index).
+def _counter_rng_uniform(seed, t, shape, col0, colstride: int):
+    """Counter-based RNG: uniform f32 in (0,1) from (seed, step, GLOBAL
+    coordinate) — global batch index = col0 + lane, so batch tiles draw
+    independent noise and the tiling does not change the distribution.
 
     Plain VPU integer ops, so it runs identically compiled on TPU and in
-    interpret mode on CPU (pltpu.prng_* has no CPU lowering).  Two murmur
-    finalizer rounds over a 32-bit counter give full avalanche — ample for
-    drawing from a 256-way softmax."""
-    idx = (jax.lax.broadcasted_iota(jnp.uint32, shape, 0) * jnp.uint32(shape[1])
+    interpret mode on CPU (pltpu.prng_* has no CPU lowering)."""
+    idx = (jax.lax.broadcasted_iota(jnp.uint32, shape, 0)
+           * jnp.uint32(colstride)
+           + col0.astype(jnp.uint32)
            + jax.lax.broadcasted_iota(jnp.uint32, shape, 1))
     h = (seed.astype(jnp.uint32) * jnp.uint32(0x9E3779B9)
          + t.astype(jnp.uint32) * jnp.uint32(0x7F4A7C15) + idx)
@@ -93,60 +134,69 @@ def _counter_rng_uniform(seed, t, shape):
             * (1.0 / (1 << 24)) + 1e-12)
 
 
-def _decode_kernel(cfg: WaveNetConfig, num_steps: int, temperature: float,
-                   num_forced: int,
-                   # inputs:
-                   seed_ref, t0_ref, tokens_init_ref, forced_ref,
-                   ecur_ref, eprev_ref,
-                   wcur_ref, wprev_ref, b_ref,
-                   wres_ref, bres_ref, wskip_ref, bskip_ref,
-                   hw1_ref, hb1_ref, hw2_ref, hb2_ref,
-                   rings_in_ref,
-                   # outputs:
-                   tokens_out_ref, rings_ref, carry_out_ref,
-                   ):
-    """Everything runs TRANSPOSED: activations are [channels, batch] so the
-    batch lives on TPU lanes and channels on sublanes.  This makes every
-    dynamic store a LEADING-axis index (ring slots, per-step token rows) —
-    the layouts Mosaic lowers well — and the sampled token is naturally a
-    [1, B] row (argmax over the sublane axis), so no in-kernel transposes
-    exist at all."""
+def _decode_kernel(cfg: WaveNetConfig, TC: int, nTC: int, B_total: int,
+                   temperature: float, num_forced: int, has_cond: bool,
+                   *refs):
+    if has_cond:
+        (seed_ref, t0_ref, tokens_init_ref, forced_ref,
+         ecur_ref, eprev_ref, wcur_ref, wprev_ref, b_ref,
+         wres_ref, bres_ref, wskip_ref, bskip_ref,
+         hw1_ref, hb1_ref, hw2_ref, hb2_ref,
+         y_ref, vcond_ref, rings_in_ref,
+         tokens_out_ref, rings_ref, carry_out_ref, carry_scr) = refs
+    else:
+        (seed_ref, t0_ref, tokens_init_ref, forced_ref,
+         ecur_ref, eprev_ref, wcur_ref, wprev_ref, b_ref,
+         wres_ref, bres_ref, wskip_ref, bskip_ref,
+         hw1_ref, hb1_ref, hw2_ref, hb2_ref,
+         rings_in_ref,
+         tokens_out_ref, rings_ref, carry_out_ref, carry_scr) = refs
+        y_ref = vcond_ref = None
     R = cfg.residual_channels
     S = cfg.skip_channels
     Q = cfg.quantization_channels
-    B = tokens_init_ref.shape[1]
+    Bt = tokens_init_ref.shape[1]
     dils = cfg.dilations
     offs, _ = _ring_offsets(cfg)
-    t0 = t0_ref[0]                              # global step of this chunk
+    i_b = pl.program_id(0)
+    j = pl.program_id(1)
+    t0 = t0_ref[0] + j * TC                      # global step of this block
 
-    # rings carried in the output ref (aliased to the input by the caller)
-    rings_ref[:] = rings_in_ref[:]
+    @pl.when(j == 0)                             # new batch tile
+    def _():
+        rings_ref[:] = rings_in_ref[:]
+        carry_scr[0:2, :] = tokens_init_ref[0:2, :]
 
-    q_iota = jax.lax.broadcasted_iota(jnp.int32, (Q, B), 0)
+    q_iota = jax.lax.broadcasted_iota(jnp.int32, (Q, Bt), 0)
 
-    def one_hot(tok_row):                       # [1, B] i32 -> [Q, B] bf16
+    def one_hot(tok_row):                        # [1, Bt] i32 -> [Q, Bt] bf16
         return (q_iota == tok_row).astype(jnp.bfloat16)
 
     def step(t, carry):
-        token, prev = carry                     # each [1, B] int32
+        token, prev = carry                      # each [1, Bt] int32
         x = (jnp.dot(ecur_ref[:], one_hot(token),
                      preferred_element_type=jnp.float32)
              + jnp.dot(eprev_ref[:], one_hot(prev),
                        preferred_element_type=jnp.float32))
-        x = x.astype(jnp.bfloat16)              # [R, B]
-        skip = jnp.zeros((S, B), jnp.float32)
+        x = x.astype(jnp.bfloat16)               # [R, Bt]
+        skip = jnp.zeros((S, Bt), jnp.float32)
+        if has_cond:
+            y_t = y_ref[t].astype(jnp.bfloat16)  # [M, Bt]
 
-        for l in range(len(dils)):              # static unroll over layers
+        for l in range(len(dils)):               # static unroll over layers
             d, off = dils[l], offs[l]
             slot = off + jax.lax.rem(t0 + t, d)
-            old = rings_ref[slot]                            # [R, B]
+            old = rings_ref[slot]                            # [R, Bt]
             # f32 gate math to match models/wavenet.py (_layer_step): XLA
             # compiles the scan path with excess precision on TPU, so the
             # kernel must NOT round z to bf16
             z = (jnp.dot(wcur_ref[l], x, preferred_element_type=jnp.float32)
                  + jnp.dot(wprev_ref[l], old,
                            preferred_element_type=jnp.float32)
-                 + b_ref[l])                    # [2R, B] f32 (+ [2R, 1] bias)
+                 + b_ref[l])                     # [2R, Bt] f32 (+[2R,1] bias)
+            if has_cond:                         # paper eq.3: V*y into gate
+                z = z + jnp.dot(vcond_ref[l], y_t,
+                                preferred_element_type=jnp.float32)
             h = (jnp.tanh(z[:R, :]) * jax.nn.sigmoid(z[R:, :])
                  ).astype(jnp.bfloat16)
             skip = (skip
@@ -154,26 +204,35 @@ def _decode_kernel(cfg: WaveNetConfig, num_steps: int, temperature: float,
                               preferred_element_type=jnp.float32)
                     + bskip_ref[l])
             rings_ref[slot] = x
-            x = x + (jnp.dot(wres_ref[l], h,
-                             preferred_element_type=jnp.float32)
-                     + bres_ref[l]).astype(jnp.bfloat16)
+            # residual update with ONE f32 accumulate + ONE rounding — the
+            # only backend-independent recipe (models/wavenet._layer_step
+            # uses the identical form).  A bare bf16 add lowers to a NATIVE
+            # bf16 add under Mosaic while XLA applies excess precision; any
+            # intermediate bf16 round is elided by XLA-TPU but kept by
+            # XLA-CPU and Mosaic.  The 1-ulp gaps cascaded into greedy
+            # token divergence within 6 steps (tools/tpu_verify.py).
+            x = (x.astype(jnp.float32)
+                 + jnp.dot(wres_ref[l], h,
+                           preferred_element_type=jnp.float32)
+                 + bres_ref[l]).astype(jnp.bfloat16)
 
         s = jnp.maximum(skip, 0.0).astype(jnp.bfloat16)
         s = jnp.maximum(
             jnp.dot(hw1_ref[:], s, preferred_element_type=jnp.float32)
             + hb1_ref[:], 0.0).astype(jnp.bfloat16)
         logits = (jnp.dot(hw2_ref[:], s, preferred_element_type=jnp.float32)
-                  + hb2_ref[:])                 # [Q, B] f32
+                  + hb2_ref[:])                  # [Q, Bt] f32
 
-        if temperature > 0:                     # static: 0 => greedy decode
-            u = _counter_rng_uniform(seed_ref[0], t0 + t, (Q, B))
+        if temperature > 0:                      # static: 0 => greedy decode
+            u = _counter_rng_uniform(seed_ref[0], t0 + t, (Q, Bt),
+                                     i_b * Bt, B_total)
             gumbel = -jnp.log(-jnp.log(u))
             scores = logits * (1.0 / temperature) + gumbel
         else:
             scores = logits
         nxt = jnp.argmax(scores, axis=0, keepdims=True).astype(jnp.int32)
 
-        tokens_out_ref[pl.ds(t, 1), :] = nxt    # [1, B] row store
+        tokens_out_ref[pl.ds(t, 1), :] = nxt     # [1, Bt] row store
         if num_forced > 0:
             # teacher-forced priming: the token CONSUMED at step t+1 comes
             # from the prime sequence while t+1 < num_forced (global steps)
@@ -184,10 +243,14 @@ def _decode_kernel(cfg: WaveNetConfig, num_steps: int, temperature: float,
         return (nxt, token)
 
     token, prev = jax.lax.fori_loop(
-        0, num_steps, step,
-        (tokens_init_ref[0:1, :], tokens_init_ref[1:2, :]))
-    carry_out_ref[0:1, :] = token
-    carry_out_ref[1:2, :] = prev
+        0, TC, step, (carry_scr[0:1, :], carry_scr[1:2, :]))
+    carry_scr[0:1, :] = token
+    carry_scr[1:2, :] = prev
+
+    @pl.when(j == nTC - 1)
+    def _():
+        carry_out_ref[0:1, :] = token
+        carry_out_ref[1:2, :] = prev
 
 
 def _flatten_params(params, cfg: WaveNetConfig):
@@ -221,69 +284,113 @@ def _flatten_params(params, cfg: WaveNetConfig):
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "num_steps",
-                                             "temperature", "interpret"))
+                                             "temperature", "interpret",
+                                             "tc_hint"))
 def decode_chunk(params, cfg: WaveNetConfig, rings: jax.Array,
                  tokens_init: jax.Array, t0: jax.Array, seed: jax.Array,
                  num_steps: int,
                  temperature: float = 1.0, interpret: bool = False,
-                 forced=None):
-    """Generate `num_steps` tokens in one kernel launch.
+                 forced=None, y=None, tc_hint: int = 2048):
+    """Generate `num_steps` tokens in one kernel launch over the
+    (batch_tiles, time_chunks) grid.
 
     rings: [sum_d, R, B] bf16 ring state in kernel layout (zeros at start;
-      treat as opaque between chunks).
+      treat as opaque between calls).
     tokens_init: [B, 2] int32 — column 0 the token consumed at the first
       step, column 1 the token before it (0 at sequence start).
     t0: scalar int32 global step index of the chunk start (ring phase).
+    y: optional [B, num_steps, M] upsampled conditioning features (cfg.mel).
     Returns (tokens [B, num_steps] i32, rings', carry [B, 2]) where carry is
-    the tokens_init for the next chunk (pass t0 + num_steps with it).
+    the tokens_init for the next call (pass t0 + num_steps with it).
     """
     B = tokens_init.shape[0]
     _, sum_d = _ring_offsets(cfg)
+    R = cfg.residual_channels
+    has_cond = y is not None
+    if has_cond and cfg.mel is None:
+        raise ValueError("y passed but cfg.mel is None")
+    Bt, TC = plan_tiles(cfg, B, tc_hint)
+    if not Bt:
+        raise ValueError("model too large for the VMEM-resident decode "
+                         "kernel; use models.wavenet.generate")
+    if num_steps % TC:
+        TC = max(t for t in range(1, TC + 1) if num_steps % t == 0)
+    nB, nTC = B // Bt, num_steps // TC
     ops = _flatten_params(params, cfg)
 
     num_forced = 0 if forced is None else forced.shape[1]
     forced_t = (jnp.zeros((1, B), jnp.int32) if forced is None
                 else forced.T.astype(jnp.int32))
-    kernel = functools.partial(_decode_kernel, cfg, num_steps, temperature,
-                               num_forced)
-    n_in = 4 + len(ops) + 1
+    Pf = forced_t.shape[0]
+    kernel = functools.partial(_decode_kernel, cfg, TC, nTC, B, temperature,
+                               num_forced, has_cond)
+
+    lane = lambda i, j: (0, i)                   # batch-tiled lane blocks
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),               # seed
+        pl.BlockSpec(memory_space=pltpu.SMEM),               # t0
+        pl.BlockSpec((2, Bt), lane, memory_space=pltpu.VMEM),
+        pl.BlockSpec((Pf, Bt), lane, memory_space=pltpu.VMEM),
+    ]
+    in_specs += [pl.BlockSpec(o.shape, (lambda i, j, nd=o.ndim: (0,) * nd),
+                              memory_space=pltpu.VMEM) for o in ops]
+    operands = [jnp.asarray(seed, jnp.int32).reshape(1),
+                jnp.asarray(t0, jnp.int32).reshape(1),
+                tokens_init.T, forced_t, *ops]
+    if has_cond:
+        M = cfg.mel.num_mels
+        y_k = jnp.moveaxis(y, 0, 2).astype(jnp.bfloat16)     # [T, M, B]
+        vck = jnp.swapaxes(params["v_cond"].reshape(
+            cfg.num_layers, M, 2 * R), 1, 2).astype(jnp.bfloat16)
+        in_specs += [
+            pl.BlockSpec((TC, M, Bt), lambda i, j: (j, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(vck.shape, lambda i, j: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        operands += [y_k, vck]
+    in_specs.append(pl.BlockSpec((sum_d, R, Bt), lambda i, j: (0, 0, i),
+                                 memory_space=pltpu.VMEM))
+    operands.append(rings)
+    n_in = len(operands)
+
     tokens_t, rings_out, carry_t = pl.pallas_call(
         kernel,
+        grid=(nB, nTC),
         out_shape=(
             jax.ShapeDtypeStruct((num_steps, B), jnp.int32),
-            jax.ShapeDtypeStruct((sum_d, cfg.residual_channels, B),
-                                 jnp.bfloat16),
+            jax.ShapeDtypeStruct((sum_d, R, B), jnp.bfloat16),
             jax.ShapeDtypeStruct((2, B), jnp.int32),
         ),
-        in_specs=(
-            [pl.BlockSpec(memory_space=pltpu.SMEM)] * 2      # seed, t0
-            + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (n_in - 2)
-        ),
+        in_specs=in_specs,
         out_specs=(
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((TC, Bt), lambda i, j: (j, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((sum_d, R, Bt), lambda i, j: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, Bt), lane, memory_space=pltpu.VMEM),
         ),
         input_output_aliases={n_in - 1: 1},                  # rings in -> out
-        interpret=interpret,
+        scratch_shapes=[pltpu.VMEM((8, Bt), jnp.int32)],     # token carry
         compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
             vmem_limit_bytes=VMEM_BUDGET + 2 * 1024 * 1024),
-    )(jnp.asarray(seed, jnp.int32).reshape(1),
-      jnp.asarray(t0, jnp.int32).reshape(1),
-      tokens_init.T, forced_t, *ops, rings)
+        interpret=interpret,
+    )(*operands)
     return tokens_t.T, rings_out, carry_t.T
 
 
 def generate_pallas(params, cfg: WaveNetConfig, key: jax.Array,
                     num_samples: int, batch: int = 1,
-                    prime_tokens=None,
+                    prime_tokens=None, y=None,
                     temperature: float = 1.0,
                     chunk: int = 2048, interpret: bool = False) -> jax.Array:
-    """Drop-in fast generation via the whole-loop kernel, chunked so the
-    output buffer stays in VMEM.  Supports teacher-forced priming
-    (prime_tokens [B, P]); unconditional only — callers should check
-    fits_vmem() and fall back to models.wavenet.generate otherwise."""
-    if not fits_vmem(cfg, batch, min(chunk, num_samples)):
+    """Drop-in fast generation via the whole-loop kernel.  Supports
+    teacher-forced priming (prime_tokens [B, P]) and local conditioning
+    (y [B, T>=steps, M] upsampled mel features); callers should check
+    fits_vmem() and fall back to models.wavenet.generate otherwise.
+    `chunk` is the time-grid block hint (compile-relevant only)."""
+    if not fits_vmem(cfg, batch):
         raise ValueError("model/batch too large for the VMEM-resident decode "
                          "kernel; use models.wavenet.generate")
     _, sum_d = _ring_offsets(cfg)
@@ -298,19 +405,15 @@ def generate_pallas(params, cfg: WaveNetConfig, key: jax.Array,
     carry = jnp.concatenate([first, jnp.zeros((batch, 1), jnp.int32)], axis=1)
     seed = jax.random.randint(key, (), 0, 2**31 - 1)
     # total steps: P-1 priming steps consume prime[1:], then num_samples
-    # free-running steps; outputs before the first free sample are dropped.
-    # Every launch uses the SAME static chunk size (one compile): the tail
-    # over-generates up to chunk-1 discarded samples, far cheaper than a
-    # second ~30s kernel compile for the odd-sized tail.
+    # free-running steps; outputs before the first free sample are dropped
     total = max(P - 1, 0) + num_samples
-    n = min(chunk, total)
-    outs = []
-    done = 0
-    while done < total:
-        toks, rings, carry = decode_chunk(
-            params, cfg, rings, carry, jnp.int32(done), seed, n, temperature,
-            interpret=interpret, forced=prime_tokens)
-        outs.append(toks)
-        done += n
-    return jnp.concatenate(outs, axis=1)[:, max(P - 1, 0):
-                                         max(P - 1, 0) + num_samples]
+    if y is not None:
+        if y.shape[1] < total:
+            raise ValueError(f"y covers {y.shape[1]} < {total} steps "
+                             f"(priming included)")
+        y = y[:, :total]
+    toks, _, _ = decode_chunk(params, cfg, rings, carry, jnp.int32(0), seed,
+                              total, temperature, interpret=interpret,
+                              forced=prime_tokens, y=y,
+                              tc_hint=min(chunk, 2048))
+    return toks[:, max(P - 1, 0):]

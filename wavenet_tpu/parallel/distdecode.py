@@ -105,7 +105,9 @@ def _layer_scan_local(cfg: WaveNetConfig, params_local, x, old_all,
         res = wn._dot(h, lp["w_res"].astype(cdt))      # [B, R] partial
         if use_psum:
             res = jax.lax.psum(res, MODEL_AXIS)        # state exchange
-        x_out = x + (res + lp["b_res"].astype(jnp.float32)).astype(cdt)
+        # single-round residual update (see wn._layer_step)
+        x_out = (x.astype(jnp.float32) + res
+                 + lp["b_res"].astype(jnp.float32)).astype(cdt)
         return (x_out, skip), x                        # ys: layer INPUT
 
     skip0 = jnp.zeros((B, S_local), jnp.float32)
