@@ -109,7 +109,7 @@ def test_multi_group_grads_match_oracle(monkeypatch):
     cfg = cfg_()
     TT = 16
     # find a budget that forces >= 3 groups
-    budget = max(max(ts._group_sizes(cfg, TT, l, l + 3)) for l in range(0, 6))
+    budget = max(max(ts._group_sizes(cfg, TT, cfg.dilations[l:l + 3])) for l in range(0, 6))
     monkeypatch.setattr(ts, "VMEM_BUDGET", budget)
     plan = ts.group_plan(cfg, TT)
     assert len(plan) >= 3, plan
@@ -238,7 +238,7 @@ def test_conditional_fused_multi_group(monkeypatch):
                         fmax=4000.0, upsample_factors=(4, 4))
     cfg = cfg_(mel=mel_cfg)
     TT = 16
-    budget = max(max(ts._group_sizes(cfg, TT, l, l + 3)) for l in range(0, 6))
+    budget = max(max(ts._group_sizes(cfg, TT, cfg.dilations[l:l + 3])) for l in range(0, 6))
     monkeypatch.setattr(ts, "VMEM_BUDGET", budget)
     assert len(ts.group_plan(cfg, TT)) >= 3
     p = wn.init_params(cfg, jax.random.PRNGKey(0))

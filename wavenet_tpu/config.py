@@ -89,8 +89,12 @@ class WaveNetConfig:
 
     # --- parallelism (mesh axis sizes; 1 = disabled) ---
     data_parallel: int = 1
-    model_parallel: int = 1            # channel sharding of the conv stack
+    # model sharding of the conv stack: channel (Megatron) sharding on the
+    # XLA scan path; LAYER pipeline on the fused-kernel path when
+    # num_blocks % model_parallel == 0 (parallel/pipeline.py)
+    model_parallel: int = 1
     seq_parallel: int = 1              # time-axis halo sharding
+    pipeline_microbatch: int = 1       # batch rows per fused-pipeline stage
 
     def __post_init__(self):
         if self.max_dilation & (self.max_dilation - 1):

@@ -93,10 +93,10 @@ def pick_tile(cfg: WaveNetConfig, T: int) -> int:
     return tt
 
 
-def _group_sizes(cfg: WaveNetConfig, TT: int, lo: int, hi: int):
+def _group_sizes(cfg: WaveNetConfig, TT: int, dils):
     R, S = cfg.residual_channels, cfg.skip_channels
-    Lg = hi - lo
-    sum_dg = sum(_pad8(d) for d in cfg.dilations[lo:hi])
+    Lg = len(dils)
+    sum_dg = sum(_pad8(d) for d in dils)
     maxd = _winpad(cfg)
     M = cfg.mel.num_mels if cfg.mel is not None else 0
     w = 2 * Lg * (4 * R * R + R * R + R * S) + 2 * Lg * M * 2 * R
@@ -112,19 +112,25 @@ def _group_sizes(cfg: WaveNetConfig, TT: int, lo: int, hi: int):
     return fwd, bwd
 
 
-def group_plan(cfg: WaveNetConfig, TT: int) -> List[Tuple[int, int]]:
-    """Fewest contiguous layer groups whose fwd AND bwd kernels fit VMEM."""
-    L = cfg.num_layers
+def plan_dils(cfg: WaveNetConfig, dils, TT: int) -> List[Tuple[int, int]]:
+    """Fewest contiguous layer groups (within the given dilation slice)
+    whose fwd AND bwd kernels fit VMEM."""
+    L = len(dils)
     groups, lo = [], 0
     while lo < L:
         hi = lo + 1
-        if max(_group_sizes(cfg, TT, lo, hi)) > VMEM_BUDGET:
+        if max(_group_sizes(cfg, TT, dils[lo:hi])) > VMEM_BUDGET:
             return []                                   # cannot fit at all
-        while hi < L and max(_group_sizes(cfg, TT, lo, hi + 1)) <= VMEM_BUDGET:
+        while hi < L and max(_group_sizes(cfg, TT,
+                                          dils[lo:hi + 1])) <= VMEM_BUDGET:
             hi += 1
         groups.append((lo, hi))
         lo = hi
     return groups
+
+
+def group_plan(cfg: WaveNetConfig, TT: int) -> List[Tuple[int, int]]:
+    return plan_dils(cfg, cfg.dilations, TT)
 
 
 def supported(cfg: WaveNetConfig, T: int) -> bool:
@@ -136,21 +142,17 @@ def supported(cfg: WaveNetConfig, T: int) -> bool:
 # forward kernel for one layer group
 # ---------------------------------------------------------------------------
 
-def _fwd_kernel(cfg: WaveNetConfig, TT: int, lo: int, hi: int,
-                first_group: bool, has_cond: bool, *refs):
+def _fwd_kernel(cfg: WaveNetConfig, TT: int, dils, has_cond: bool, *refs):
     if has_cond:
         (xin_ref, skip_in_ref, y_ref,
-         wcur_ref, wprev_ref, b_ref, wres_ref, bres_ref, wskip_ref,
-         bskip_ref, vcond_ref,
+         wz_ref, b_ref, wrs_ref, bres_ref, bskip_ref, vcond_ref,
          skip_ref, snaps_ref, xout_ref, rings, xbuf) = refs
     else:
         (xin_ref, skip_in_ref,
-         wcur_ref, wprev_ref, b_ref, wres_ref, bres_ref, wskip_ref,
-         bskip_ref,
+         wz_ref, b_ref, wrs_ref, bres_ref, bskip_ref,
          skip_ref, snaps_ref, xout_ref, rings, xbuf) = refs
         y_ref = vcond_ref = None
     R = cfg.residual_channels
-    dils = cfg.dilations[lo:hi]
     offs, _ = _ring_layout(dils)                 # group-local padded offsets
     j = pl.program_id(1)
     maxd = _winpad(cfg)
@@ -161,10 +163,13 @@ def _fwd_kernel(cfg: WaveNetConfig, TT: int, lo: int, hi: int,
 
     snaps_ref[0, 0] = rings[:]                   # ring state at tile START
 
-    # f32 residual carry; bf16 only at MXU inputs / ring+stash stores
-    x = xin_ref[0].astype(jnp.float32)           # [TT, R]
-    skip = (jnp.zeros((TT, cfg.skip_channels), jnp.float32)
-            if first_group else skip_in_ref[0])
+    # f32 residual carry; bf16 only at MXU inputs / ring+stash stores.  The
+    # group I/O stream (xin/xout) is f32 ARRAYS holding bf16-ROUNDED values:
+    # primal numerics are identical to a bf16 stream, but autodiff cotangents
+    # across group boundaries keep f32 (bf16 grads measurably degraded
+    # convergence in round 1).
+    x = xin_ref[0]                               # [TT, R] f32 (bf16-valued)
+    skip = skip_in_ref[0]
     y = y_ref[0] if has_cond else None           # [TT, M] bf16
 
     for li, (d, off) in enumerate(zip(dils, offs)):
@@ -184,50 +189,49 @@ def _fwd_kernel(cfg: WaveNetConfig, TT: int, lo: int, hi: int,
         xp = pltpu.roll(xbuf[:], TT + d, 0)[:TT].astype(jnp.bfloat16)
         rings[off:off + pad] = xbuf[maxd + TT - pad:maxd + TT
                                     ].astype(jnp.bfloat16)
-        z = (jnp.dot(x_b, wcur_ref[li], preferred_element_type=jnp.float32)
-             + jnp.dot(xp, wprev_ref[li], preferred_element_type=jnp.float32)
+        # MXU K-fusion: one [TT, 2R] @ [2R, 2R] matmul instead of two
+        # K=R halves — doubles MXU K-occupancy for R < 128 configs (the
+        # lane-axis concat/slice patterns are hw-vs-interpret verified by
+        # tools/tpu_lane_ops_check.py)
+        xcat = jnp.concatenate([x_b, xp], axis=1)          # [TT, 2R]
+        z = (jnp.dot(xcat, wz_ref[li], preferred_element_type=jnp.float32)
              + b_ref[li])                        # [TT, 2R] f32
         if has_cond:                             # paper eq.3: V*y into gate
             z = z + jnp.dot(y, vcond_ref[li],
                             preferred_element_type=jnp.float32)
         h = (jnp.tanh(z[:, :R]) * jax.nn.sigmoid(z[:, R:])
              ).astype(jnp.bfloat16)
-        skip = (skip
-                + jnp.dot(h, wskip_ref[li], preferred_element_type=jnp.float32)
-                + bskip_ref[li])
-        x = x + (jnp.dot(h, wres_ref[li], preferred_element_type=jnp.float32)
-                 + bres_ref[li])
+        # MXU N-fusion: res and skip projections as one [TT,R] @ [R, R+S]
+        o = jnp.dot(h, wrs_ref[li], preferred_element_type=jnp.float32)
+        x = x + o[:, :R] + bres_ref[li]
+        skip = skip + o[:, R:] + bskip_ref[li]
 
     skip_ref[0] = skip
-    xout_ref[0] = x.astype(jnp.bfloat16)
+    xout_ref[0] = x.astype(jnp.bfloat16).astype(jnp.float32)
 
 
 # ---------------------------------------------------------------------------
 # backward kernel for one layer group (tiles right-to-left)
 # ---------------------------------------------------------------------------
 
-def _bwd_kernel(cfg: WaveNetConfig, TT: int, nT: int, lo: int, hi: int,
+def _bwd_kernel(cfg: WaveNetConfig, TT: int, nT: int, dils,
                 has_cond: bool, *refs):
-    """Backward over layers [lo, hi).  xin is the stashed input of layer lo;
-    dxin is the cotangent of layer hi's input (zeros for the top group)."""
+    """Backward over one layer group.  xin is the stashed group input;
+    dxin is the cotangent of the group's x OUTPUT."""
     if has_cond:
         (xin_ref, snaps_ref, dskip_ref, dxin_ref, y_ref,
-         wcur_ref, wprev_ref, b_ref, wres_ref, bres_ref, wskip_ref,
-         vcond_ref,
-         dx_ref, dwcur_ref, dwprev_ref, db_ref,
-         dwres_ref, dbres_ref, dwskip_ref, dvcond_ref, dy_ref,
+         wz_ref, b_ref, wrs_ref, bres_ref, vcond_ref,
+         dx_ref, dwz_ref, db_ref, dwrs_ref, dbres_ref, dvcond_ref, dy_ref,
          xs, dz_rings, xbuf, dbuf) = refs
     else:
         (xin_ref, snaps_ref, dskip_ref, dxin_ref,
-         wcur_ref, wprev_ref, b_ref, wres_ref, bres_ref, wskip_ref,
-         dx_ref, dwcur_ref, dwprev_ref, db_ref,
-         dwres_ref, dbres_ref, dwskip_ref,
+         wz_ref, b_ref, wrs_ref, bres_ref,
+         dx_ref, dwz_ref, db_ref, dwrs_ref, dbres_ref,
          xs, dz_rings, xbuf, dbuf) = refs
         y_ref = vcond_ref = dvcond_ref = dy_ref = None
     R = cfg.residual_channels
-    dils = cfg.dilations[lo:hi]
     offs, _ = _ring_layout(dils)                 # group-local padded offsets
-    Lg = hi - lo
+    Lg = len(dils)
     bi = pl.program_id(0)
     jr = pl.program_id(1)                        # 0 .. nT-1, tile = nT-1-jr
     maxd = _winpad(cfg)
@@ -238,8 +242,7 @@ def _bwd_kernel(cfg: WaveNetConfig, TT: int, nT: int, lo: int, hi: int,
 
     @pl.when(jnp.logical_and(bi == 0, jr == 0))
     def _():
-        zrefs = [dwcur_ref, dwprev_ref, db_ref, dwres_ref, dbres_ref,
-                 dwskip_ref]
+        zrefs = [dwz_ref, db_ref, dwrs_ref, dbres_ref]
         if has_cond:
             zrefs.append(dvcond_ref)
         for ref in zrefs:
@@ -250,7 +253,7 @@ def _bwd_kernel(cfg: WaveNetConfig, TT: int, nT: int, lo: int, hi: int,
         dz_rings[:] = jnp.zeros_like(dz_rings)
 
     # ---- recompute this tile's group-layer inputs from ring snapshots ----
-    x = xin_ref[0].astype(jnp.float32)
+    x = xin_ref[0]                               # f32 (bf16-valued) stash
     xs[0] = x.astype(jnp.bfloat16)
     for li, (d, off) in enumerate(zip(dils, offs)):
         pad = _pad8(d)
@@ -259,16 +262,16 @@ def _bwd_kernel(cfg: WaveNetConfig, TT: int, nT: int, lo: int, hi: int,
         xbuf[maxd - pad:maxd] = snaps_ref[0, 0, off:off + pad
                                           ].astype(jnp.float32)
         xp = pltpu.roll(xbuf[:], TT + d, 0)[:TT].astype(jnp.bfloat16)
-        z = (jnp.dot(x_b, wcur_ref[li], preferred_element_type=jnp.float32)
-             + jnp.dot(xp, wprev_ref[li], preferred_element_type=jnp.float32)
+        z = (jnp.dot(jnp.concatenate([x_b, xp], axis=1), wz_ref[li],
+                     preferred_element_type=jnp.float32)
              + b_ref[li])
         if has_cond:
             z = z + jnp.dot(y_ref[0], vcond_ref[li],
                             preferred_element_type=jnp.float32)
         h = (jnp.tanh(z[:, :R]) * jax.nn.sigmoid(z[:, R:])
              ).astype(jnp.bfloat16)
-        x = x + (jnp.dot(h, wres_ref[li], preferred_element_type=jnp.float32)
-                 + bres_ref[li])
+        o = jnp.dot(h, wrs_ref[li], preferred_element_type=jnp.float32)
+        x = x + o[:, :R] + bres_ref[li]
         xs[li + 1] = x.astype(jnp.bfloat16)
 
     # ---- reverse pass: GRADIENTS STAY f32 END-TO-END (quantizing them to
@@ -288,8 +291,8 @@ def _bwd_kernel(cfg: WaveNetConfig, TT: int, nT: int, lo: int, hi: int,
         xbuf[maxd - pad:maxd] = snaps_ref[0, 0, off:off + pad
                                           ].astype(jnp.float32)
         xp_l = pltpu.roll(xbuf[:], TT + d, 0)[:TT].astype(jnp.bfloat16)
-        z = (jnp.dot(x_lb16, wcur_ref[li], preferred_element_type=jnp.float32)
-             + jnp.dot(xp_l, wprev_ref[li], preferred_element_type=jnp.float32)
+        xcat = jnp.concatenate([x_lb16, xp_l], axis=1)       # [TT, 2R] bf16
+        z = (jnp.dot(xcat, wz_ref[li], preferred_element_type=jnp.float32)
              + b_ref[li])
         if has_cond:
             z = z + jnp.dot(y_ref[0], vcond_ref[li],
@@ -299,23 +302,25 @@ def _bwd_kernel(cfg: WaveNetConfig, TT: int, nT: int, lo: int, hi: int,
         h = (tf * sg).astype(jnp.bfloat16).astype(jnp.float32)
 
         dbres_ref[li:li + 1, :] += jnp.sum(dx, axis=0, keepdims=True)
-        dh = (_dg(dskip, wskip_ref[li].astype(jnp.float32), 1, 1)
-              + _dg(dx, wres_ref[li].astype(jnp.float32), 1, 1))
-        dwskip_ref[li] += _dg(h, dskip, 0, 0)        # h^T @ dskip
-        dwres_ref[li] += _dg(h, dx, 0, 0)            # h^T @ dx
+        # fused res/skip cotangent: contract [dx | dskip] against w_rs in
+        # one K=(R+S) matmul; the weight-grad pair is one [R, R+S] product
+        dcat = jnp.concatenate([dx, dskip], axis=1)          # [TT, R+S] f32
+        dh = _dg(dcat, wrs_ref[li].astype(jnp.float32), 1, 1)
+        dwrs_ref[li] += _dg(h, dcat, 0, 0)                   # h^T @ [dx|dskip]
 
         dzf = dh * sg * (1.0 - tf * tf)
         dzg = dh * tf * sg * (1.0 - sg)
         dz = jnp.concatenate([dzf, dzg], axis=1)     # [TT, 2R] f32
 
-        dwcur_ref[li] += _dg(x_lb16.astype(jnp.float32), dz, 0, 0)
-        dwprev_ref[li] += _dg(xp_l.astype(jnp.float32), dz, 0, 0)
+        dwz_ref[li] += _dg(xcat.astype(jnp.float32), dz, 0, 0)  # [2R, 2R]
         db_ref[li:li + 1, :] += jnp.sum(dz, axis=0, keepdims=True)
         if has_cond:
             dvcond_ref[li] += _dg(y_f, dz, 0, 0)          # y^T @ dz
             dy = dy + _dg(dz, vcond_ref[li].astype(jnp.float32), 1, 1)
 
-        dprev = _dg(dz, wprev_ref[li].astype(jnp.float32), 1, 1)  # [TT, R]
+        # fused input cotangent: dz @ wz^T gives [d x_cur | d x_prev]
+        dboth = _dg(dz, wz_ref[li].astype(jnp.float32), 1, 1)   # [TT, 2R]
+        dprev = dboth[:, R:]
         # transposed causal shift via scratch window: dx[s] += dprev[s+d];
         # rows s >= TT-d come from the LATER tile's dprev head (dz ring)
         dbuf[:TT] = dprev
@@ -323,7 +328,7 @@ def _bwd_kernel(cfg: WaveNetConfig, TT: int, nT: int, lo: int, hi: int,
         shifted = pltpu.roll(dbuf[:], TT + maxd - d, 0)[:TT]
         dz_rings[off:off + pad] = dbuf[:pad]     # head of dprev, aligned
 
-        dx = dx + _dg(dz, wcur_ref[li].astype(jnp.float32), 1, 1) + shifted
+        dx = dx + dboth[:, :R] + shifted
 
     dx_ref[0] = dx
     if has_cond:
@@ -331,288 +336,246 @@ def _bwd_kernel(cfg: WaveNetConfig, TT: int, nT: int, lo: int, hi: int,
 
 
 # ---------------------------------------------------------------------------
-# public op with custom VJP
+# per-group op with custom VJP
+#
+# Each layer GROUP is one differentiable op; a stack is a plain Python chain
+# of group_apply calls, and JAX autodiff composes the backward across groups
+# (and across whatever else wraps them — notably the pipeline shard_map in
+# parallel/pipeline.py, whose ppermute/scan transpose for free).  The group's
+# static identity is its dilation tuple, NOT its absolute layer index: every
+# pipeline stage then traces the identical program (SPMD) because stages
+# partition whole dilation blocks.
 # ---------------------------------------------------------------------------
 
-def _stacked(params):
-    return tuple(params[k] for k in
-                 ("w_cur", "w_prev", "b", "w_res", "b_res", "w_skip",
-                  "b_skip"))
+GROUP_KEYS = ("w_cur", "w_prev", "b", "w_res", "b_res", "w_skip", "b_skip")
 
 
-def _prep_weights(cfg, w_cur, w_prev, b, w_res, b_res, w_skip, b_skip):
-    L, R = cfg.num_layers, cfg.residual_channels
+def _slice_group(params, lo, hi, has_cond):
+    gw = {k: params[k][lo:hi] for k in GROUP_KEYS}
+    if has_cond:
+        gw["v_cond"] = params["v_cond"][lo:hi]
+    return gw
+
+
+def _prep_weights(cfg, gw):
+    """Per-group kernel operands with the MXU K/N-fusion layouts:
+      wz  [Lg, 2R, 2R] = [w_cur ; w_prev] stacked on the contraction dim
+      wrs [Lg, R, R+S] = [w_res | w_skip] side by side on the output dim
+    One z matmul at K=2R and one res/skip matmul at N=R+S per layer — full
+    128-wide MXU tiles for the R=64 presets (round-1 MFU was ~12% on
+    `small` precisely because K=N=64 left the MXU half-empty)."""
+    R = cfg.residual_channels
+    Lg = gw["w_cur"].shape[0]
     bf = jnp.bfloat16
     return (
-        w_cur.reshape(L, R, 2 * R).astype(bf),
-        w_prev.reshape(L, R, 2 * R).astype(bf),
-        b.reshape(L, 1, 2 * R).astype(jnp.float32),
-        w_res.astype(bf),
-        b_res.reshape(L, 1, R).astype(jnp.float32),
-        w_skip.astype(bf),
-        b_skip.reshape(L, 1, -1).astype(jnp.float32),
+        jnp.concatenate([gw["w_cur"].reshape(Lg, R, 2 * R),
+                         gw["w_prev"].reshape(Lg, R, 2 * R)],
+                        axis=1).astype(bf),
+        gw["b"].reshape(Lg, 1, 2 * R).astype(jnp.float32),
+        jnp.concatenate([gw["w_res"], gw["w_skip"]], axis=2).astype(bf),
+        gw["b_res"].reshape(Lg, 1, R).astype(jnp.float32),
+        gw["b_skip"].reshape(Lg, 1, -1).astype(jnp.float32),
     )
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
-def stack_skip_sum(cfg: WaveNetConfig, interpret: bool, tile, x,
-                   w_cur, w_prev, b, w_res, b_res, w_skip, b_skip):
-    """[B, T, R] embedded input -> [B, T, S] f32 skip-sum (fused stack).
-    tile=None picks the largest valid time tile; tests pass small tiles to
-    exercise the cross-tile ring carry and the group chaining."""
-    skip, _, _ = _fwd(cfg, interpret, tile, x, w_cur, w_prev, b, w_res,
-                      b_res, w_skip, b_skip)
-    return skip
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
+def group_apply(cfg: WaveNetConfig, interpret: bool, TT: int, dils,
+                x, skip_in, gw, y):
+    """One layer group: (x [B,T,R] f32 bf16-valued, skip_in [B,T,S] f32)
+    -> (skip_out, x_out).  gw: dict of raw per-group param slices; y: [B,T,M]
+    upsampled conditioning features or None; dils: static dilation tuple."""
+    skip, x_out, _ = _group_fwd(cfg, interpret, TT, dils, x, skip_in, gw, y)
+    return skip, x_out
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
-def stack_skip_sum_cond(cfg: WaveNetConfig, interpret: bool, tile, x, y,
-                        w_cur, w_prev, b, w_res, b_res, w_skip, b_skip,
-                        v_cond):
-    """Conditional variant: y [B, T, M] upsampled mel features enter every
-    gate as y @ v_cond[l] (WaveNet paper eq.3)."""
-    skip, _, _ = _fwd(cfg, interpret, tile, x, w_cur, w_prev, b, w_res,
-                      b_res, w_skip, b_skip, y=y, v_cond=v_cond)
-    return skip
-
-
-def _fwd(cfg, interpret, tile, x, w_cur, w_prev, b, w_res, b_res, w_skip,
-         b_skip, y=None, v_cond=None):
+def _group_fwd(cfg, interpret, TT, dils, x, skip_in, gw, y):
     B, T, R = x.shape
-    TT = tile or pick_tile(cfg, T)
-    if not TT:
-        raise ValueError(f"T={T} is not tileable for this config; gate fused "
-                         f"paths on train_stack.supported(cfg, T)")
     nT = T // TT
     S = cfg.skip_channels
     has_cond = y is not None
-    wops = _prep_weights(cfg, w_cur, w_prev, b, w_res, b_res, w_skip, b_skip)
-    if has_cond:
-        L, M = cfg.num_layers, cfg.mel.num_mels
-        vc = v_cond.reshape(L, M, 2 * R).astype(jnp.bfloat16)
-        y_b = y.astype(jnp.bfloat16)
-    groups = group_plan(cfg, TT)
+    _, sum_dg = _ring_layout(dils)
+    ops = _prep_weights(cfg, gw)
+    kernel = functools.partial(_fwd_kernel, cfg, TT, dils, has_cond)
 
-    const = lambda *_: (0, 0, 0)
     blk = lambda bi, j: (bi, j, 0)
-
-    skip = jnp.zeros((B, T, S), jnp.float32)
-    x_g = x.astype(jnp.bfloat16)
-    snaps_list, stash_list = [], []
-    for gi, (lo, hi) in enumerate(groups):
-        _, sum_dg = _ring_layout(cfg.dilations[lo:hi])
-        gops = tuple(w[lo:hi] for w in wops)
-        kernel = functools.partial(_fwd_kernel, cfg, TT, lo, hi, gi == 0,
-                                   has_cond)
-        in_specs = [
-            pl.BlockSpec((1, TT, R), blk, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TT, S), blk, memory_space=pltpu.VMEM),
-        ]
-        operands = [x_g, skip]
-        if has_cond:
-            in_specs.append(pl.BlockSpec((1, TT, cfg.mel.num_mels), blk,
-                                         memory_space=pltpu.VMEM))
-            operands.append(y_b)
-        in_specs += [pl.BlockSpec(w.shape, const, memory_space=pltpu.VMEM)
-                     for w in gops]
-        operands += list(gops)
-        if has_cond:
-            in_specs.append(pl.BlockSpec(vc[lo:hi].shape, const,
-                                         memory_space=pltpu.VMEM))
-            operands.append(vc[lo:hi])
-        skip_alias = 1
-        skip, snaps_g, x_next = pl.pallas_call(
-            kernel,
-            grid=(B, nT),
-            in_specs=in_specs,
-            out_specs=(
-                pl.BlockSpec((1, TT, S), blk, memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, sum_dg, R),
-                             lambda bi, j: (bi, j, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, TT, R), blk, memory_space=pltpu.VMEM),
-            ),
-            out_shape=(
-                jax.ShapeDtypeStruct((B, T, S), jnp.float32),
-                jax.ShapeDtypeStruct((B, nT, sum_dg, R), jnp.bfloat16),
-                jax.ShapeDtypeStruct((B, T, R), jnp.bfloat16),
-            ),
-            input_output_aliases={skip_alias: 0},     # skip accumulator
-            scratch_shapes=[
-                pltpu.VMEM((sum_dg, R), jnp.bfloat16),
-                pltpu.VMEM((_winpad(cfg) + TT, R), jnp.float32),
-            ],
-            compiler_params=pltpu.CompilerParams(
-                dimension_semantics=("arbitrary", "arbitrary")),
-            interpret=interpret,
-        )(*operands)
-        snaps_list.append(snaps_g)
-        stash_list.append(x_g)                   # INPUT of group gi
-        x_g = x_next
-    return skip, tuple(snaps_list), tuple(stash_list)
-
-
-def _vjp_fwd(cfg, interpret, tile, x, w_cur, w_prev, b, w_res, b_res,
-             w_skip, b_skip):
-    skip, snaps, stash = _fwd(cfg, interpret, tile, x, w_cur, w_prev, b,
-                              w_res, b_res, w_skip, b_skip)
-    res = (snaps, stash, w_cur, w_prev, b, w_res, b_res, w_skip, None, None)
-    return skip, res
-
-
-def _vjp_fwd_cond(cfg, interpret, tile, x, y, w_cur, w_prev, b, w_res,
-                  b_res, w_skip, b_skip, v_cond):
-    skip, snaps, stash = _fwd(cfg, interpret, tile, x, w_cur, w_prev, b,
-                              w_res, b_res, w_skip, b_skip, y=y,
-                              v_cond=v_cond)
-    res = (snaps, stash, w_cur, w_prev, b, w_res, b_res, w_skip, y, v_cond)
-    return skip, res
-
-
-def _vjp_bwd_cond(cfg, interpret, tile, res, dskip):
-    grads = _vjp_bwd(cfg, interpret, tile, res, dskip)
-    # reorder to the cond signature (x, y, w..., b_skip, v_cond)
-    dx, dwcur, dwprev, db, dwres, dbres, dwskip, dbskip, dy, dvcond = grads
-    return (dx, dy, dwcur, dwprev, db, dwres, dbres, dwskip, dbskip, dvcond)
-
-
-def _vjp_bwd(cfg, interpret, tile, res, dskip):
-    snaps, stash, w_cur, w_prev, b, w_res, b_res, w_skip, y, v_cond = res
-    has_cond = y is not None
-    B, T, R = stash[0].shape
-    L = cfg.num_layers
-    S = cfg.skip_channels
-    TT = tile or pick_tile(cfg, T)
-    nT = T // TT
-    wops = _prep_weights(cfg, w_cur, w_prev, b, w_res, b_res, w_skip,
-                         jnp.zeros((L, S), jnp.float32))[:6]
+    in_specs = [
+        pl.BlockSpec((1, TT, R), blk, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, TT, S), blk, memory_space=pltpu.VMEM),
+    ]
+    operands = [x, skip_in]
+    if has_cond:
+        in_specs.append(pl.BlockSpec((1, TT, cfg.mel.num_mels), blk,
+                                     memory_space=pltpu.VMEM))
+        operands.append(y.astype(jnp.bfloat16))
+    in_specs += [pl.BlockSpec(o.shape, (lambda bi, j, nd=o.ndim: (0,) * nd),
+                              memory_space=pltpu.VMEM) for o in ops]
+    operands += list(ops)
     if has_cond:
         M = cfg.mel.num_mels
-        vc = v_cond.reshape(L, M, 2 * R).astype(jnp.bfloat16)
-        y_b = y.astype(jnp.bfloat16)
-        dy_total = jnp.zeros((B, T, M), jnp.float32)
-        dvc_parts = [None] * 0
-    groups = group_plan(cfg, TT)
+        vc = gw["v_cond"].reshape(len(dils), M, 2 * R).astype(jnp.bfloat16)
+        in_specs.append(pl.BlockSpec(vc.shape, lambda bi, j: (0, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        operands.append(vc)
 
-    const = lambda *_: (0, 0, 0)
+    skip, snaps, x_out = pl.pallas_call(
+        kernel,
+        grid=(B, nT),
+        in_specs=in_specs,
+        out_specs=(
+            pl.BlockSpec((1, TT, S), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, sum_dg, R), lambda bi, j: (bi, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TT, R), blk, memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, T, S), jnp.float32),
+            jax.ShapeDtypeStruct((B, nT, sum_dg, R), jnp.bfloat16),
+            jax.ShapeDtypeStruct((B, T, R), jnp.float32),
+        ),
+        input_output_aliases={1: 0},              # skip accumulator
+        scratch_shapes=[
+            pltpu.VMEM((sum_dg, R), jnp.bfloat16),
+            pltpu.VMEM((_winpad(cfg) + TT, R), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
+        interpret=interpret,
+    )(*operands)
+    return skip, x_out, snaps
+
+
+def _group_vjp_fwd(cfg, interpret, TT, dils, x, skip_in, gw, y):
+    skip, x_out, snaps = _group_fwd(cfg, interpret, TT, dils, x, skip_in,
+                                    gw, y)
+    return (skip, x_out), (x, snaps, gw, y)
+
+
+def _group_vjp_bwd(cfg, interpret, TT, dils, res, cts):
+    dskip, dxout = cts
+    x, snaps, gw, y = res
+    B, T, R = x.shape
+    nT = T // TT
+    S = cfg.skip_channels
+    Lg = len(dils)
+    has_cond = y is not None
+    _, sum_dg = _ring_layout(dils)
+    wz, b, wrs, bres, _ = _prep_weights(cfg, gw)
+    kernel = functools.partial(_bwd_kernel, cfg, TT, nT, dils, has_cond)
+
+    const3 = lambda bi, jr: (0, 0, 0)
     rev = lambda bi, jr: (bi, nT - 1 - jr, 0)
 
-    parts = [None] * len(groups)
-    vparts = [None] * len(groups)
-    dx = jnp.zeros((B, T, R), jnp.float32)       # d x_L == 0 (head uses skip)
-    for gi in reversed(range(len(groups))):
-        lo, hi = groups[gi]
-        Lg = hi - lo
-        _, sum_dg = _ring_layout(cfg.dilations[lo:hi])
-        gops = tuple(w[lo:hi] for w in wops)
-        kernel = functools.partial(_bwd_kernel, cfg, TT, nT, lo, hi,
-                                   has_cond)
-        in_specs = [
-            pl.BlockSpec((1, TT, R), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, sum_dg, R),
-                         lambda bi, jr: (bi, nT - 1 - jr, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TT, S), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TT, R), rev, memory_space=pltpu.VMEM),
-        ]
-        operands = [stash[gi], snaps[gi], dskip, dx]
-        if has_cond:
-            in_specs.append(pl.BlockSpec((1, TT, M), rev,
-                                         memory_space=pltpu.VMEM))
-            operands.append(y_b)
-        in_specs += [pl.BlockSpec(w.shape, const, memory_space=pltpu.VMEM)
-                     for w in gops]
-        operands += list(gops)
-        if has_cond:
-            in_specs.append(pl.BlockSpec(vc[lo:hi].shape, const,
-                                         memory_space=pltpu.VMEM))
-            operands.append(vc[lo:hi])
-        out_specs = [
-            pl.BlockSpec((1, TT, R), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((Lg, R, 2 * R), const, memory_space=pltpu.VMEM),
-            pl.BlockSpec((Lg, R, 2 * R), const, memory_space=pltpu.VMEM),
-            pl.BlockSpec((Lg, 2 * R), lambda *_: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((Lg, R, R), const, memory_space=pltpu.VMEM),
-            pl.BlockSpec((Lg, R), lambda *_: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((Lg, R, S), const, memory_space=pltpu.VMEM),
-        ]
-        out_shape = [
-            jax.ShapeDtypeStruct((B, T, R), jnp.float32),
-            jax.ShapeDtypeStruct((Lg, R, 2 * R), jnp.float32),
-            jax.ShapeDtypeStruct((Lg, R, 2 * R), jnp.float32),
-            jax.ShapeDtypeStruct((Lg, 2 * R), jnp.float32),
-            jax.ShapeDtypeStruct((Lg, R, R), jnp.float32),
-            jax.ShapeDtypeStruct((Lg, R), jnp.float32),
-            jax.ShapeDtypeStruct((Lg, R, S), jnp.float32),
-        ]
-        if has_cond:
-            out_specs += [
-                pl.BlockSpec((Lg, M, 2 * R), const, memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, TT, M), rev, memory_space=pltpu.VMEM),
-            ]
-            out_shape += [
-                jax.ShapeDtypeStruct((Lg, M, 2 * R), jnp.float32),
-                jax.ShapeDtypeStruct((B, T, M), jnp.float32),
-            ]
-        outs = pl.pallas_call(
-            kernel,
-            grid=(B, nT),
-            in_specs=in_specs,
-            out_specs=tuple(out_specs),
-            out_shape=tuple(out_shape),
-            scratch_shapes=[
-                pltpu.VMEM((Lg + 1, TT, R), jnp.bfloat16),      # xs stash
-                pltpu.VMEM((sum_dg, R), jnp.float32),           # dz rings
-                pltpu.VMEM((_winpad(cfg) + TT, R), jnp.float32),
-                pltpu.VMEM((TT + _winpad(cfg), R), jnp.float32),
-            ],
-            compiler_params=pltpu.CompilerParams(
-                dimension_semantics=("arbitrary", "arbitrary")),
-            interpret=interpret,
-        )(*operands)
-        dx = outs[0]
-        if has_cond:
-            parts[gi] = outs[1:7]
-            vparts[gi] = outs[7]
-            dy_total = dy_total + outs[8]
-        else:
-            parts[gi] = outs[1:]
-
-    dwcur, dwprev, db, dwres, dbres, dwskip = (
-        jnp.concatenate([p[i] for p in parts], axis=0) for i in range(6))
-
-    dwcur = dwcur.reshape(L, R, 2, R).astype(w_cur.dtype)
-    dwprev = dwprev.reshape(L, R, 2, R).astype(w_prev.dtype)
-    db = db.reshape(L, 2, R).astype(b.dtype)
-    dbskip = jnp.broadcast_to(jnp.sum(dskip, axis=(0, 1)), (L, S)
-                              ).astype(b.dtype)
-    dy = dvcond = None
+    in_specs = [
+        pl.BlockSpec((1, TT, R), rev, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, sum_dg, R), lambda bi, jr: (bi, nT - 1 - jr, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, TT, S), rev, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, TT, R), rev, memory_space=pltpu.VMEM),
+    ]
+    operands = [x, snaps, dskip, dxout]
     if has_cond:
         M = cfg.mel.num_mels
-        dvcond = jnp.concatenate(vparts, axis=0).reshape(
-            L, M, 2, R).astype(v_cond.dtype)
-        dy = dy_total.astype(y.dtype)
-    return (dx.astype(stash[0].dtype), dwcur, dwprev, db,
-            dwres.astype(w_res.dtype), dbres.astype(b_res.dtype),
-            dwskip.astype(w_skip.dtype), dbskip, dy, dvcond)
+        in_specs.append(pl.BlockSpec((1, TT, M), rev,
+                                     memory_space=pltpu.VMEM))
+        operands.append(y.astype(jnp.bfloat16))
+    wops = (wz, b, wrs, bres)
+    in_specs += [pl.BlockSpec(o.shape, (lambda bi, jr, nd=o.ndim: (0,) * nd),
+                              memory_space=pltpu.VMEM) for o in wops]
+    operands += list(wops)
+    if has_cond:
+        vc = gw["v_cond"].reshape(Lg, M, 2 * R).astype(jnp.bfloat16)
+        in_specs.append(pl.BlockSpec(vc.shape, lambda bi, jr: (0, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        operands.append(vc)
+
+    out_specs = [
+        pl.BlockSpec((1, TT, R), rev, memory_space=pltpu.VMEM),
+        pl.BlockSpec((Lg, 2 * R, 2 * R), const3, memory_space=pltpu.VMEM),
+        pl.BlockSpec((Lg, 2 * R), lambda *_: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((Lg, R, R + S), const3, memory_space=pltpu.VMEM),
+        pl.BlockSpec((Lg, R), lambda *_: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((B, T, R), jnp.float32),
+        jax.ShapeDtypeStruct((Lg, 2 * R, 2 * R), jnp.float32),
+        jax.ShapeDtypeStruct((Lg, 2 * R), jnp.float32),
+        jax.ShapeDtypeStruct((Lg, R, R + S), jnp.float32),
+        jax.ShapeDtypeStruct((Lg, R), jnp.float32),
+    ]
+    if has_cond:
+        out_specs += [
+            pl.BlockSpec((Lg, M, 2 * R), const3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TT, M), rev, memory_space=pltpu.VMEM),
+        ]
+        out_shape += [
+            jax.ShapeDtypeStruct((Lg, M, 2 * R), jnp.float32),
+            jax.ShapeDtypeStruct((B, T, M), jnp.float32),
+        ]
+    outs = pl.pallas_call(
+        kernel,
+        grid=(B, nT),
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
+        scratch_shapes=[
+            pltpu.VMEM((Lg + 1, TT, R), jnp.bfloat16),      # xs stash
+            pltpu.VMEM((sum_dg, R), jnp.float32),           # dz rings
+            pltpu.VMEM((_winpad(cfg) + TT, R), jnp.float32),
+            pltpu.VMEM((TT + _winpad(cfg), R), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
+        interpret=interpret,
+    )(*operands)
+
+    dx, dwz, db, dwrs, dbres = outs[:5]
+    dgw = {
+        "w_cur": dwz[:, :R, :].reshape(Lg, R, 2, R
+                                       ).astype(gw["w_cur"].dtype),
+        "w_prev": dwz[:, R:, :].reshape(Lg, R, 2, R
+                                        ).astype(gw["w_prev"].dtype),
+        "b": db.reshape(Lg, 2, R).astype(gw["b"].dtype),
+        "w_res": dwrs[..., :R].astype(gw["w_res"].dtype),
+        "w_skip": dwrs[..., R:].astype(gw["w_skip"].dtype),
+        "b_res": dbres.astype(gw["b_res"].dtype),
+        # skip bias enters the sum at every position of every layer
+        "b_skip": jnp.broadcast_to(jnp.sum(dskip, axis=(0, 1)), (Lg, S)
+                                   ).astype(gw["b_skip"].dtype),
+    }
+    dy = None
+    if has_cond:
+        dgw["v_cond"] = outs[5].reshape(Lg, cfg.mel.num_mels, 2, R
+                                        ).astype(gw["v_cond"].dtype)
+        dy = outs[6].astype(y.dtype)
+    # skip_in passes through additively -> its cotangent is dskip unchanged
+    return dx, dskip, dgw, dy
 
 
-def _vjp_bwd_uncond(cfg, interpret, tile, res, dskip):
-    return _vjp_bwd(cfg, interpret, tile, res, dskip)[:8]
-
-
-stack_skip_sum.defvjp(_vjp_fwd, _vjp_bwd_uncond)
-stack_skip_sum_cond.defvjp(_vjp_fwd_cond, _vjp_bwd_cond)
+group_apply.defvjp(_group_vjp_fwd, _group_vjp_bwd)
 
 
 def forward_skip_fused(params, cfg: WaveNetConfig, x: jax.Array,
                        interpret: bool = False, tile=None,
                        y=None) -> jax.Array:
-    """Embedded input [B, T, R] -> skip-sum [B, T, S] via the fused kernels.
-    y: optional [B, T, M] upsampled conditioning features (cfg.mel set)."""
-    if y is not None:
-        return stack_skip_sum_cond(cfg, interpret, tile, x, y,
-                                   *_stacked(params), params["v_cond"])
-    return stack_skip_sum(cfg, interpret, tile, x, *_stacked(params))
+    """Embedded input [B, T, R] -> skip-sum [B, T, S] f32 via the fused
+    per-group kernels.  y: optional [B, T, M] upsampled conditioning
+    features (cfg.mel set)."""
+    B, T, R = x.shape
+    TT = tile or pick_tile(cfg, T)
+    if not TT:
+        raise ValueError(f"T={T} is not tileable for this config; gate fused "
+                         f"paths on train_stack.supported(cfg, T)")
+    groups = group_plan(cfg, TT)
+    if not groups:
+        raise ValueError("no VMEM-feasible group plan; gate on supported()")
+    has_cond = y is not None
+    skip = jnp.zeros((B, T, cfg.skip_channels), jnp.float32)
+    # f32 stream holding bf16-rounded values (see _fwd_kernel docs)
+    x_g = x.astype(jnp.bfloat16).astype(jnp.float32)
+    for lo, hi in groups:
+        gw = _slice_group(params, lo, hi, has_cond)
+        skip, x_g = group_apply(cfg, interpret, TT,
+                                tuple(cfg.dilations[lo:hi]),
+                                x_g, skip, gw, y)
+    return skip

@@ -60,6 +60,18 @@ def make_optimizer(cfg: WaveNetConfig) -> optax.GradientTransformation:
     return tx
 
 
+def use_pipeline(cfg: WaveNetConfig) -> bool:
+    """Fused stack under model sharding = layer-pipeline (parallel/pipeline):
+    the per-chip layer-group kernels shard the LAYER axis, not channels."""
+    from wavenet_tpu.parallel import pipeline
+    return (cfg.fused_stack and cfg.model_parallel > 1
+            and cfg.seq_parallel == 1
+            and jax.default_backend() != "cpu"
+            and cfg.batch_size % max(cfg.data_parallel, 1) == 0
+            and pipeline.supported(cfg, cfg.train_window,
+                                   cfg.model_parallel))
+
+
 def make_train_step(cfg: WaveNetConfig, tx: optax.GradientTransformation,
                     mesh: Optional[Mesh] = None):
     """Build the jitted train step: (state, batch) -> (state, metrics).
@@ -71,12 +83,13 @@ def make_train_step(cfg: WaveNetConfig, tx: optax.GradientTransformation,
     if use_sp and mesh is None:
         raise ValueError("seq_parallel > 1 requires the mesh")
 
-    # fused Pallas stack: TPU backend + unconditional + fits VMEM + no
-    # model/seq sharding of the stack (the kernel is per-chip; tensor/
-    # sequence parallelism stays on the XLA scan path this round).  Under
-    # data parallelism the loss runs through a shard_map so the kernel sees
-    # a fully-local batch shard (parallel/dataparallel.py).
+    # fused Pallas stack: TPU backend + fits VMEM.  model_parallel > 1 runs
+    # the fused path as a layer PIPELINE over the model axis (params layer-
+    # sharded; parallel/pipeline.py); seq_parallel stays on the XLA scan.
+    # Under plain data parallelism the loss runs through a shard_map so the
+    # kernel sees a fully-local batch shard (parallel/dataparallel.py).
     from wavenet_tpu.ops.pallas import train_stack
+    use_pp = use_pipeline(cfg)
     use_fused = (cfg.fused_stack
                  and not use_sp and cfg.model_parallel == 1
                  and jax.default_backend() != "cpu"
@@ -90,6 +103,11 @@ def make_train_step(cfg: WaveNetConfig, tx: optax.GradientTransformation,
     def train_step(state: TrainState, batch: Dict[str, jax.Array]
                    ) -> Tuple[TrainState, Dict[str, jax.Array]]:
         def loss_of(p):
+            if use_pp:
+                from wavenet_tpu.parallel import pipeline
+                return pipeline.loss_fn_pp(
+                    p, cfg, mesh, batch["tokens"], mel=batch.get("mel"),
+                    microbatch=cfg.pipeline_microbatch)
             if use_sp:
                 from wavenet_tpu.parallel import seqpar
                 toks = batch["tokens"]
@@ -126,11 +144,15 @@ class Trainer:
         self.cfg = cfg
         self.dataset = dataset
         self.mesh = mesh if mesh is not None else make_mesh(cfg)
-        shd.validate(cfg, self.mesh)
+        # fused pipeline (model axis shards LAYERS) vs Megatron channel
+        # sharding for the scan path — the param layout must match the step
+        self.use_pp = use_pipeline(cfg)
+        shd.validate(cfg, self.mesh, layer_sharded=self.use_pp)
         self.checkpoint_dir = checkpoint_dir
         self.tx = make_optimizer(cfg)
 
-        self.param_shardings = shd.param_shardings(cfg, self.mesh)
+        self.param_shardings = shd.param_shardings(
+            cfg, self.mesh, layer_sharded=self.use_pp)
         self.batch_shardings = shd.batch_shardings(
             self.mesh, with_mel=cfg.mel is not None)
         self.iter_state = IteratorState(seed=cfg.seed, step=0)
@@ -169,7 +191,8 @@ class Trainer:
         param-shaped pytrees embedded in the optax state); scalar counts
         replicate.  Matched by key-path suffix against the param spec tree."""
         shapes = jax.eval_shape(init_fn, jax.random.PRNGKey(0))
-        param_spec_tree = shd.param_pspecs(self.cfg)
+        param_spec_tree = (shd.param_pspecs_layer(self.cfg) if self.use_pp
+                          else shd.param_pspecs(self.cfg))
         flat_spec = jax.tree.flatten_with_path(
             param_spec_tree, is_leaf=lambda x: isinstance(x, P))[0]
         spec_by_path = {jax.tree_util.keystr(k): v for k, v in flat_spec}
