@@ -1,0 +1,153 @@
+"""ONE-COMMAND on-TPU kernel verification gate (VERDICT r1 #8).
+
+Checks hardware-vs-interpret bit-exactness for every Pallas kernel surface:
+  1. fused training stack: forward skip-sum at several sequence lengths
+  2. fused training stack: full loss gradients (every param leaf)
+  3. decode kernel: greedy tokens, single tile
+  4. decode kernel: batch-tiled grid (B split into tiles)
+  5. decode kernel: conditional (streamed y, in-kernel v_cond projection)
+  6. decode kernel: priming + sampling determinism
+
+Interpret mode is ALWAYS correct and hides Mosaic miscompiles (three were
+caught in round 1 by exactly this comparison, docs/ARCHITECTURE.md §3) — a
+libtpu/jax bump can silently reintroduce them, so run this after ANY kernel
+change or toolchain update:
+
+    python -u tools/tpu_verify.py          # exit 0 = all bit-exact
+
+Run from the repo root (sys.path bootstrap below handles tools/ execution).
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax                                                      # noqa: E402
+import jax.numpy as jnp                                         # noqa: E402
+import numpy as np                                              # noqa: E402
+
+from wavenet_tpu.config import WaveNetConfig, small             # noqa: E402
+from wavenet_tpu.models import wavenet as wn                    # noqa: E402
+from wavenet_tpu.ops.pallas import decode as pdec               # noqa: E402
+from wavenet_tpu.ops.pallas import train_stack as ts            # noqa: E402
+
+FAILURES = []
+
+
+def report(name, ok, detail=""):
+    print(f"{name}: {'BIT-EXACT' if ok else 'FAIL ' + detail}", flush=True)
+    if not ok:
+        FAILURES.append(name)
+
+
+def same(a, b):
+    a, b = np.asarray(a), np.asarray(b)
+    if np.array_equal(a, b):
+        return True, ""
+    d = np.abs(a.astype(np.float64) - b.astype(np.float64))
+    return False, f"(max diff {d.max():.3e}, n={int((a != b).sum())})"
+
+
+def check_train_forward():
+    cfg = small()
+    p = wn.init_params(cfg, jax.random.PRNGKey(0))
+    for T in (512, 2048):
+        toks = jax.random.randint(jax.random.PRNGKey(1), (2, T), 0, 256)
+        prev = jnp.pad(toks[:, :-1], ((0, 0), (1, 0)))
+        x = wn.embed_tokens(p, cfg, toks, prev)
+        hw = ts.forward_skip_fused(p, cfg, x)
+        it = ts.forward_skip_fused(p, cfg, x, interpret=True)
+        ok, d = same(hw, it)
+        report(f"train fwd T={T}", ok, d)
+
+
+def check_train_grads():
+    """Grads of the full fused loss, hw vs interpret.  NOT bit-exact by
+    construction: the hw and interpret jits compile DIFFERENT surrounding
+    XLA graphs (embed scatter-adds, head, log-softmax), whose fusion
+    reassociates f32 sums at the ~1e-9 level.  The kernel-internal grads
+    (w_cur/w_prev/w_res/w_skip/head_w*) DO come out bit-exact; the check
+    here is a tight relative band that a genuine Mosaic miscompile (wrong
+    data, not rounding) blows through by orders of magnitude."""
+    cfg = small()
+    p = wn.init_params(cfg, jax.random.PRNGKey(0))
+    toks = jax.random.randint(jax.random.PRNGKey(2), (2, 1025), 0, 256)
+
+    def loss(p, interp):
+        return wn.loss_fn(p, cfg, toks, use_fused=True, interpret=interp)[0]
+
+    g_hw = jax.jit(jax.grad(lambda p: loss(p, False)))(p)
+    g_it = jax.jit(jax.grad(lambda p: loss(p, True)))(p)
+    for (ka, a), (kb, b) in zip(
+            jax.tree_util.tree_flatten_with_path(g_hw)[0],
+            jax.tree_util.tree_flatten_with_path(g_it)[0]):
+        a = np.asarray(a, np.float64)
+        b = np.asarray(b, np.float64)
+        scale = max(np.abs(b).max(), 1e-6)
+        rel = np.abs(a - b).max() / scale
+        report(f"train grad {jax.tree_util.keystr(ka)}", rel < 1e-4,
+               f"(max rel diff {rel:.3e})")
+
+
+def _decode_cfg(**kw):
+    base = dict(num_blocks=2, max_dilation=64, residual_channels=32,
+                skip_channels=32, compute_dtype="bfloat16")
+    base.update(kw)
+    return WaveNetConfig(**base)
+
+
+def check_decode(name, cfg, batch, num_steps, y=None, prime=None,
+                 temperature=0.0, force_tiles=None):
+    p = wn.init_params(cfg, jax.random.PRNGKey(0))
+    key = jax.random.PRNGKey(3)
+    orig = pdec.plan_tiles
+    if force_tiles:
+        pdec.plan_tiles = lambda c, b, tc_hint=2048: force_tiles
+    try:
+        hw = pdec.generate_pallas(p, cfg, key, num_steps, batch=batch,
+                                  y=y, prime_tokens=prime,
+                                  temperature=temperature)
+        it = pdec.generate_pallas(p, cfg, key, num_steps, batch=batch,
+                                  y=y, prime_tokens=prime,
+                                  temperature=temperature, interpret=True)
+    finally:
+        pdec.plan_tiles = orig
+    ok, d = same(hw, it)
+    report(name, ok, d)
+
+
+def main():
+    assert jax.devices()[0].platform != "cpu", \
+        "tpu_verify must run on the TPU backend"
+    check_train_forward()
+    check_train_grads()
+
+    cfg = _decode_cfg()
+    check_decode("decode greedy single-tile", cfg, batch=8, num_steps=256)
+    check_decode("decode batch-tiled", cfg, batch=8, num_steps=256,
+                 force_tiles=(2, 64))
+    check_decode("decode sampled t=1", cfg, batch=4, num_steps=256,
+                 temperature=1.0)
+    prime = jax.random.randint(jax.random.PRNGKey(5), (4, 33), 0, 256)
+    check_decode("decode primed", cfg, batch=4, num_steps=128, prime=prime)
+
+    from wavenet_tpu.config import MelConfig
+    mel_cfg = MelConfig(num_mels=80, hop_length=64, win_length=256,
+                        upsample_factors=(8, 8))
+    ccfg = _decode_cfg(mel=mel_cfg)
+    pc = wn.init_params(ccfg, jax.random.PRNGKey(0))
+    from wavenet_tpu.models.conditioning import upsample_mel
+    mel = jax.random.normal(jax.random.PRNGKey(6), (4, 5, 80))
+    y = upsample_mel(pc["upsampler"], mel_cfg, mel, 256)
+    check_decode("decode conditional", ccfg, batch=4, num_steps=256, y=y)
+
+    if FAILURES:
+        print(f"\n{len(FAILURES)} FAILURES: {FAILURES}")
+        sys.exit(1)
+    print("\nALL KERNELS BIT-EXACT (hw == interpret)")
+    sys.exit(0)
+
+
+if __name__ == "__main__":
+    main()
