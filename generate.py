@@ -7,6 +7,7 @@ Examples:
   python generate.py --ckpt ./runs/t1 --seconds 2 --out out.wav
   python generate.py --ckpt ./runs/t1 --seconds 1 --batch 8 --naive
   python generate.py --ckpt ./runs/t1 --prime some.wav --seconds 2
+  python generate.py --ckpt ./runs/voc --mel-from ref.wav --out voc.wav
 """
 
 from __future__ import annotations
@@ -26,6 +27,11 @@ def parse_args(argv=None):
     p.add_argument("--temperature", type=float, default=1.0)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--prime", default=None, help="wav file to prime on")
+    p.add_argument("--mel-from", default=None,
+                   help="wav file to vocode: extract its log-mel features "
+                        "and generate conditioned on them (requires a "
+                        "conditional checkpoint; overrides --seconds with "
+                        "the reference length)")
     p.add_argument("--naive", action="store_true",
                    help="use the O(RF)/sample reference algorithm instead of "
                         "the cached-queue fast decoder")
@@ -55,11 +61,30 @@ def main(argv=None):
         prime_tokens = jnp.tile(prime_tokens, (args.batch, 1))
 
     n = int(args.seconds * cfg.sample_rate)
+    y = None
+    if args.mel_from:
+        if cfg.mel is None:
+            sys.exit("--mel-from requires a conditional (mel) checkpoint")
+        from wavenet_tpu.audio.mel import log_mel
+        from wavenet_tpu.models.conditioning import upsample_mel
+        ref, _ = read_wav(args.mel_from, cfg.sample_rate)
+        mel = log_mel(ref, cfg.sample_rate, cfg.mel)[None]   # [1, F, M]
+        P = 0 if prime_tokens is None else prime_tokens.shape[1]
+        n = min(n, mel.shape[1] * cfg.mel.hop_length - max(P - 1, 0))
+        y = upsample_mel(params["upsampler"], cfg.mel, jnp.asarray(mel),
+                         max(P - 1, 0) + n)
+        y = jnp.tile(y, (args.batch, 1, 1))
+
     key = jax.random.PRNGKey(args.seed)
-    fn = generate_naive if args.naive else generate_auto
     t0 = time.perf_counter()
-    toks = fn(params, cfg, key, num_samples=n, batch=args.batch,
-              prime_tokens=prime_tokens, temperature=args.temperature)
+    if args.naive:
+        toks = generate_naive(params, cfg, key, num_samples=n,
+                              batch=args.batch, prime_tokens=prime_tokens,
+                              temperature=args.temperature)
+    else:
+        toks = generate_auto(params, cfg, key, num_samples=n,
+                             batch=args.batch, prime_tokens=prime_tokens,
+                             y=y, temperature=args.temperature)
     jax.block_until_ready(toks)
     dt = time.perf_counter() - t0
     sps = n * args.batch / dt

@@ -59,7 +59,13 @@ def build_config(args):
         kw["learning_rate"] = args.lr
     for ov in args.override:
         k, v = ov.split("=", 1)
-        kw[k] = json.loads(v)
+        val = json.loads(v)
+        if k == "mel" and isinstance(val, dict):
+            from wavenet_tpu.config import MelConfig
+            if "upsample_factors" in val:
+                val["upsample_factors"] = tuple(val["upsample_factors"])
+            val = MelConfig(**val)
+        kw[k] = val
     return cfg.replace(**kw) if kw else cfg
 
 
