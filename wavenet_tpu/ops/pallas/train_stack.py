@@ -181,12 +181,16 @@ def _fwd_kernel(cfg: WaveNetConfig, TT: int, dils, has_cond: bool, *refs):
         # stores (both found by hardware-vs-interpret bisects).
         xbuf[maxd:] = x_b.astype(jnp.float32)
         xbuf[maxd - pad:maxd] = rings[off:off + pad].astype(jnp.float32)
-        # xp via an aligned full-buffer load + roll: BOTH misaligned vector
+        # xp via an aligned WINDOWED load + roll: BOTH misaligned vector
         # slices and misaligned ref loads of nonzero data miscompile under
-        # Mosaic (three hardware-vs-interpret bisects).  The buffer is f32
-        # because tpu.dynamic_rotate only handles 32-bit lanes; values are
+        # Mosaic (three hardware-vs-interpret bisects), so the load starts
+        # at the 8-aligned offset maxd-pad and rolls only pad+TT rows (the
+        # full-buffer roll wasted ~40% of the kernels' shuffle work on the
+        # small preset, measured).  The buffer is f32 because
+        # tpu.dynamic_rotate only handles 32-bit lanes; values are
         # bf16-representable so the round-trip is exact.
-        xp = pltpu.roll(xbuf[:], TT + d, 0)[:TT].astype(jnp.bfloat16)
+        xp = pltpu.roll(xbuf[maxd - pad:maxd + TT], (TT + d) % (pad + TT),
+                        0)[:TT].astype(jnp.bfloat16)
         rings[off:off + pad] = xbuf[maxd + TT - pad:maxd + TT
                                     ].astype(jnp.bfloat16)
         # MXU K-fusion: one [TT, 2R] @ [2R, 2R] matmul instead of two
@@ -261,7 +265,8 @@ def _bwd_kernel(cfg: WaveNetConfig, TT: int, nT: int, dils,
         xbuf[maxd:] = x_b.astype(jnp.float32)
         xbuf[maxd - pad:maxd] = snaps_ref[0, 0, off:off + pad
                                           ].astype(jnp.float32)
-        xp = pltpu.roll(xbuf[:], TT + d, 0)[:TT].astype(jnp.bfloat16)
+        xp = pltpu.roll(xbuf[maxd - pad:maxd + TT], (TT + d) % (pad + TT),
+                        0)[:TT].astype(jnp.bfloat16)
         z = (jnp.dot(jnp.concatenate([x_b, xp], axis=1), wz_ref[li],
                      preferred_element_type=jnp.float32)
              + b_ref[li])
@@ -290,7 +295,8 @@ def _bwd_kernel(cfg: WaveNetConfig, TT: int, nT: int, dils,
         xbuf[maxd:] = x_lb16.astype(jnp.float32)
         xbuf[maxd - pad:maxd] = snaps_ref[0, 0, off:off + pad
                                           ].astype(jnp.float32)
-        xp_l = pltpu.roll(xbuf[:], TT + d, 0)[:TT].astype(jnp.bfloat16)
+        xp_l = pltpu.roll(xbuf[maxd - pad:maxd + TT], (TT + d) % (pad + TT),
+                          0)[:TT].astype(jnp.bfloat16)
         xcat = jnp.concatenate([x_lb16, xp_l], axis=1)       # [TT, 2R] bf16
         z = (jnp.dot(xcat, wz_ref[li], preferred_element_type=jnp.float32)
              + b_ref[li])
@@ -325,7 +331,7 @@ def _bwd_kernel(cfg: WaveNetConfig, TT: int, nT: int, dils,
         # rows s >= TT-d come from the LATER tile's dprev head (dz ring)
         dbuf[:TT] = dprev
         dbuf[TT:TT + pad] = dz_rings[off:off + pad]
-        shifted = pltpu.roll(dbuf[:], TT + maxd - d, 0)[:TT]
+        shifted = pltpu.roll(dbuf[:TT + pad], TT + pad - d, 0)[:TT]
         dz_rings[off:off + pad] = dbuf[:pad]     # head of dprev, aligned
 
         dx = dx + dboth[:, :R] + shifted
