@@ -97,7 +97,8 @@ def main(argv=None):
     def run_chunk(n):
         m = tr.run(n, log_every=args.log_every,
                    checkpoint_every=args.ckpt_every if args.ckpt else None,
-                   log_fn=log_fn)
+                   log_fn=log_fn,
+                   metrics_fn=mlog.log if mlog else None)
         if mlog:
             mlog.log(int(jax.device_get(tr.state.step)), m)
         return m

@@ -209,8 +209,11 @@ class Trainer:
     # ------------------------------------------------------------------
     def run(self, num_steps: int, log_every: int = 50,
             checkpoint_every: Optional[int] = None,
-            log_fn=print) -> Dict[str, float]:
-        """Train for num_steps; returns final metrics (+ throughput)."""
+            log_fn=print, metrics_fn=None) -> Dict[str, float]:
+        """Train for num_steps; returns final metrics (+ throughput).
+
+        metrics_fn(global_step, dict) is called at every log_every interval
+        with the fetched scalar metrics (JSONL streaming hook)."""
         if num_steps <= 0:
             return {}
         cfg = self.cfg
@@ -248,6 +251,8 @@ class Trainer:
                          jax.device_get(metrics).items()}
                     log_fn(f"step {i + 1} "
                            f"loss {m['loss']:.4f} acc {m['accuracy']:.3f}")
+                    if metrics_fn:
+                        metrics_fn(int(jax.device_get(self.state.step)), m)
                 if self.ckpt and checkpoint_every and (i + 1) % checkpoint_every == 0:
                     self.save()
         jax.block_until_ready(self.state.params)
