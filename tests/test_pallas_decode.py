@@ -142,18 +142,30 @@ def test_batch_tiled_equals_single_tile_interpret():
 
     bt, tc = pdec.plan_tiles(cfg, B)
     assert bt == B                               # tiny model: one tile fits
-    import unittest.mock as mock
-    with mock.patch.object(pdec, "plan_tiles",
-                           lambda c, b, tc_hint=2048: (2, 8)):
-        _, sum_d = pdec._ring_offsets(cfg)
-        rings = jnp.zeros((sum_d, cfg.residual_channels, B), jnp.bfloat16)
-        init = jnp.concatenate([token0[:, None],
-                                jnp.zeros((B, 1), jnp.int32)], 1)
-        toks, _, carry = pdec.decode_chunk(
-            params, cfg, rings, init, jnp.int32(0), jnp.int32(0), N,
-            temperature=0.0, interpret=True)
+    _, sum_d = pdec._ring_offsets(cfg)
+    rings = jnp.zeros((sum_d, cfg.residual_channels, B), jnp.bfloat16)
+    init = jnp.concatenate([token0[:, None],
+                            jnp.zeros((B, 1), jnp.int32)], 1)
+    toks, _, carry = pdec.decode_chunk(
+        params, cfg, rings, init, jnp.int32(0), jnp.int32(0), N,
+        temperature=0.0, interpret=True, force_tiles=(2, 8))
     np.testing.assert_array_equal(np.asarray(toks), ref)
     np.testing.assert_array_equal(np.asarray(carry)[:, 0], ref[:, -1])
+
+
+def test_batch_tiled_sampling_matches_untiled_interpret():
+    """Sampled tokens must be IDENTICAL tiled vs untiled: the counter RNG is
+    keyed by the global batch index (SMEM col0), not the tile-local lane."""
+    cfg = cfg_()
+    params = wn.init_params(cfg, jax.random.PRNGKey(0))
+    B, N = 8, 24
+    key = jax.random.PRNGKey(11)
+    ref = pdec.generate_pallas(params, cfg, key, num_samples=N, batch=B,
+                               temperature=1.0, interpret=True)
+    got = pdec.generate_pallas(params, cfg, key, num_samples=N, batch=B,
+                               temperature=1.0, interpret=True,
+                               force_tiles=(2, 8))
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
 
 
 def test_conditional_decode_matches_xla_interpret():

@@ -29,6 +29,19 @@ def test_overfit_single_clip():
     assert m["audio_seconds_per_sec"] > 0
 
 
+def test_metrics_fn_hook():
+    """Trainer.run streams per-log_every metrics to metrics_fn (the JSONL
+    hook train.py wires to MetricsLogger)."""
+    cfg = micro_cfg()
+    ds = AudioDataset.synthetic(cfg, num_clips=1, clip_seconds=0.1)
+    tr = Trainer(cfg, ds)
+    seen = []
+    tr.run(num_steps=7, log_every=2, log_fn=lambda _: None,
+           metrics_fn=lambda step, m: seen.append((step, m)))
+    assert [s for s, _ in seen] == [1, 3, 5]        # intervals before final
+    assert all(np.isfinite(m["loss"]) for _, m in seen)
+
+
 def test_deterministic_iterator():
     cfg = micro_cfg()
     ds = AudioDataset.synthetic(cfg, num_clips=3)

@@ -109,20 +109,19 @@ def _decode_cfg(**kw):
 
 def check_decode(name, cfg, batch, num_steps, y=None, prime=None,
                  temperature=0.0, force_tiles=None):
+    # force_tiles is a STATIC jit arg of decode_chunk — monkeypatching
+    # plan_tiles instead silently hits the jit cache of the un-tiled call
+    # (same static signature) and never exercises the tiling.
     p = wn.init_params(cfg, jax.random.PRNGKey(0))
     key = jax.random.PRNGKey(3)
-    orig = pdec.plan_tiles
-    if force_tiles:
-        pdec.plan_tiles = lambda c, b, tc_hint=2048: force_tiles
-    try:
-        hw = pdec.generate_pallas(p, cfg, key, num_steps, batch=batch,
-                                  y=y, prime_tokens=prime,
-                                  temperature=temperature)
-        it = pdec.generate_pallas(p, cfg, key, num_steps, batch=batch,
-                                  y=y, prime_tokens=prime,
-                                  temperature=temperature, interpret=True)
-    finally:
-        pdec.plan_tiles = orig
+    hw = pdec.generate_pallas(p, cfg, key, num_steps, batch=batch,
+                              y=y, prime_tokens=prime,
+                              temperature=temperature,
+                              force_tiles=force_tiles)
+    it = pdec.generate_pallas(p, cfg, key, num_steps, batch=batch,
+                              y=y, prime_tokens=prime,
+                              temperature=temperature, interpret=True,
+                              force_tiles=force_tiles)
     ok, d = same(hw, it)
     report(name, ok, d)
 

@@ -14,12 +14,13 @@ sampling — runs inside a single `pallas_call`:
     indexed at t mod d with static per-layer offsets.  The ring axis leads so
     every access is a leading-axis dynamic index (Mosaic lowers middle-axis
     stores of reshaped vectors poorly);
-  * the grid is (batch_tiles, time_chunks): the BATCH axis tiles on lanes so
-    any batch size runs in-kernel (each tile's rings + working set fit VMEM,
-    weights are revisited across tiles — round-1 capped out at B=32), and
-    the TIME axis streams per-chunk blocks (sampled-token output and, when
-    conditioning, the upsampled mel features) through Pallas' double-buffered
-    pipeline, so total sample count is no longer VMEM-bound;
+  * batch tiles as SEPARATE kernel launches inside one jit (Mosaic rejects
+    lane-axis blocks that are neither 128-divisible nor the full dim, so
+    batch CANNOT tile on the pallas grid); each launch's rings + working set
+    fit VMEM so any batch size runs in-kernel — round-1 capped out at B=32.
+    The TIME axis is the pallas grid: it streams per-chunk blocks (sampled-
+    token output and, when conditioning, the upsampled mel features) through
+    Pallas' double-buffered pipeline, so sample count is not VMEM-bound;
   * local conditioning (WaveNet paper eq.3) runs IN-KERNEL: the upsampled
     features y stream in as [TC, M, Bt] time blocks and each layer adds
     v_cond[l] @ y_t on the MXU — the conditional vocoder (BASELINE config 5)
@@ -138,14 +139,14 @@ def _decode_kernel(cfg: WaveNetConfig, TC: int, nTC: int, B_total: int,
                    temperature: float, num_forced: int, has_cond: bool,
                    *refs):
     if has_cond:
-        (seed_ref, t0_ref, tokens_init_ref, forced_ref,
+        (seed_ref, t0_ref, col0_ref, tokens_init_ref, forced_ref,
          ecur_ref, eprev_ref, wcur_ref, wprev_ref, b_ref,
          wres_ref, bres_ref, wskip_ref, bskip_ref,
          hw1_ref, hb1_ref, hw2_ref, hb2_ref,
          y_ref, vcond_ref, rings_in_ref,
          tokens_out_ref, rings_ref, carry_out_ref, carry_scr) = refs
     else:
-        (seed_ref, t0_ref, tokens_init_ref, forced_ref,
+        (seed_ref, t0_ref, col0_ref, tokens_init_ref, forced_ref,
          ecur_ref, eprev_ref, wcur_ref, wprev_ref, b_ref,
          wres_ref, bres_ref, wskip_ref, bskip_ref,
          hw1_ref, hb1_ref, hw2_ref, hb2_ref,
@@ -158,11 +159,10 @@ def _decode_kernel(cfg: WaveNetConfig, TC: int, nTC: int, B_total: int,
     Bt = tokens_init_ref.shape[1]
     dils = cfg.dilations
     offs, _ = _ring_offsets(cfg)
-    i_b = pl.program_id(0)
-    j = pl.program_id(1)
+    j = pl.program_id(0)                         # time-chunk grid only
     t0 = t0_ref[0] + j * TC                      # global step of this block
 
-    @pl.when(j == 0)                             # new batch tile
+    @pl.when(j == 0)                             # first chunk of this launch
     def _():
         rings_ref[:] = rings_in_ref[:]
         carry_scr[0:2, :] = tokens_init_ref[0:2, :]
@@ -225,7 +225,7 @@ def _decode_kernel(cfg: WaveNetConfig, TC: int, nTC: int, B_total: int,
 
         if temperature > 0:                      # static: 0 => greedy decode
             u = _counter_rng_uniform(seed_ref[0], t0 + t, (Q, Bt),
-                                     i_b * Bt, B_total)
+                                     col0_ref[0], B_total)
             gumbel = -jnp.log(-jnp.log(u))
             scores = logits * (1.0 / temperature) + gumbel
         else:
@@ -285,12 +285,13 @@ def _flatten_params(params, cfg: WaveNetConfig):
 
 @functools.partial(jax.jit, static_argnames=("cfg", "num_steps",
                                              "temperature", "interpret",
-                                             "tc_hint"))
+                                             "tc_hint", "force_tiles"))
 def decode_chunk(params, cfg: WaveNetConfig, rings: jax.Array,
                  tokens_init: jax.Array, t0: jax.Array, seed: jax.Array,
                  num_steps: int,
                  temperature: float = 1.0, interpret: bool = False,
-                 forced=None, y=None, tc_hint: int = 2048):
+                 forced=None, y=None, tc_hint: int = 2048,
+                 force_tiles: Optional[Tuple[int, int]] = None):
     """Generate `num_steps` tokens in one kernel launch over the
     (batch_tiles, time_chunks) grid.
 
@@ -309,7 +310,7 @@ def decode_chunk(params, cfg: WaveNetConfig, rings: jax.Array,
     has_cond = y is not None
     if has_cond and cfg.mel is None:
         raise ValueError("y passed but cfg.mel is None")
-    Bt, TC = plan_tiles(cfg, B, tc_hint)
+    Bt, TC = force_tiles or plan_tiles(cfg, B, tc_hint)
     if not Bt:
         raise ValueError("model too large for the VMEM-resident decode "
                          "kernel; use models.wavenet.generate")
@@ -325,58 +326,79 @@ def decode_chunk(params, cfg: WaveNetConfig, rings: jax.Array,
     kernel = functools.partial(_decode_kernel, cfg, TC, nTC, B, temperature,
                                num_forced, has_cond)
 
-    lane = lambda i, j: (0, i)                   # batch-tiled lane blocks
+    # Batch tiles are SEPARATE launches: Mosaic requires lane-axis blocks to
+    # be 128-divisible or the whole dim, so (X, B)->(X, Bt) grid blocking
+    # cannot lower whenever Bt < B (bisected on hardware at B=64/Bt=32).
+    # Each launch sees its full [*, Bt] tile; the global batch offset rides
+    # in SMEM so the counter RNG draws tile-independent noise.
+    full = lambda j: (0, 0)
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),               # seed
         pl.BlockSpec(memory_space=pltpu.SMEM),               # t0
-        pl.BlockSpec((2, Bt), lane, memory_space=pltpu.VMEM),
-        pl.BlockSpec((Pf, Bt), lane, memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),               # col0
+        pl.BlockSpec((2, Bt), full, memory_space=pltpu.VMEM),
+        pl.BlockSpec((Pf, Bt), full, memory_space=pltpu.VMEM),
     ]
-    in_specs += [pl.BlockSpec(o.shape, (lambda i, j, nd=o.ndim: (0,) * nd),
+    in_specs += [pl.BlockSpec(o.shape, (lambda j, nd=o.ndim: (0,) * nd),
                               memory_space=pltpu.VMEM) for o in ops]
-    operands = [jnp.asarray(seed, jnp.int32).reshape(1),
-                jnp.asarray(t0, jnp.int32).reshape(1),
-                tokens_init.T, forced_t, *ops]
     if has_cond:
         M = cfg.mel.num_mels
         y_k = jnp.moveaxis(y, 0, 2).astype(jnp.bfloat16)     # [T, M, B]
         vck = jnp.swapaxes(params["v_cond"].reshape(
             cfg.num_layers, M, 2 * R), 1, 2).astype(jnp.bfloat16)
         in_specs += [
-            pl.BlockSpec((TC, M, Bt), lambda i, j: (j, 0, i),
+            pl.BlockSpec((TC, M, Bt), lambda j: (j, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(vck.shape, lambda i, j: (0, 0, 0),
+            pl.BlockSpec(vck.shape, lambda j: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ]
-        operands += [y_k, vck]
-    in_specs.append(pl.BlockSpec((sum_d, R, Bt), lambda i, j: (0, 0, i),
+    in_specs.append(pl.BlockSpec((sum_d, R, Bt), lambda j: (0, 0, 0),
                                  memory_space=pltpu.VMEM))
-    operands.append(rings)
-    n_in = len(operands)
+    n_in = len(in_specs)
 
-    tokens_t, rings_out, carry_t = pl.pallas_call(
+    call = pl.pallas_call(
         kernel,
-        grid=(nB, nTC),
+        grid=(nTC,),
         out_shape=(
-            jax.ShapeDtypeStruct((num_steps, B), jnp.int32),
-            jax.ShapeDtypeStruct((sum_d, R, B), jnp.bfloat16),
-            jax.ShapeDtypeStruct((2, B), jnp.int32),
+            jax.ShapeDtypeStruct((num_steps, Bt), jnp.int32),
+            jax.ShapeDtypeStruct((sum_d, R, Bt), jnp.bfloat16),
+            jax.ShapeDtypeStruct((2, Bt), jnp.int32),
         ),
         in_specs=in_specs,
         out_specs=(
-            pl.BlockSpec((TC, Bt), lambda i, j: (j, i),
+            pl.BlockSpec((TC, Bt), lambda j: (j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((sum_d, R, Bt), lambda i, j: (0, 0, i),
+            pl.BlockSpec((sum_d, R, Bt), lambda j: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, Bt), lane, memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, Bt), full, memory_space=pltpu.VMEM),
         ),
         input_output_aliases={n_in - 1: 1},                  # rings in -> out
         scratch_shapes=[pltpu.VMEM((8, Bt), jnp.int32)],     # token carry
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary"),
+            dimension_semantics=("arbitrary",),
             vmem_limit_bytes=VMEM_BUDGET + 2 * 1024 * 1024),
         interpret=interpret,
-    )(*operands)
+    )
+    seed_op = jnp.asarray(seed, jnp.int32).reshape(1)
+    t0_op = jnp.asarray(t0, jnp.int32).reshape(1)
+    ti_t = tokens_init.T
+    toks_tiles, rings_tiles, carry_tiles = [], [], []
+    for i in range(nB):
+        sl = slice(i * Bt, (i + 1) * Bt)
+        tile_ops = [seed_op, t0_op, jnp.full((1,), i * Bt, jnp.int32),
+                    ti_t[:, sl], forced_t[:, sl], *ops]
+        if has_cond:
+            tile_ops += [y_k[:, :, sl], vck]
+        tile_ops.append(rings[:, :, sl])
+        tt, rt, ct = call(*tile_ops)
+        toks_tiles.append(tt)
+        rings_tiles.append(rt)
+        carry_tiles.append(ct)
+    tokens_t = jnp.concatenate(toks_tiles, axis=1) if nB > 1 else toks_tiles[0]
+    rings_out = (jnp.concatenate(rings_tiles, axis=2) if nB > 1
+                 else rings_tiles[0])
+    carry_t = (jnp.concatenate(carry_tiles, axis=1) if nB > 1
+               else carry_tiles[0])
     return tokens_t.T, rings_out, carry_t.T
 
 
@@ -384,12 +406,15 @@ def generate_pallas(params, cfg: WaveNetConfig, key: jax.Array,
                     num_samples: int, batch: int = 1,
                     prime_tokens=None, y=None,
                     temperature: float = 1.0,
-                    chunk: int = 2048, interpret: bool = False) -> jax.Array:
+                    chunk: int = 2048, interpret: bool = False,
+                    force_tiles: Optional[Tuple[int, int]] = None
+                    ) -> jax.Array:
     """Drop-in fast generation via the whole-loop kernel.  Supports
     teacher-forced priming (prime_tokens [B, P]) and local conditioning
     (y [B, T>=steps, M] upsampled mel features); callers should check
     fits_vmem() and fall back to models.wavenet.generate otherwise.
-    `chunk` is the time-grid block hint (compile-relevant only)."""
+    `chunk` is the time-grid block hint (compile-relevant only);
+    `force_tiles` overrides the (batch_tile, time_chunk) plan (tests)."""
     if not fits_vmem(cfg, batch):
         raise ValueError("model/batch too large for the VMEM-resident decode "
                          "kernel; use models.wavenet.generate")
@@ -415,5 +440,6 @@ def generate_pallas(params, cfg: WaveNetConfig, key: jax.Array,
     toks, _, _ = decode_chunk(params, cfg, rings, carry, jnp.int32(0), seed,
                               total, temperature, interpret=interpret,
                               forced=prime_tokens, y=y,
-                              tc_hint=min(chunk, 2048))
+                              tc_hint=min(chunk, 2048),
+                              force_tiles=force_tiles)
     return toks[:, max(P - 1, 0):]
