@@ -175,24 +175,30 @@ def _fwd_kernel(cfg: WaveNetConfig, TT: int, dils, has_cond: bool, *refs):
     for li, (d, off) in enumerate(zip(dils, offs)):
         pad = _pad8(d)
         x_b = x.astype(jnp.bfloat16)
-        # Causal shift via scratch window.  ALL stores are 8-row aligned
-        # (padded ring regions); only loads use misaligned offsets — Mosaic
-        # miscompiles misaligned vector slices AND misaligned-destination
-        # stores (both found by hardware-vs-interpret bisects).
-        xbuf[maxd:] = x_b.astype(jnp.float32)
-        xbuf[maxd - pad:maxd] = rings[off:off + pad].astype(jnp.float32)
-        # xp via an aligned WINDOWED load + roll: BOTH misaligned vector
-        # slices and misaligned ref loads of nonzero data miscompile under
-        # Mosaic (three hardware-vs-interpret bisects), so the load starts
-        # at the 8-aligned offset maxd-pad and rolls only pad+TT rows (the
-        # full-buffer roll wasted ~40% of the kernels' shuffle work on the
-        # small preset, measured).  The buffer is f32 because
-        # tpu.dynamic_rotate only handles 32-bit lanes; values are
-        # bf16-representable so the round-trip is exact.
-        xp = pltpu.roll(xbuf[maxd - pad:maxd + TT], (TT + d) % (pad + TT),
-                        0)[:TT].astype(jnp.bfloat16)
-        rings[off:off + pad] = xbuf[maxd + TT - pad:maxd + TT
-                                    ].astype(jnp.bfloat16)
+        # Causal shift.  Two Mosaic-safe recipes by dilation:
+        #   d >= 8 (pad == d): every boundary is 8-row aligned, so the shift
+        #     is a plain aligned concat of the ring region and x_b[:TT-d] —
+        #     no scratch buffer, no roll, no f32 round-trip (the roll amount
+        #     (TT+d) % (pad+TT) is literally 0 here; the old path paid a
+        #     2x(TT+pad)-row f32 copy per layer for a no-op rotate).
+        #   d < 8: boundaries are misaligned, and Mosaic miscompiles BOTH
+        #     misaligned vector slices and misaligned ref loads of nonzero
+        #     data (three hardware-vs-interpret bisects) — go through the
+        #     aligned scratch window + pltpu.roll.  The buffer is f32
+        #     because tpu.dynamic_rotate only handles 32-bit lanes; values
+        #     are bf16-representable so the round-trip is exact.
+        if d >= 8:
+            ring_rows = rings[off:off + d]                   # [d, R] bf16
+            xp = (ring_rows if d == TT else
+                  jnp.concatenate([ring_rows, x_b[:TT - d]], axis=0))
+            rings[off:off + d] = x_b[TT - d:]
+        else:
+            xbuf[maxd:] = x_b.astype(jnp.float32)
+            xbuf[maxd - pad:maxd] = rings[off:off + pad].astype(jnp.float32)
+            xp = pltpu.roll(xbuf[maxd - pad:maxd + TT],
+                            (TT + d) % (pad + TT), 0)[:TT].astype(jnp.bfloat16)
+            rings[off:off + pad] = xbuf[maxd + TT - pad:maxd + TT
+                                        ].astype(jnp.bfloat16)
         # MXU K-fusion: one [TT, 2R] @ [2R, 2R] matmul instead of two
         # K=R halves — doubles MXU K-occupancy for R < 128 configs (the
         # lane-axis concat/slice patterns are hw-vs-interpret verified by
@@ -262,11 +268,18 @@ def _bwd_kernel(cfg: WaveNetConfig, TT: int, nT: int, dils,
     for li, (d, off) in enumerate(zip(dils, offs)):
         pad = _pad8(d)
         x_b = x.astype(jnp.bfloat16)
-        xbuf[maxd:] = x_b.astype(jnp.float32)
-        xbuf[maxd - pad:maxd] = snaps_ref[0, 0, off:off + pad
-                                          ].astype(jnp.float32)
-        xp = pltpu.roll(xbuf[maxd - pad:maxd + TT], (TT + d) % (pad + TT),
-                        0)[:TT].astype(jnp.bfloat16)
+        # causal shift: aligned concat for d >= 8, scratch roll for d < 8
+        # (same two recipes as the forward kernel — see _fwd_kernel)
+        if d >= 8:
+            snap = snaps_ref[0, 0, off:off + d]
+            xp = (snap if d == TT else
+                  jnp.concatenate([snap, x_b[:TT - d]], axis=0))
+        else:
+            xbuf[maxd:] = x_b.astype(jnp.float32)
+            xbuf[maxd - pad:maxd] = snaps_ref[0, 0, off:off + pad
+                                              ].astype(jnp.float32)
+            xp = pltpu.roll(xbuf[maxd - pad:maxd + TT],
+                            (TT + d) % (pad + TT), 0)[:TT].astype(jnp.bfloat16)
         z = (jnp.dot(jnp.concatenate([x_b, xp], axis=1), wz_ref[li],
                      preferred_element_type=jnp.float32)
              + b_ref[li])
@@ -292,11 +305,17 @@ def _bwd_kernel(cfg: WaveNetConfig, TT: int, nT: int, dils,
         d, off = dils[li], offs[li]
         pad = _pad8(d)
         x_lb16 = xs[li]                          # bf16, as the fwd consumed
-        xbuf[maxd:] = x_lb16.astype(jnp.float32)
-        xbuf[maxd - pad:maxd] = snaps_ref[0, 0, off:off + pad
-                                          ].astype(jnp.float32)
-        xp_l = pltpu.roll(xbuf[maxd - pad:maxd + TT], (TT + d) % (pad + TT),
-                          0)[:TT].astype(jnp.bfloat16)
+        if d >= 8:
+            snap = snaps_ref[0, 0, off:off + d]
+            xp_l = (snap if d == TT else
+                    jnp.concatenate([snap, x_lb16[:TT - d]], axis=0))
+        else:
+            xbuf[maxd:] = x_lb16.astype(jnp.float32)
+            xbuf[maxd - pad:maxd] = snaps_ref[0, 0, off:off + pad
+                                              ].astype(jnp.float32)
+            xp_l = pltpu.roll(xbuf[maxd - pad:maxd + TT],
+                              (TT + d) % (pad + TT),
+                              0)[:TT].astype(jnp.bfloat16)
         xcat = jnp.concatenate([x_lb16, xp_l], axis=1)       # [TT, 2R] bf16
         z = (jnp.dot(xcat, wz_ref[li], preferred_element_type=jnp.float32)
              + b_ref[li])
@@ -327,12 +346,25 @@ def _bwd_kernel(cfg: WaveNetConfig, TT: int, nT: int, dils,
         # fused input cotangent: dz @ wz^T gives [d x_cur | d x_prev]
         dboth = _dg(dz, wz_ref[li].astype(jnp.float32), 1, 1)   # [TT, 2R]
         dprev = dboth[:, R:]
-        # transposed causal shift via scratch window: dx[s] += dprev[s+d];
-        # rows s >= TT-d come from the LATER tile's dprev head (dz ring)
-        dbuf[:TT] = dprev
-        dbuf[TT:TT + pad] = dz_rings[off:off + pad]
-        shifted = pltpu.roll(dbuf[:TT + pad], TT + pad - d, 0)[:TT]
-        dz_rings[off:off + pad] = dbuf[:pad]     # head of dprev, aligned
+        # transposed causal shift: dx[s] += dprev[s+d]; rows s >= TT-d come
+        # from the LATER tile's dprev head (dz ring).  Aligned concat for
+        # d >= 8 (read the ring region BEFORE overwriting it), scratch roll
+        # for d < 8 — same two recipes as the forward shift.
+        if d >= 8:
+            # dprev is a LANE-slice of the matmul output (offset R): Mosaic
+            # rejects concat operands whose layouts disagree in lane offset
+            # ("result/input offset mismatch on non-concat dimension", found
+            # by the FS bisect) — a store/load through dbuf renormalizes it.
+            dbuf[:TT] = dprev
+            ring_rows = dz_rings[off:off + d]                # [d, R] f32
+            shifted = (ring_rows if d == TT else
+                       jnp.concatenate([dbuf[d:TT], ring_rows], axis=0))
+            dz_rings[off:off + d] = dbuf[:d]
+        else:
+            dbuf[:TT] = dprev
+            dbuf[TT:TT + pad] = dz_rings[off:off + pad]
+            shifted = pltpu.roll(dbuf[:TT + pad], TT + pad - d, 0)[:TT]
+            dz_rings[off:off + pad] = dbuf[:pad]  # head of dprev, aligned
 
         dx = dx + dboth[:, :R] + shifted
 
