@@ -85,11 +85,19 @@ def make_train_step(cfg: WaveNetConfig, tx: optax.GradientTransformation,
 
     # fused Pallas stack: TPU backend + fits VMEM.  model_parallel > 1 runs
     # the fused path as a layer PIPELINE over the model axis (params layer-
-    # sharded; parallel/pipeline.py); seq_parallel stays on the XLA scan.
+    # sharded; parallel/pipeline.py); seq_parallel > 1 runs it via
+    # OVERLAP-DISCARD (each shard halos the embedded input by the receptive
+    # field and discards the warmup outputs; parallel/seqpar.py).
     # Under plain data parallelism the loss runs through a shard_map so the
     # kernel sees a fully-local batch shard (parallel/dataparallel.py).
     from wavenet_tpu.ops.pallas import train_stack
     use_pp = use_pipeline(cfg)
+    use_sp_fused = False
+    if use_sp and cfg.fused_stack and cfg.model_parallel == 1 \
+            and jax.default_backend() != "cpu":
+        from wavenet_tpu.parallel import seqpar
+        use_sp_fused = seqpar.sp_fused_supported(cfg, cfg.train_window,
+                                                 cfg.seq_parallel)
     use_fused = (cfg.fused_stack
                  and not use_sp and cfg.model_parallel == 1
                  and jax.default_backend() != "cpu"
@@ -111,9 +119,10 @@ def make_train_step(cfg: WaveNetConfig, tx: optax.GradientTransformation,
             if use_sp:
                 from wavenet_tpu.parallel import seqpar
                 toks = batch["tokens"]
-                return seqpar.loss_fn_sp(p, cfg, mesh,
-                                         toks[:, :-1], toks[:, 1:],
-                                         mel=batch.get("mel"))
+                sp_loss = (seqpar.loss_fn_sp_fused if use_sp_fused
+                           else seqpar.loss_fn_sp)
+                return sp_loss(p, cfg, mesh, toks[:, :-1], toks[:, 1:],
+                               mel=batch.get("mel"))
             if use_dp_map:
                 from wavenet_tpu.parallel import dataparallel
                 return dataparallel.loss_fn_dp(p, cfg, mesh,
