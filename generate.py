@@ -32,6 +32,10 @@ def parse_args(argv=None):
                         "and generate conditioned on them (requires a "
                         "conditional checkpoint; overrides --seconds with "
                         "the reference length)")
+    p.add_argument("--speaker", type=int, default=None,
+                   help="global-conditioning class id (requires a checkpoint "
+                        "trained with global_classes); applied to every "
+                        "batch row")
     p.add_argument("--naive", action="store_true",
                    help="use the O(RF)/sample reference algorithm instead of "
                         "the cached-queue fast decoder")
@@ -75,16 +79,27 @@ def main(argv=None):
                          max(P - 1, 0) + n)
         y = jnp.tile(y, (args.batch, 1, 1))
 
+    speaker = None
+    if cfg.global_classes is not None:
+        sid = args.speaker if args.speaker is not None else 0
+        if not 0 <= sid < cfg.global_classes:
+            sys.exit(f"--speaker must be in [0, {cfg.global_classes})")
+        speaker = jnp.full((args.batch,), sid, jnp.int32)
+    elif args.speaker is not None:
+        sys.exit("--speaker requires a global_classes checkpoint")
+
     key = jax.random.PRNGKey(args.seed)
     t0 = time.perf_counter()
     if args.naive:
         toks = generate_naive(params, cfg, key, num_samples=n,
                               batch=args.batch, prime_tokens=prime_tokens,
+                              speaker=speaker,
                               temperature=args.temperature)
     else:
         toks = generate_auto(params, cfg, key, num_samples=n,
                              batch=args.batch, prime_tokens=prime_tokens,
-                             y=y, temperature=args.temperature)
+                             y=y, speaker=speaker,
+                             temperature=args.temperature)
     jax.block_until_ready(toks)
     dt = time.perf_counter() - t0
     sps = n * args.batch / dt

@@ -1,0 +1,242 @@
+"""Global conditioning (paper arXiv:1609.03499 §2.5 eq.2) tests.
+
+A per-utterance class id (e.g. speaker) is embedded and projected into every
+layer's gate as a time-constant offset.  Covered here:
+
+  * model semantics: the offset actually changes the distribution and equals
+    a hand-computed oracle application;
+  * fused-kernel equivalence (interpret mode): loss + ALL gradients,
+    including g_embed / v_global cotangents through the in-kernel offset;
+  * decode equivalence: teacher-forced fast-queue decode logits == full
+    forward logits with the same speaker ids;
+  * data-parallel path: sharded loss/grads == single-device (CPU mesh);
+  * trainer end-to-end smoke with the dataset emitting speaker ids.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from wavenet_tpu.config import WaveNetConfig
+from wavenet_tpu.models import wavenet as wn
+
+
+def cfg_(**kw):
+    base = dict(num_blocks=2, max_dilation=8, residual_channels=16,
+                skip_channels=16, compute_dtype="bfloat16",
+                global_classes=4, global_channels=8)
+    base.update(kw)
+    return WaveNetConfig(**base)
+
+
+def test_speaker_changes_logits_and_matches_manual_offset():
+    cfg = cfg_()
+    p = wn.init_params(cfg, jax.random.PRNGKey(0))
+    toks = jax.random.randint(jax.random.PRNGKey(1), (2, 64), 0, 256)
+    s0 = jnp.zeros((2,), jnp.int32)
+    s1 = jnp.ones((2,), jnp.int32)
+    l0 = wn.forward_logits(p, cfg, toks, speaker=s0)
+    l1 = wn.forward_logits(p, cfg, toks, speaker=s1)
+    assert not np.allclose(np.asarray(l0), np.asarray(l1))
+
+    # offsets are einsum(g_embed[s], v_global): verify the helper directly
+    g = wn.global_cond_offsets(p, cfg, s1)
+    L, R = cfg.num_layers, cfg.residual_channels
+    want = np.einsum(
+        "bg,lgwr->lbwr",
+        np.asarray(p["g_embed"], np.float32)[np.asarray(s1)].astype(np.float32),
+        np.asarray(p["v_global"], np.float32))
+    # bf16 operands in the helper vs f32 oracle: band at bf16 ulp levels
+    np.testing.assert_allclose(np.asarray(g), want, rtol=2e-2, atol=1e-3)
+    assert g.shape == (L, 2, 2, R)
+
+
+def test_missing_speaker_raises():
+    cfg = cfg_()
+    p = wn.init_params(cfg, jax.random.PRNGKey(0))
+    toks = jnp.zeros((1, 64), jnp.int32)
+    with pytest.raises(ValueError, match="speaker"):
+        wn.forward_logits(p, cfg, toks)
+    with pytest.raises(ValueError, match="speaker"):
+        wn.generate(p, cfg, jax.random.PRNGKey(0), 8)
+
+
+def oracle_skip_gc(params, cfg, x, g):
+    """Pure-jnp mirror of the kernel recipe (f32 carry, bf16 MXU inputs)
+    with the per-layer global gate offset g [L, B, 2, R] added — the same
+    oracle style as tests/test_pallas_train.py."""
+    L, R = cfg.num_layers, cfg.residual_channels
+    bf = jnp.bfloat16
+    x = x.astype(jnp.float32)
+    skip = jnp.zeros(x.shape[:-1] + (cfg.skip_channels,), jnp.float32)
+    for l in range(L):
+        d = cfg.dilations[l]
+        xb = x.astype(bf)
+        xp = jnp.pad(xb, ((0, 0), (d, 0), (0, 0)))[:, :x.shape[1]]
+        z = (jnp.dot(xb, params["w_cur"][l].reshape(R, 2 * R).astype(bf),
+                     preferred_element_type=jnp.float32)
+             + jnp.dot(xp, params["w_prev"][l].reshape(R, 2 * R).astype(bf),
+                       preferred_element_type=jnp.float32)
+             + params["b"][l].reshape(2 * R).astype(jnp.float32))
+        z = z + g[l].reshape(-1, 1, 2 * R)       # [B, 1, 2R] over time
+        h = (jnp.tanh(z[..., :R]) * jax.nn.sigmoid(z[..., R:])).astype(bf)
+        skip = (skip + jnp.dot(h, params["w_skip"][l].astype(bf),
+                               preferred_element_type=jnp.float32)
+                + params["b_skip"][l].astype(jnp.float32))
+        x = x + (jnp.dot(h, params["w_res"][l].astype(bf),
+                         preferred_element_type=jnp.float32)
+                 + params["b_res"][l].astype(jnp.float32))
+    return skip
+
+
+def test_fused_matches_oracle_and_scan_loss():
+    """Fused kernels (interpret) with global conditioning: tight gradient
+    match against the recipe oracle — g_embed/v_global cotangents through
+    the in-kernel offset included — plus scan-path loss closeness."""
+    cfg = cfg_()
+    from wavenet_tpu.ops.pallas.train_stack import forward_skip_fused
+    p = wn.init_params(cfg, jax.random.PRNGKey(0))
+    toks = jax.random.randint(jax.random.PRNGKey(1), (2, 64), 0, 256)
+    sp = jnp.asarray([1, 3], jnp.int32)
+    tgt = jax.random.normal(jax.random.PRNGKey(2), (2, 64, 16))
+
+    def loss_with(stack_fn, p):
+        prev = jnp.pad(toks[:, :-1], ((0, 0), (1, 0)))
+        x = wn.embed_tokens(p, cfg, toks, prev)
+        g = wn.global_cond_offsets(p, cfg, sp)
+        return jnp.mean((stack_fn(p, x, g) - tgt) ** 2)
+
+    ref_l, ref_g = jax.value_and_grad(lambda p: loss_with(
+        lambda p, x, g: oracle_skip_gc(p, cfg, x, g), p))(p)
+    fus_l, fus_g = jax.value_and_grad(lambda p: loss_with(
+        lambda p, x, g: forward_skip_fused(p, cfg, x, interpret=True, g=g),
+        p))(p)
+    np.testing.assert_allclose(float(fus_l), float(ref_l), rtol=2e-3)
+    for (ka, a), (kb, b) in zip(
+            jax.tree_util.tree_flatten_with_path(ref_g)[0],
+            jax.tree_util.tree_flatten_with_path(fus_g)[0]):
+        a, b = np.asarray(a, np.float32), np.asarray(b, np.float32)
+        scale = max(np.abs(a).max(), 1e-3)
+        np.testing.assert_allclose(b / scale, a / scale, atol=0.02,
+                                   err_msg=str(ka))
+    # the global-conditioning params actually receive gradient
+    assert np.abs(np.asarray(fus_g["g_embed"], np.float32)).max() > 0
+    assert np.abs(np.asarray(fus_g["v_global"], np.float32)).max() > 0
+
+    # scan-path sanity: losses close (fused vs scan precision recipes)
+    toks65 = jax.random.randint(jax.random.PRNGKey(3), (2, 65), 0, 256)
+    ref2 = wn.loss_fn(p, cfg, toks65, speaker=sp)[0]
+    got2 = wn.loss_fn(p, cfg, toks65, speaker=sp, use_fused=True,
+                      interpret=True)[0]
+    np.testing.assert_allclose(float(got2), float(ref2), atol=5e-3,
+                               rtol=2e-3)
+
+
+def test_decode_matches_forward():
+    """Teacher-forced fast-queue decode == full-sequence forward, with
+    per-row speaker ids (same gate the training path uses)."""
+    cfg = cfg_()
+    p = wn.init_params(cfg, jax.random.PRNGKey(0))
+    B, T = 2, 40
+    toks = jax.random.randint(jax.random.PRNGKey(1), (B, T), 0, 256)
+    sp = jnp.asarray([0, 2], jnp.int32)
+    full = wn.forward_logits(p, cfg, toks, speaker=sp)     # [B, T, Q]
+
+    gcond = wn.global_cond_offsets(p, cfg, sp)
+    state = wn.decode_init(cfg, B)
+
+    def step(state, tok):
+        state, logits = wn.decode_step(p, cfg, state, tok, gcond=gcond)
+        return state, logits
+
+    _, dec = jax.lax.scan(step, state, jnp.moveaxis(toks, 0, 1))
+    dec = jnp.moveaxis(dec, 0, 1)                          # [B, T, Q]
+    np.testing.assert_allclose(np.asarray(dec), np.asarray(full),
+                               atol=2e-2, rtol=1e-2)
+
+
+def test_generate_with_speaker_runs():
+    cfg = cfg_()
+    p = wn.init_params(cfg, jax.random.PRNGKey(0))
+    sp = jnp.asarray([0, 3], jnp.int32)
+    toks = wn.generate(p, cfg, jax.random.PRNGKey(1), num_samples=16,
+                       batch=2, speaker=sp)
+    assert toks.shape == (2, 16)
+    assert int(toks.min()) >= 0 and int(toks.max()) < 256
+
+
+def test_dataparallel_matches_single_device():
+    from wavenet_tpu.parallel.dataparallel import loss_fn_dp
+    from wavenet_tpu.parallel.mesh import make_mesh
+    cfg = cfg_(data_parallel=4, batch_size=8)
+    mesh = make_mesh(cfg)
+    p = wn.init_params(cfg, jax.random.PRNGKey(0))
+    toks = jax.random.randint(jax.random.PRNGKey(1), (8, 65), 0, 256)
+    sp = jnp.arange(8, dtype=jnp.int32) % cfg.global_classes
+
+    ref_l, ref_g = jax.value_and_grad(
+        lambda p: wn.loss_fn(p, cfg, toks, speaker=sp)[0])(p)
+    with mesh:
+        dp_l, dp_g = jax.jit(jax.value_and_grad(
+            lambda p: loss_fn_dp(p, cfg, mesh, toks, speaker=sp)[0]))(p)
+    np.testing.assert_allclose(float(dp_l), float(ref_l), rtol=1e-5)
+    for (ka, a), (kb, b) in zip(
+            jax.tree_util.tree_flatten_with_path(ref_g)[0],
+            jax.tree_util.tree_flatten_with_path(dp_g)[0]):
+        # per-shard partial sums reassociate the reduction: bf16-noise band
+        np.testing.assert_allclose(np.asarray(b, np.float32),
+                                   np.asarray(a, np.float32),
+                                   atol=3e-5, rtol=2e-2, err_msg=str(ka))
+
+
+def test_trainer_end_to_end_with_speakers():
+    from wavenet_tpu.audio.dataset import AudioDataset
+    from wavenet_tpu.training.trainer import Trainer
+    cfg = cfg_(batch_size=4, train_window=64, sample_rate=4000,
+               learning_rate=2e-3)
+    ds = AudioDataset.synthetic(cfg, num_clips=4, clip_seconds=0.25)
+    assert ds.speakers is not None
+    batch, _ = ds.sample_batch(
+        __import__("wavenet_tpu.audio.dataset",
+                   fromlist=["IteratorState"]).IteratorState(0, 0))
+    assert batch["speaker"].shape == (4,)
+    tr = Trainer(cfg, ds)
+    m = tr.run(3, log_every=0)
+    assert np.isfinite(m["loss"])
+
+
+def test_distributed_decode_with_speaker_matches_single_device():
+    """P3 + global conditioning: the Megatron column-sharded v_global slice
+    yields shard-local gate offsets — sharded tokens must equal the
+    single-device run, and the speaker id must actually matter."""
+    from wavenet_tpu.parallel import distdecode as dd
+    from wavenet_tpu.parallel.mesh import make_mesh
+    cfg = cfg_(compute_dtype="float32", data_parallel=2, model_parallel=2,
+               num_blocks=1, batch_size=4, train_window=128)
+    base = cfg.replace(data_parallel=1, model_parallel=1, seq_parallel=1)
+    mesh = make_mesh(cfg)
+    mesh1 = make_mesh(base, devices=jax.devices()[:1])
+    p = wn.init_params(cfg, jax.random.PRNGKey(0))
+    sp = jnp.asarray([0, 1, 2, 3], jnp.int32)
+    ref = dd.generate_sharded(p, base, mesh1, 7, 40, batch=4, speaker=sp)
+    got = dd.generate_sharded(p, cfg, mesh, 7, 40, batch=4, speaker=sp)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+    other = dd.generate_sharded(p, base, mesh1, 7, 40, batch=4,
+                                speaker=jnp.zeros((4,), jnp.int32))
+    assert not np.array_equal(np.asarray(ref), np.asarray(other))
+
+
+def test_seqpar_with_speaker_matches_unsharded():
+    from wavenet_tpu.parallel import seqpar
+    from wavenet_tpu.parallel.mesh import make_mesh
+    cfg = cfg_(seq_parallel=2, data_parallel=2, batch_size=4)
+    mesh = make_mesh(cfg)
+    p = wn.init_params(cfg, jax.random.PRNGKey(0))
+    toks = jax.random.randint(jax.random.PRNGKey(1), (4, 65), 0, 256)
+    sp = jnp.asarray([0, 1, 2, 3], jnp.int32)
+    ref = wn.loss_fn(p, cfg, toks, speaker=sp)[0]
+    with mesh:
+        got = jax.jit(lambda p: seqpar.loss_fn_sp(
+            p, cfg, mesh, toks[:, :-1], toks[:, 1:], speaker=sp)[0])(p)
+    np.testing.assert_allclose(float(got), float(ref), rtol=1e-4, atol=1e-4)

@@ -3,6 +3,7 @@
 Checks hardware-vs-interpret bit-exactness for every Pallas kernel surface:
   1. fused training stack: forward skip-sum at several sequence lengths
   2. fused training stack: full loss gradients (every param leaf)
+  2b. fused training stack with global conditioning (speaker): fwd + grads
   3. decode kernel: greedy tokens, single tile
   4. decode kernel: batch-tiled grid (B split into tiles)
   5. decode kernel: conditional (streamed y, in-kernel v_cond projection)
@@ -100,6 +101,44 @@ def check_train_grads():
                f"(max rel diff {rel:.3e}, band {band:g})")
 
 
+def check_train_global_cond():
+    """Global-conditioning (speaker) fused path: forward bit-exactness and
+    the same banded gradient check as check_train_grads, including the
+    g_embed / v_global leaves fed by the in-kernel per-row gate offset."""
+    cfg = small().replace(global_classes=4, global_channels=16)
+    p = wn.init_params(cfg, jax.random.PRNGKey(0))
+    sp = jnp.asarray([1, 3], jnp.int32)
+
+    toks = jax.random.randint(jax.random.PRNGKey(1), (2, 1024), 0, 256)
+    prev = jnp.pad(toks[:, :-1], ((0, 0), (1, 0)))
+    x = wn.embed_tokens(p, cfg, toks, prev)
+    g = wn.global_cond_offsets(p, cfg, sp)
+    hw = ts.forward_skip_fused(p, cfg, x, g=g)
+    it = ts.forward_skip_fused(p, cfg, x, g=g, interpret=True)
+    ok, d = same(hw, it)
+    report("train fwd global-cond", ok, d)
+
+    toks = jax.random.randint(jax.random.PRNGKey(2), (2, 1025), 0, 256)
+
+    def loss(p, interp):
+        return wn.loss_fn(p, cfg, toks, speaker=sp, use_fused=True,
+                          interpret=interp)[0]
+
+    g_hw = jax.jit(jax.grad(lambda p: loss(p, False)))(p)
+    g_it = jax.jit(jax.grad(lambda p: loss(p, True)))(p)
+    for (ka, a), (kb, b) in zip(
+            jax.tree_util.tree_flatten_with_path(g_hw)[0],
+            jax.tree_util.tree_flatten_with_path(g_it)[0]):
+        name = jax.tree_util.keystr(ka)
+        a = np.asarray(a, np.float64)
+        b = np.asarray(b, np.float64)
+        scale = max(np.abs(b).max(), 1e-6)
+        rel = np.abs(a - b).max() / scale
+        band = 2e-2 if "embed" in name else 1e-4
+        report(f"train gc grad {name}", rel < band,
+               f"(max rel diff {rel:.3e}, band {band:g})")
+
+
 def _decode_cfg(**kw):
     base = dict(num_blocks=2, max_dilation=64, residual_channels=32,
                 skip_channels=32, compute_dtype="bfloat16")
@@ -131,6 +170,7 @@ def main():
         "tpu_verify must run on the TPU backend"
     check_train_forward()
     check_train_grads()
+    check_train_global_cond()
 
     cfg = _decode_cfg()
     check_decode("decode greedy single-tile", cfg, batch=8, num_steps=256)

@@ -46,13 +46,30 @@ class AudioDataset:
     added when needed).
     """
 
-    def __init__(self, clips: Sequence[np.ndarray], cfg: WaveNetConfig):
+    def __init__(self, clips: Sequence[np.ndarray], cfg: WaveNetConfig,
+                 speakers: Optional[Sequence[int]] = None):
         self.cfg = cfg
         window = cfg.train_window + 1          # +1: input/target offset pair
+        if speakers is not None and len(speakers) != len(clips):
+            raise ValueError("speakers must align 1:1 with clips")
+        kept_sp = [s for c, s in zip(clips, speakers or [0] * len(clips))
+                   if len(c) >= window]
         kept = [c for c in clips if len(c) >= window]
         if not kept:
             raise ValueError(
                 f"no clip is >= train_window+1 = {window} samples")
+        # global-conditioning class ids (paper §2.5 eq.2, e.g. speaker id):
+        # explicit per-clip, or clip-index mod classes as a deterministic
+        # default (synthetic corpora)
+        self.speakers: Optional[np.ndarray] = None
+        if cfg.global_classes is not None:
+            if speakers is not None:
+                sp = np.asarray(kept_sp, np.int32)
+            else:
+                sp = np.arange(len(kept), dtype=np.int32) % cfg.global_classes
+            if sp.size and (sp.min() < 0 or sp.max() >= cfg.global_classes):
+                raise ValueError("speaker id out of range for global_classes")
+            self.speakers = sp
         self.tokens: List[np.ndarray] = [
             mulaw.encode_np(c, cfg.quantization_channels) for c in kept]
         self.waveforms = kept
@@ -142,4 +159,6 @@ class AudioDataset:
         batch: Dict[str, np.ndarray] = {"tokens": toks}
         if mels is not None:
             batch["mel"] = mels
+        if self.speakers is not None:
+            batch["speaker"] = self.speakers[clip_idx]
         return batch, state.next()

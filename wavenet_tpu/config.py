@@ -64,6 +64,11 @@ class WaveNetConfig:
 
     # --- conditioning (None => unconditional) ---
     mel: Optional[MelConfig] = None
+    # global conditioning (paper §2.5 eq.2): a per-utterance class id (e.g.
+    # speaker) embedded to global_channels and projected into every gate.
+    # None => no global conditioning.
+    global_classes: Optional[int] = None
+    global_channels: int = 16
 
     # --- numerics ---
     compute_dtype: str = "bfloat16"    # activations/matmul inputs

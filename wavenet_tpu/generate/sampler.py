@@ -34,6 +34,7 @@ def generate_auto(params: wn.Params, cfg: WaveNetConfig, key: jax.Array,
                   prime_tokens: Optional[jax.Array] = None,
                   cond: Optional[jax.Array] = None,
                   y: Optional[jax.Array] = None,
+                  speaker: Optional[jax.Array] = None,
                   temperature: float = 1.0) -> jax.Array:
     """Fastest available decoder: the whole-loop Pallas kernel when the model
     fits the per-tile VMEM budget (incl. priming and, via `y`, local mel
@@ -43,12 +44,14 @@ def generate_auto(params: wn.Params, cfg: WaveNetConfig, key: jax.Array,
        kernel streams these and projects them in-kernel.  `cond` is the
        pre-projected [B, T, L, 2, R] form consumed by the XLA path; pass one
        or the other, not both.
+    speaker: [B] int32 global-conditioning ids (cfg.global_classes set).
     """
     from wavenet_tpu.ops.pallas import decode as pdec
     if cond is not None and y is not None:
         raise ValueError("pass either y (features) or cond (projections)")
     on_tpu = jax.devices()[0].platform != "cpu"
-    if on_tpu and cond is None and pdec.fits_vmem(cfg, batch):
+    if (on_tpu and cond is None and speaker is None
+            and pdec.fits_vmem(cfg, batch)):
         return pdec.generate_pallas(params, cfg, key, num_samples,
                                     batch=batch, prime_tokens=prime_tokens,
                                     y=y, temperature=temperature)
@@ -56,13 +59,14 @@ def generate_auto(params: wn.Params, cfg: WaveNetConfig, key: jax.Array,
         cond = jnp.einsum("btm,lmgr->btlgr", y, params["v_cond"],
                           preferred_element_type=jnp.float32)
     return wn.generate(params, cfg, key, num_samples, batch=batch,
-                       prime_tokens=prime_tokens, cond=cond,
+                       prime_tokens=prime_tokens, cond=cond, speaker=speaker,
                        temperature=temperature)
 
 
 def generate_naive(params: wn.Params, cfg: WaveNetConfig, key: jax.Array,
                    num_samples: int, batch: int = 1,
                    prime_tokens: Optional[jax.Array] = None,
+                   speaker: Optional[jax.Array] = None,
                    temperature: float = 1.0) -> jax.Array:
     """Naive AR sampling: full receptive-field forward per sample.
 
@@ -84,7 +88,8 @@ def generate_naive(params: wn.Params, cfg: WaveNetConfig, key: jax.Array,
                 prime_tokens.astype(jnp.int32)], axis=1)
 
     def body(window, i):
-        logits = wn.forward_logits(params, cfg, window)[:, -1]   # [B, Q]
+        logits = wn.forward_logits(params, cfg, window,
+                                   speaker=speaker)[:, -1]       # [B, Q]
         k = jax.random.fold_in(key, i)
         nxt = jax.random.categorical(k, logits / temperature, axis=-1)
         nxt = nxt.astype(jnp.int32)

@@ -49,16 +49,18 @@ class WaveNet:
 
     # ---- model surface ----
 
-    def logits(self, tokens, mel=None):
-        return wn.forward_logits(self.params, self.cfg, tokens, mel=mel)
+    def logits(self, tokens, mel=None, speaker=None):
+        return wn.forward_logits(self.params, self.cfg, tokens, mel=mel,
+                                 speaker=speaker)
 
-    def loss(self, tokens, mel=None):
-        return wn.loss_fn(self.params, self.cfg, tokens, mel=mel)
+    def loss(self, tokens, mel=None, speaker=None):
+        return wn.loss_fn(self.params, self.cfg, tokens, mel=mel,
+                          speaker=speaker)
 
     def generate(self, seconds: Optional[float] = None,
                  num_samples: Optional[int] = None, batch: int = 1,
                  key: Optional[jax.Array] = None, prime_tokens=None,
-                 mel=None, temperature: float = 1.0):
+                 mel=None, speaker=None, temperature: float = 1.0):
         from wavenet_tpu.generate.sampler import generate_auto
         from wavenet_tpu.models.conditioning import upsample_mel
         if num_samples is None:
@@ -75,7 +77,7 @@ class WaveNet:
                              max(P - 1, 0) + num_samples)
         return generate_auto(self.params, self.cfg, key, num_samples,
                              batch=batch, prime_tokens=prime_tokens,
-                             y=y, temperature=temperature)
+                             y=y, speaker=speaker, temperature=temperature)
 
     def generate_wav(self, path: str, seconds: float, **kw):
         from wavenet_tpu.generate.sampler import generate_wav

@@ -104,7 +104,26 @@ def init_params(cfg: WaveNetConfig, key: jax.Array) -> Params:
         # head conditioning is not in the paper; gate-only per eq.3.
         from wavenet_tpu.models.conditioning import init_upsampler_params
         params["upsampler"] = init_upsampler_params(cfg.mel, ks[10], pdt)
+    if cfg.global_classes is not None:
+        G = cfg.global_channels
+        params["g_embed"] = jax.random.normal(
+            ks[11], (cfg.global_classes, G), pdt) * 0.05
+        params["v_global"] = ginit(ks[12], (L, G, 2, R))
     return params
+
+
+def global_cond_offsets(params: Params, cfg: WaveNetConfig,
+                        speaker: jax.Array) -> jax.Array:
+    """Per-utterance class ids [B] -> per-layer gate offsets [L, B, 2, R] f32.
+
+    Paper §2.5 eq.2: z gains V^T h with h the (time-constant) global
+    conditioning vector — per layer that is ONE [B, 2R] offset, computed once
+    and broadcast over time, never materialized at [B, T, .]."""
+    cdt = _dtype(cfg)
+    gvec = params["g_embed"][speaker].astype(cdt)            # [B, G]
+    return jnp.einsum("bg,lgwr->lbwr", gvec,
+                      params["v_global"].astype(cdt),
+                      preferred_element_type=jnp.float32)
 
 
 def dilation_array(cfg: WaveNetConfig) -> jax.Array:
@@ -147,12 +166,15 @@ def _shifted_tokens(tokens: jax.Array) -> jax.Array:
 # Full-sequence forward (training / naive generation)
 # ---------------------------------------------------------------------------
 
-def _layer_step(cfg: WaveNetConfig, x, skip, lp, d, left_ctx, cond):
+def _layer_step(cfg: WaveNetConfig, x, skip, lp, d, left_ctx, cond,
+                gcond=None):
     """One gated residual block over a full sequence.
 
     x: [B, T, R] (compute dtype);  skip: [B, T, S] (f32 accumulator)
     lp: per-layer params;  d: traced dilation;  left_ctx: [B, maxd, R]
     cond: None or [B, T, 2R] precomputed conditioning contribution (f32).
+    gcond: None or [B, 2, R] global-conditioning gate offset (f32),
+      broadcast over time (paper §2.5 eq.2).
     """
     cdt = _dtype(cfg)
     x_prev = shift_right(x, d, left_ctx)
@@ -166,6 +188,8 @@ def _layer_step(cfg: WaveNetConfig, x, skip, lp, d, left_ctx, cond):
          + lp["b"].astype(jnp.float32))          # [B, T, 2, R] f32
     if cond is not None:
         z = z + cond
+    if gcond is not None:
+        z = z + gcond[:, None]                   # broadcast over T
     h = (jnp.tanh(z[..., 0, :]) * jax.nn.sigmoid(z[..., 1, :])).astype(cdt)
     skip = skip + _dot(h, lp["w_skip"].astype(cdt)) + lp["b_skip"].astype(jnp.float32)
     # residual update with ONE explicit f32 accumulate + ONE rounding: a
@@ -183,12 +207,15 @@ def forward_logits(params: Params, cfg: WaveNetConfig, tokens: jax.Array,
                    mel: Optional[jax.Array] = None,
                    prev_tokens: Optional[jax.Array] = None,
                    halo_fn=None,
-                   upsampled_cond: Optional[jax.Array] = None) -> jax.Array:
+                   upsampled_cond: Optional[jax.Array] = None,
+                   speaker: Optional[jax.Array] = None) -> jax.Array:
     """Logits for next-sample prediction at every position.
 
     Args:
       tokens: [B, T] int32 mu-law ids (model input; logits[t] predicts t+1).
       mel:    [B, F, M] mel frames when cfg.mel (F*hop >= T), else None.
+      speaker: [B] int32 global-conditioning class ids when
+        cfg.global_classes, else None.
       prev_tokens: optional [B, T] tokens at t-1; defaults to tokens shifted
         right with a zero at t=0.  Sequence-parallel callers pass the halo'd
         version (last token of the previous time-shard at position 0).
@@ -234,12 +261,17 @@ def forward_logits(params: Params, cfg: WaveNetConfig, tokens: jax.Array,
     xs: Dict[str, Any] = {"lp": _stacked_layer_params(params), "d": dils}
     if cond_all is not None:
         xs["cond"] = cond_all
+    if cfg.global_classes is not None:
+        if speaker is None:
+            raise ValueError("cfg.global_classes set but no speaker ids passed")
+        xs["gcond"] = global_cond_offsets(params, cfg, speaker)  # [L, B, 2, R]
 
     def body(carry, per_layer):
         x, skip = carry
         ctx = zeros_ctx if halo_fn is None else halo_fn(x)
         x, skip = _layer_step(cfg, x, skip, per_layer["lp"], per_layer["d"],
-                              ctx, per_layer.get("cond"))
+                              ctx, per_layer.get("cond"),
+                              gcond=per_layer.get("gcond"))
         return (x, skip), None
 
     body_fn = jax.checkpoint(body) if cfg.remat else body
@@ -261,12 +293,15 @@ def head_logits(params: Params, cfg: WaveNetConfig, skip: jax.Array) -> jax.Arra
 def forward_logits_fused(params: Params, cfg: WaveNetConfig,
                          tokens: jax.Array,
                          interpret: bool = False, tile=None,
-                         mel: Optional[jax.Array] = None) -> jax.Array:
+                         mel: Optional[jax.Array] = None,
+                         speaker: Optional[jax.Array] = None) -> jax.Array:
     """forward_logits via the fused Pallas training-stack kernels
     (ops/pallas/train_stack.py); callers must check
     train_stack.supported(cfg, T).  Mel conditioning is supported: the
     upsampler runs in XLA (its params autodiff normally) and the per-layer
-    gate contribution y @ v_cond runs inside the kernels."""
+    gate contribution y @ v_cond runs inside the kernels.  Global
+    conditioning likewise: the per-(row, layer) gate offset is computed in
+    XLA (g_embed/v_global autodiff normally) and added in-kernel."""
     from wavenet_tpu.ops.pallas.train_stack import forward_skip_fused
     prev = _shifted_tokens(tokens)
     x = embed_tokens(params, cfg, tokens, prev)
@@ -276,13 +311,19 @@ def forward_logits_fused(params: Params, cfg: WaveNetConfig,
             raise ValueError("cfg.mel set but no mel features passed")
         from wavenet_tpu.models.conditioning import upsample_mel
         y = upsample_mel(params["upsampler"], cfg.mel, mel, tokens.shape[1])
+    g = None
+    if cfg.global_classes is not None:
+        if speaker is None:
+            raise ValueError("cfg.global_classes set but no speaker ids passed")
+        g = global_cond_offsets(params, cfg, speaker)        # [L, B, 2, R]
     skip = forward_skip_fused(params, cfg, x, interpret=interpret, tile=tile,
-                              y=y)
+                              y=y, g=g)
     return head_logits(params, cfg, skip)
 
 
 def loss_fn(params: Params, cfg: WaveNetConfig, tokens: jax.Array,
             mel: Optional[jax.Array] = None,
+            speaker: Optional[jax.Array] = None,
             use_fused: bool = False,
             interpret: bool = False) -> Tuple[jax.Array, Dict[str, jax.Array]]:
     """Next-sample softmax cross-entropy over a [B, W] token window.
@@ -295,9 +336,10 @@ def loss_fn(params: Params, cfg: WaveNetConfig, tokens: jax.Array,
     targets = tokens[:, 1:]
     if use_fused:
         logits = forward_logits_fused(params, cfg, inputs,
-                                      interpret=interpret, mel=mel)
+                                      interpret=interpret, mel=mel,
+                                      speaker=speaker)
     else:
-        logits = forward_logits(params, cfg, inputs, mel=mel)
+        logits = forward_logits(params, cfg, inputs, mel=mel, speaker=speaker)
     logp = jax.nn.log_softmax(logits, axis=-1)
     nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
     loss = jnp.mean(nll)
@@ -351,6 +393,7 @@ def decode_init(cfg: WaveNetConfig, batch: int) -> DecodeState:
 def decode_step(params: Params, cfg: WaveNetConfig, state: DecodeState,
                 token: jax.Array,
                 cond_t: Optional[jax.Array] = None,
+                gcond: Optional[jax.Array] = None,
                 ) -> Tuple[DecodeState, jax.Array]:
     """Advance one sample: consume `token` ([B] int32), return logits [B, Q]
     for the *next* sample plus updated state.  O(layers) work — the fast
@@ -358,6 +401,8 @@ def decode_step(params: Params, cfg: WaveNetConfig, state: DecodeState,
 
     cond_t: optional [B, L, 2, R] f32 conditioning contribution at this step
     (precomputed einsum of upsampled mel with v_cond).
+    gcond: optional [L, B, 2, R] f32 global-conditioning gate offsets
+    (global_cond_offsets; time-constant, so one array serves every step).
     """
     cdt = _dtype(cfg)
     R = cfg.residual_channels
@@ -389,6 +434,8 @@ def decode_step(params: Params, cfg: WaveNetConfig, state: DecodeState,
              + lp["b"].astype(jnp.float32))      # [B, 2, R] f32
         if "cond" in per_layer:
             z = z + per_layer["cond"]
+        if "gcond" in per_layer:
+            z = z + per_layer["gcond"]
         h = (jnp.tanh(z[..., 0, :]) * jax.nn.sigmoid(z[..., 1, :])).astype(cdt)
         skip = skip + _dot(h, lp["w_skip"].astype(cdt)) + lp["b_skip"].astype(jnp.float32)
         # single-round residual update — see _layer_step for why
@@ -400,6 +447,8 @@ def decode_step(params: Params, cfg: WaveNetConfig, state: DecodeState,
     xs: Dict[str, Any] = {"lp": stacked, "old": old_all}
     if cond_t is not None:
         xs["cond"] = jnp.moveaxis(cond_t, 0, 1)   # [L, B, 2, R]
+    if gcond is not None:
+        xs["gcond"] = gcond                       # already [L, B, 2, R]
     (x, skip), layer_inputs = jax.lax.scan(body, (x, skip), xs)
 
     # one scatter for all layers' rows
@@ -415,6 +464,7 @@ def generate(params: Params, cfg: WaveNetConfig, key: jax.Array,
              num_samples: int, batch: int = 1,
              prime_tokens: Optional[jax.Array] = None,
              cond: Optional[jax.Array] = None,
+             speaker: Optional[jax.Array] = None,
              temperature: float = 1.0) -> jax.Array:
     """Autoregressively sample `num_samples` mu-law tokens.
 
@@ -428,10 +478,16 @@ def generate(params: Params, cfg: WaveNetConfig, key: jax.Array,
         contributions, where total_T must cover ALL decode steps:
         max(P-1, 0) + num_samples (the conditioning timeline spans the
         priming context too — queues built without it would be wrong).
+      speaker: optional [B] int32 global-conditioning ids (cfg.global_classes).
     Returns:
       [B, num_samples] int32 sampled tokens.
     """
     state = decode_init(cfg, batch)
+    gcond = None
+    if cfg.global_classes is not None:
+        if speaker is None:
+            raise ValueError("cfg.global_classes set but no speaker ids passed")
+        gcond = global_cond_offsets(params, cfg, speaker)    # [L, B, 2, R]
     P = 0 if prime_tokens is None else prime_tokens.shape[1]
     total_steps = max(P - 1, 0) + num_samples
     if cond is not None and cond.shape[1] < total_steps:
@@ -443,7 +499,8 @@ def generate(params: Params, cfg: WaveNetConfig, key: jax.Array,
     def prime_body(carry, tok_t):
         state = carry
         cond_t = None if cond is None else cond[:, state.t]
-        state, _ = decode_step(params, cfg, state, tok_t, cond_t=cond_t)
+        state, _ = decode_step(params, cfg, state, tok_t, cond_t=cond_t,
+                               gcond=gcond)
         return state, None
 
     if P > 0:
@@ -457,7 +514,8 @@ def generate(params: Params, cfg: WaveNetConfig, key: jax.Array,
     def sample_body(carry, i):
         state, token = carry
         cond_t = None if cond is None else cond[:, state.t]
-        state, logits = decode_step(params, cfg, state, token, cond_t=cond_t)
+        state, logits = decode_step(params, cfg, state, token, cond_t=cond_t,
+                                    gcond=gcond)
         k = jax.random.fold_in(key, i)
         nxt = jax.random.categorical(k, logits / temperature, axis=-1)
         return (state, nxt.astype(jnp.int32)), nxt.astype(jnp.int32)

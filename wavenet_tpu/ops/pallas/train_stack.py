@@ -99,9 +99,10 @@ def _group_sizes(cfg: WaveNetConfig, TT: int, dils):
     sum_dg = sum(_pad8(d) for d in dils)
     maxd = _winpad(cfg)
     M = cfg.mel.num_mels if cfg.mel is not None else 0
-    w = 2 * Lg * (4 * R * R + R * R + R * S) + 2 * Lg * M * 2 * R
+    gc = 8 * Lg * R if cfg.global_classes is not None else 0   # g block f32
+    w = 2 * Lg * (4 * R * R + R * R + R * S) + 2 * Lg * M * 2 * R + gc
     dw = (4 * Lg * (4 * R * R + R * R + R * S + 3 * R)
-          + 4 * Lg * M * 2 * R + 8 * TT * M)
+          + 4 * Lg * M * 2 * R + 8 * TT * M + gc)
     fwd = (w + 2 * sum_dg * R + 2 * (maxd + TT) * R
            + 2 * (2 * TT * R * 2 + 4 * TT * S * 2 + 2 * sum_dg * R
                   + 2 * TT * R))
@@ -142,16 +143,20 @@ def supported(cfg: WaveNetConfig, T: int) -> bool:
 # forward kernel for one layer group
 # ---------------------------------------------------------------------------
 
-def _fwd_kernel(cfg: WaveNetConfig, TT: int, dils, has_cond: bool, *refs):
+def _fwd_kernel(cfg: WaveNetConfig, TT: int, dils, has_cond: bool,
+                has_gc: bool, *refs):
+    refs = list(refs)
+    xin_ref, skip_in_ref = refs[:2]
+    refs = refs[2:]
+    y_ref = refs.pop(0) if has_cond else None
+    g_ref = refs.pop(0) if has_gc else None      # [1, Lg, 2R] f32 gate offset
     if has_cond:
-        (xin_ref, skip_in_ref, y_ref,
-         wz_ref, b_ref, wrs_ref, bres_ref, bskip_ref, vcond_ref,
+        (wz_ref, b_ref, wrs_ref, bres_ref, bskip_ref, vcond_ref,
          skip_ref, snaps_ref, xout_ref, rings, xbuf) = refs
     else:
-        (xin_ref, skip_in_ref,
-         wz_ref, b_ref, wrs_ref, bres_ref, bskip_ref,
+        (wz_ref, b_ref, wrs_ref, bres_ref, bskip_ref,
          skip_ref, snaps_ref, xout_ref, rings, xbuf) = refs
-        y_ref = vcond_ref = None
+        vcond_ref = None
     R = cfg.residual_channels
     offs, _ = _ring_layout(dils)                 # group-local padded offsets
     j = pl.program_id(1)
@@ -209,6 +214,8 @@ def _fwd_kernel(cfg: WaveNetConfig, TT: int, dils, has_cond: bool, *refs):
         if has_cond:                             # paper eq.3: V*y into gate
             z = z + jnp.dot(y, vcond_ref[li],
                             preferred_element_type=jnp.float32)
+        if has_gc:                               # paper eq.2: global offset
+            z = z + g_ref[0, li:li + 1, :]       # [1, 2R] broadcast over TT
         h = (jnp.tanh(z[:, :R]) * jax.nn.sigmoid(z[:, R:])
              ).astype(jnp.bfloat16)
         # MXU N-fusion: res and skip projections as one [TT,R] @ [R, R+S]
@@ -225,20 +232,26 @@ def _fwd_kernel(cfg: WaveNetConfig, TT: int, dils, has_cond: bool, *refs):
 # ---------------------------------------------------------------------------
 
 def _bwd_kernel(cfg: WaveNetConfig, TT: int, nT: int, dils,
-                has_cond: bool, *refs):
+                has_cond: bool, has_gc: bool, *refs):
     """Backward over one layer group.  xin is the stashed group input;
     dxin is the cotangent of the group's x OUTPUT."""
+    refs = list(refs)
+    xin_ref, snaps_ref, dskip_ref, dxin_ref = refs[:4]
+    refs = refs[4:]
+    y_ref = refs.pop(0) if has_cond else None
+    g_ref = refs.pop(0) if has_gc else None      # [1, Lg, 2R] f32
+    wz_ref, b_ref, wrs_ref, bres_ref = refs[:4]
+    refs = refs[4:]
+    vcond_ref = refs.pop(0) if has_cond else None
+    dx_ref, dwz_ref, db_ref, dwrs_ref, dbres_ref = refs[:5]
+    refs = refs[5:]
     if has_cond:
-        (xin_ref, snaps_ref, dskip_ref, dxin_ref, y_ref,
-         wz_ref, b_ref, wrs_ref, bres_ref, vcond_ref,
-         dx_ref, dwz_ref, db_ref, dwrs_ref, dbres_ref, dvcond_ref, dy_ref,
-         xs, dz_rings, xbuf, dbuf) = refs
+        dvcond_ref, dy_ref = refs[:2]
+        refs = refs[2:]
     else:
-        (xin_ref, snaps_ref, dskip_ref, dxin_ref,
-         wz_ref, b_ref, wrs_ref, bres_ref,
-         dx_ref, dwz_ref, db_ref, dwrs_ref, dbres_ref,
-         xs, dz_rings, xbuf, dbuf) = refs
-        y_ref = vcond_ref = dvcond_ref = dy_ref = None
+        dvcond_ref = dy_ref = None
+    dg_ref = refs.pop(0) if has_gc else None     # [1, Lg, 2R] f32 per-row
+    xs, dz_rings, xbuf, dbuf = refs
     R = cfg.residual_channels
     offs, _ = _ring_layout(dils)                 # group-local padded offsets
     Lg = len(dils)
@@ -261,6 +274,8 @@ def _bwd_kernel(cfg: WaveNetConfig, TT: int, nT: int, dils,
     @pl.when(jr == 0)                            # new batch row: clear dz ring
     def _():
         dz_rings[:] = jnp.zeros_like(dz_rings)
+        if has_gc:                               # per-row dg accumulator
+            dg_ref[:] = jnp.zeros_like(dg_ref)
 
     # ---- recompute this tile's group-layer inputs from ring snapshots ----
     x = xin_ref[0]                               # f32 (bf16-valued) stash
@@ -286,6 +301,8 @@ def _bwd_kernel(cfg: WaveNetConfig, TT: int, nT: int, dils,
         if has_cond:
             z = z + jnp.dot(y_ref[0], vcond_ref[li],
                             preferred_element_type=jnp.float32)
+        if has_gc:
+            z = z + g_ref[0, li:li + 1, :]
         h = (jnp.tanh(z[:, :R]) * jax.nn.sigmoid(z[:, R:])
              ).astype(jnp.bfloat16)
         o = jnp.dot(h, wrs_ref[li], preferred_element_type=jnp.float32)
@@ -322,6 +339,8 @@ def _bwd_kernel(cfg: WaveNetConfig, TT: int, nT: int, dils,
         if has_cond:
             z = z + jnp.dot(y_ref[0], vcond_ref[li],
                             preferred_element_type=jnp.float32)
+        if has_gc:
+            z = z + g_ref[0, li:li + 1, :]
         tf = jnp.tanh(z[:, :R])
         sg = jax.nn.sigmoid(z[:, R:])
         h = (tf * sg).astype(jnp.bfloat16).astype(jnp.float32)
@@ -339,6 +358,8 @@ def _bwd_kernel(cfg: WaveNetConfig, TT: int, nT: int, dils,
 
         dwz_ref[li] += _dg(xcat.astype(jnp.float32), dz, 0, 0)  # [2R, 2R]
         db_ref[li:li + 1, :] += jnp.sum(dz, axis=0, keepdims=True)
+        if has_gc:                               # dg[b, l] = sum_t dz
+            dg_ref[0, li:li + 1, :] += jnp.sum(dz, axis=0, keepdims=True)
         if has_cond:
             dvcond_ref[li] += _dg(y_f, dz, 0, 0)          # y^T @ dz
             dy = dy + _dg(dz, vcond_ref[li].astype(jnp.float32), 1, 1)
@@ -418,22 +439,25 @@ def _prep_weights(cfg, gw):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
 def group_apply(cfg: WaveNetConfig, interpret: bool, TT: int, dils,
-                x, skip_in, gw, y):
+                x, skip_in, gw, y, g=None):
     """One layer group: (x [B,T,R] f32 bf16-valued, skip_in [B,T,S] f32)
     -> (skip_out, x_out).  gw: dict of raw per-group param slices; y: [B,T,M]
-    upsampled conditioning features or None; dils: static dilation tuple."""
-    skip, x_out, _ = _group_fwd(cfg, interpret, TT, dils, x, skip_in, gw, y)
+    upsampled conditioning features or None; g: [B, Lg, 2R] f32 time-constant
+    global-conditioning gate offsets or None; dils: static dilation tuple."""
+    skip, x_out, _ = _group_fwd(cfg, interpret, TT, dils, x, skip_in, gw,
+                                y, g)
     return skip, x_out
 
 
-def _group_fwd(cfg, interpret, TT, dils, x, skip_in, gw, y):
+def _group_fwd(cfg, interpret, TT, dils, x, skip_in, gw, y, g):
     B, T, R = x.shape
     nT = T // TT
     S = cfg.skip_channels
     has_cond = y is not None
+    has_gc = g is not None
     _, sum_dg = _ring_layout(dils)
     ops = _prep_weights(cfg, gw)
-    kernel = functools.partial(_fwd_kernel, cfg, TT, dils, has_cond)
+    kernel = functools.partial(_fwd_kernel, cfg, TT, dils, has_cond, has_gc)
 
     blk = lambda bi, j: (bi, j, 0)
     in_specs = [
@@ -445,6 +469,11 @@ def _group_fwd(cfg, interpret, TT, dils, x, skip_in, gw, y):
         in_specs.append(pl.BlockSpec((1, TT, cfg.mel.num_mels), blk,
                                      memory_space=pltpu.VMEM))
         operands.append(y.astype(jnp.bfloat16))
+    if has_gc:
+        in_specs.append(pl.BlockSpec((1, len(dils), 2 * R),
+                                     lambda bi, j: (bi, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        operands.append(g)
     in_specs += [pl.BlockSpec(o.shape, (lambda bi, j, nd=o.ndim: (0,) * nd),
                               memory_space=pltpu.VMEM) for o in ops]
     operands += list(ops)
@@ -482,23 +511,25 @@ def _group_fwd(cfg, interpret, TT, dils, x, skip_in, gw, y):
     return skip, x_out, snaps
 
 
-def _group_vjp_fwd(cfg, interpret, TT, dils, x, skip_in, gw, y):
+def _group_vjp_fwd(cfg, interpret, TT, dils, x, skip_in, gw, y, g=None):
     skip, x_out, snaps = _group_fwd(cfg, interpret, TT, dils, x, skip_in,
-                                    gw, y)
-    return (skip, x_out), (x, snaps, gw, y)
+                                    gw, y, g)
+    return (skip, x_out), (x, snaps, gw, y, g)
 
 
 def _group_vjp_bwd(cfg, interpret, TT, dils, res, cts):
     dskip, dxout = cts
-    x, snaps, gw, y = res
+    x, snaps, gw, y, g = res
     B, T, R = x.shape
     nT = T // TT
     S = cfg.skip_channels
     Lg = len(dils)
     has_cond = y is not None
+    has_gc = g is not None
     _, sum_dg = _ring_layout(dils)
     wz, b, wrs, bres, _ = _prep_weights(cfg, gw)
-    kernel = functools.partial(_bwd_kernel, cfg, TT, nT, dils, has_cond)
+    kernel = functools.partial(_bwd_kernel, cfg, TT, nT, dils, has_cond,
+                               has_gc)
 
     const3 = lambda bi, jr: (0, 0, 0)
     rev = lambda bi, jr: (bi, nT - 1 - jr, 0)
@@ -516,6 +547,11 @@ def _group_vjp_bwd(cfg, interpret, TT, dils, res, cts):
         in_specs.append(pl.BlockSpec((1, TT, M), rev,
                                      memory_space=pltpu.VMEM))
         operands.append(y.astype(jnp.bfloat16))
+    if has_gc:
+        in_specs.append(pl.BlockSpec((1, Lg, 2 * R),
+                                     lambda bi, jr: (bi, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        operands.append(g)
     wops = (wz, b, wrs, bres)
     in_specs += [pl.BlockSpec(o.shape, (lambda bi, jr, nd=o.ndim: (0,) * nd),
                               memory_space=pltpu.VMEM) for o in wops]
@@ -550,6 +586,11 @@ def _group_vjp_bwd(cfg, interpret, TT, dils, res, cts):
             jax.ShapeDtypeStruct((Lg, M, 2 * R), jnp.float32),
             jax.ShapeDtypeStruct((B, T, M), jnp.float32),
         ]
+    if has_gc:
+        out_specs.append(pl.BlockSpec((1, Lg, 2 * R),
+                                      lambda bi, jr: (bi, 0, 0),
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((B, Lg, 2 * R), jnp.float32))
     outs = pl.pallas_call(
         kernel,
         grid=(B, nT),
@@ -581,13 +622,17 @@ def _group_vjp_bwd(cfg, interpret, TT, dils, res, cts):
         "b_skip": jnp.broadcast_to(jnp.sum(dskip, axis=(0, 1)), (Lg, S)
                                    ).astype(gw["b_skip"].dtype),
     }
-    dy = None
+    dy = dg = None
+    k = 5
     if has_cond:
-        dgw["v_cond"] = outs[5].reshape(Lg, cfg.mel.num_mels, 2, R
+        dgw["v_cond"] = outs[k].reshape(Lg, cfg.mel.num_mels, 2, R
                                         ).astype(gw["v_cond"].dtype)
-        dy = outs[6].astype(y.dtype)
+        dy = outs[k + 1].astype(y.dtype)
+        k += 2
+    if has_gc:
+        dg = outs[k]                                       # [B, Lg, 2R] f32
     # skip_in passes through additively -> its cotangent is dskip unchanged
-    return dx, dskip, dgw, dy
+    return dx, dskip, dgw, dy, dg
 
 
 group_apply.defvjp(_group_vjp_fwd, _group_vjp_bwd)
@@ -595,10 +640,14 @@ group_apply.defvjp(_group_vjp_fwd, _group_vjp_bwd)
 
 def forward_skip_fused(params, cfg: WaveNetConfig, x: jax.Array,
                        interpret: bool = False, tile=None,
-                       y=None) -> jax.Array:
+                       y=None, g=None) -> jax.Array:
     """Embedded input [B, T, R] -> skip-sum [B, T, S] f32 via the fused
     per-group kernels.  y: optional [B, T, M] upsampled conditioning
-    features (cfg.mel set)."""
+    features (cfg.mel set); g: optional [L, B, 2, R] f32 global-conditioning
+    gate offsets (models.wavenet.global_cond_offsets) — time-constant, so the
+    kernels add one [2R] row per (batch row, layer) instead of a [T, 2R]
+    stream, and the cotangent path back to g_embed/v_global rides autodiff
+    through the per-group slice/transpose below."""
     B, T, R = x.shape
     TT = tile or pick_tile(cfg, T)
     if not TT:
@@ -613,7 +662,10 @@ def forward_skip_fused(params, cfg: WaveNetConfig, x: jax.Array,
     x_g = x.astype(jnp.bfloat16).astype(jnp.float32)
     for lo, hi in groups:
         gw = _slice_group(params, lo, hi, has_cond)
+        g_g = None
+        if g is not None:
+            g_g = g[lo:hi].transpose(1, 0, 2, 3).reshape(B, hi - lo, 2 * R)
         skip, x_g = group_apply(cfg, interpret, TT,
                                 tuple(cfg.dilations[lo:hi]),
-                                x_g, skip, gw, y)
+                                x_g, skip, gw, y, g_g)
     return skip

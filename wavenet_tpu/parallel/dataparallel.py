@@ -29,18 +29,22 @@ def loss_fn_dp(params: wn.Params, cfg: WaveNetConfig, mesh: Mesh,
                tokens: jax.Array, use_fused: bool = False,
                interpret: bool = False,
                mel: Optional[jax.Array] = None,
+               speaker: Optional[jax.Array] = None,
                ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
     """Data-parallel training loss over tokens [B, W+1] sharded on batch.
     mel ([B, F, M], sharded on batch like tokens) routes the conditional
-    vocoder through the same per-shard fused kernel (advisor r1 #3)."""
+    vocoder through the same per-shard fused kernel (advisor r1 #3);
+    speaker ([B] int32) likewise for global conditioning."""
 
-    def local_sums(params, tokens, mel):
+    def local_sums(params, tokens, mel, speaker):
         inputs, targets = tokens[:, :-1], tokens[:, 1:]
         if use_fused:
             logits = wn.forward_logits_fused(params, cfg, inputs,
-                                             interpret=interpret, mel=mel)
+                                             interpret=interpret, mel=mel,
+                                             speaker=speaker)
         else:
-            logits = wn.forward_logits(params, cfg, inputs, mel=mel)
+            logits = wn.forward_logits(params, cfg, inputs, mel=mel,
+                                       speaker=speaker)
         logp = jax.nn.log_softmax(logits, axis=-1)
         nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
         correct = (jnp.argmax(logits, -1) == targets).astype(jnp.float32)
@@ -49,11 +53,12 @@ def loss_fn_dp(params: wn.Params, cfg: WaveNetConfig, mesh: Mesh,
     sums = jax.shard_map(
         local_sums, mesh=mesh,
         in_specs=(P(), P(DATA_AXIS, None),
-                  P(DATA_AXIS, None, None) if mel is not None else P()),
+                  P(DATA_AXIS, None, None) if mel is not None else P(),
+                  P(DATA_AXIS) if speaker is not None else P()),
         out_specs=P(DATA_AXIS, None),
         axis_names=frozenset({DATA_AXIS}),
         check_vma=False,
-    )(params, tokens, mel)
+    )(params, tokens, mel, speaker)
     total = jnp.sum(sums, axis=0)
     n = jnp.asarray(tokens.shape[0] * (tokens.shape[1] - 1), jnp.float32)
     loss = total[0] / n

@@ -82,11 +82,15 @@ def counter_gumbel(seed, t, row0, col0, shape):
 # ---------------------------------------------------------------------------
 
 def _layer_scan_local(cfg: WaveNetConfig, params_local, x, old_all,
-                      use_psum: bool):
+                      use_psum: bool, gcond=None):
     """All gated layers on the local shard.  x, old_all carry FULL channel
     width (replicated over `model`); weights are the local Megatron slices,
     so z/h have model-local columns and the row-parallel res product ends in
-    a psum over `model` per layer (the conv-state exchange)."""
+    a psum over `model` per layer (the conv-state exchange).
+
+    gcond: None or [L, B, 2, R/mp] f32 global-conditioning gate offsets —
+    v_global is COLUMN-sharded like w_cur (parallel/sharding.py), so the
+    locally-computed offsets align with the local z columns; no collective."""
     cdt = jnp.dtype(cfg.compute_dtype)
     stacked = {k: params_local[k] for k in
                ("w_cur", "w_prev", "b", "w_res", "b_res", "w_skip", "b_skip")}
@@ -99,6 +103,8 @@ def _layer_scan_local(cfg: WaveNetConfig, params_local, x, old_all,
         z = (wn._dot(x, lp["w_cur"].astype(cdt))
              + wn._dot(x_prev, lp["w_prev"].astype(cdt))
              + lp["b"].astype(jnp.float32))       # [B, 2, R/mp] f32
+        if "gcond" in lp:
+            z = z + lp["gcond"]
         h = (jnp.tanh(z[..., 0, :]) * jax.nn.sigmoid(z[..., 1, :])).astype(cdt)
         # partial sums over the local R/mp rows of the row-parallel weights
         skip = skip + wn._dot(h, lp["w_skip"].astype(cdt))
@@ -113,6 +119,8 @@ def _layer_scan_local(cfg: WaveNetConfig, params_local, x, old_all,
     skip0 = jnp.zeros((B, S_local), jnp.float32)
     xs = dict(stacked)
     xs["old"] = old_all
+    if gcond is not None:
+        xs["gcond"] = gcond
     (x, skip), layer_inputs = jax.lax.scan(body, (x, skip0), xs)
     return x, skip, layer_inputs
 
@@ -146,7 +154,7 @@ def decode_step_sharded(params_local, cfg: WaveNetConfig,
                         state: wn.DecodeState, token, *,
                         shard_rings_model: bool,
                         use_collectives: bool = True,
-                        cond_t=None):
+                        cond_t=None, gcond=None):
     """One sharded decode step (must run inside the (data, model) shard_map).
 
     state.queues: [sum_d, B/dp, Rq] where Rq = R/mp when shard_rings_model
@@ -171,7 +179,8 @@ def decode_step_sharded(params_local, cfg: WaveNetConfig,
             "shard_map caller and add to z (not wired yet)")
 
     x, skip_partial, layer_inputs = _layer_scan_local(
-        cfg, params_local, x, old_all, use_psum=use_collectives)
+        cfg, params_local, x, old_all, use_psum=use_collectives,
+        gcond=gcond)
 
     if shard_rings_model:
         mp_idx = (jax.lax.axis_index(MODEL_AXIS) if use_collectives
@@ -206,12 +215,14 @@ def decode_step_sharded(params_local, cfg: WaveNetConfig,
 def generate_sharded(params, cfg: WaveNetConfig, mesh: Mesh, seed,
                      num_samples: int, batch: int,
                      prime_tokens: Optional[jax.Array] = None,
+                     speaker: Optional[jax.Array] = None,
                      temperature: float = 1.0,
                      shard_rings_model: bool = False) -> jax.Array:
     """Distributed fast AR generation over the (data, model) mesh.
 
     seed: int — sampling noise comes from the counter RNG (identical tokens
     for any mesh layout, incl. single-device; see module docstring).
+    speaker: optional [batch] int32 global-conditioning ids (data-sharded).
     Returns [batch, num_samples] int32 tokens (data-sharded).
     """
     dp = mesh.shape[DATA_AXIS]
@@ -228,10 +239,19 @@ def generate_sharded(params, cfg: WaveNetConfig, mesh: Mesh, seed,
     Pn = 0 if prime_tokens is None else prime_tokens.shape[1]
     if prime_tokens is None:
         prime_tokens = jnp.zeros((batch, 0), jnp.int32)
+    if cfg.global_classes is not None and speaker is None:
+        raise ValueError("cfg.global_classes set but no speaker ids passed")
+    has_sp = speaker is not None
+    if not has_sp:
+        speaker = jnp.zeros((batch,), jnp.int32)     # placeholder operand
     seed = jnp.asarray(seed, jnp.int32)
 
-    def run(params_local, prime):
+    def run(params_local, prime, speaker_local):
         B_loc = batch // dp
+        # local gate offsets from the LOCAL v_global column slice — aligns
+        # with the model-local z columns by construction (sharding.py)
+        gcond = (wn.global_cond_offsets(params_local, cfg, speaker_local)
+                 if has_sp else None)
         if use_coll:
             dp_idx = jax.lax.axis_index(DATA_AXIS)
             mp_idx = jax.lax.axis_index(MODEL_AXIS)
@@ -245,7 +265,7 @@ def generate_sharded(params, cfg: WaveNetConfig, mesh: Mesh, seed,
             t=jnp.zeros((), jnp.int32))
         step = partial(decode_step_sharded, params_local, cfg,
                        shard_rings_model=shard_rings_model,
-                       use_collectives=use_coll)
+                       use_collectives=use_coll, gcond=gcond)
 
         def prime_body(st, tok_t):
             st, _ = step(st, tok_t)
@@ -271,19 +291,19 @@ def generate_sharded(params, cfg: WaveNetConfig, mesh: Mesh, seed,
         return jnp.moveaxis(samples, 0, 1)[None]        # [1, B_loc, N]
 
     if not use_coll:
-        return run(params, prime_tokens)[0]
+        return run(params, prime_tokens, speaker)[0]
 
     pspecs = shd.param_pspecs(cfg)
     sharded = jax.shard_map(
         run, mesh=mesh,
-        in_specs=(pspecs, P(DATA_AXIS, None)),
+        in_specs=(pspecs, P(DATA_AXIS, None), P(DATA_AXIS)),
         out_specs=P((DATA_AXIS, MODEL_AXIS), None, None),
         axis_names=frozenset({DATA_AXIS, MODEL_AXIS}),
         check_vma=False,
     )
     # partial-manual shard_map (axis_names a mesh subset) only dispatches
     # under jit in jax 0.9 — same constraint as parallel/seqpar.py
-    out = jax.jit(sharded)(params, prime_tokens)
+    out = jax.jit(sharded)(params, prime_tokens, speaker)
     # model shards produced identical token blocks; keep the first
     return out.reshape(dp, mp, batch // dp, num_samples)[:, 0].reshape(
         batch, num_samples)

@@ -62,20 +62,24 @@ def supported(cfg: WaveNetConfig, T: int, mp: int) -> bool:
     return bool(TT) and bool(ts.plan_dils(cfg, stage_dilations(cfg, mp), TT))
 
 
-def _stage_chain(cfg, interpret, TT, dils, stage_params, x, skip, y):
-    """All layer groups of one stage (chained group_apply kernels)."""
+def _stage_chain(cfg, interpret, TT, dils, stage_params, x, skip, y, g=None):
+    """All layer groups of one stage (chained group_apply kernels).
+    g: None or [Bmu, L_stage, 2R] f32 global-conditioning offsets for this
+    stage's layers."""
     for lo, hi in ts.plan_dils(cfg, dils, TT):
         gw = {k: stage_params[k][lo:hi] for k in ts.GROUP_KEYS}
         if y is not None:
             gw["v_cond"] = stage_params["v_cond"][lo:hi]
         skip, x = ts.group_apply(cfg, interpret, TT, dils[lo:hi],
-                                 x, skip, gw, y)
+                                 x, skip, gw, y,
+                                 None if g is None else g[:, lo:hi])
     return skip, x
 
 
 def loss_fn_pp(params: wn.Params, cfg: WaveNetConfig, mesh: Mesh,
                tokens: jax.Array,
                mel: Optional[jax.Array] = None,
+               speaker: Optional[jax.Array] = None,
                microbatch: int = 1,
                interpret: bool = False,
                ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
@@ -108,12 +112,20 @@ def loss_fn_pp(params: wn.Params, cfg: WaveNetConfig, mesh: Mesh,
         from wavenet_tpu.models.conditioning import upsample_mel
         y_all = upsample_mel(params["upsampler"], cfg.mel, mel, W)
 
-    def run(params, tokens, y_all):
+    def run(params, tokens, y_all, speaker):
         s = jax.lax.axis_index(MODEL_AXIS)
         inputs, targets = tokens[:, :-1], tokens[:, 1:]
         prev = jnp.pad(inputs[:, :-1], ((0, 0), (1, 0)))
         x_emb = wn.embed_tokens(params, cfg, inputs, prev)     # [B_loc, W, R]
         x_emb = x_emb.astype(jnp.bfloat16).astype(jnp.float32)
+        # per-STAGE global offsets: v_global is layer-sharded, so the local
+        # slice yields exactly this stage's [L_loc, B_loc, 2, R]; batch-
+        # leading layout so mb() slices microbatches uniformly
+        g_st = None
+        if speaker is not None:
+            g_st = wn.global_cond_offsets(params, cfg, speaker)
+            Lloc = g_st.shape[0]
+            g_st = g_st.transpose(1, 0, 2, 3).reshape(B_loc, Lloc, 2 * R)
 
         def mb(arr, k):
             """Microbatch k (k clamped into range; value unused out of
@@ -126,8 +138,10 @@ def loss_fn_pp(params: wn.Params, cfg: WaveNetConfig, mesh: Mesh,
         def body(carry, k):
             x_in, skip_in = carry
             y_mb = None if y_all is None else mb(y_all, k - s)
+            g_mb = None if g_st is None else mb(g_st, k - s)
             skip_out, x_out = _stage_chain(cfg, interpret, TT, dils,
-                                           params, x_in, skip_in, y_mb)
+                                           params, x_in, skip_in, y_mb,
+                                           g_mb)
             x_nxt = jax.lax.ppermute(x_out, MODEL_AXIS, fwd)
             skip_nxt = jax.lax.ppermute(skip_out, MODEL_AXIS, fwd)
             first = (s == 0)
@@ -155,14 +169,15 @@ def loss_fn_pp(params: wn.Params, cfg: WaveNetConfig, mesh: Mesh,
     from wavenet_tpu.parallel import sharding as shd
     pspecs = shd.param_pspecs_layer(cfg)
     in_specs = (pspecs, P(DATA_AXIS, None),
-                P(DATA_AXIS, None, None) if y_all is not None else P())
+                P(DATA_AXIS, None, None) if y_all is not None else P(),
+                P(DATA_AXIS) if speaker is not None else P())
     sums = jax.shard_map(
         run, mesh=mesh,
         in_specs=in_specs,
         out_specs=P((DATA_AXIS, MODEL_AXIS), None),
         axis_names=frozenset({DATA_AXIS, MODEL_AXIS}),
         check_vma=False,
-    )(params, tokens, y_all)
+    )(params, tokens, y_all, speaker)
     # model shards all computed identical sums; data shards hold partials.
     total = jnp.sum(sums.reshape(dp, mp, 2)[:, 0], axis=0)
     n = jnp.asarray(B * W, jnp.float32)

@@ -142,6 +142,7 @@ def sp_fused_supported(cfg: WaveNetConfig, W: int, sp: int) -> bool:
 def loss_fn_sp_fused(params: wn.Params, cfg: WaveNetConfig, mesh: Mesh,
                      inputs: jax.Array, targets: jax.Array,
                      mel: Optional[jax.Array] = None,
+                     speaker: Optional[jax.Array] = None,
                      interpret: bool = False,
                      ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
     """Sequence-parallel loss through the FUSED stack kernels.
@@ -185,7 +186,7 @@ def loss_fn_sp_fused(params: wn.Params, cfg: WaveNetConfig, mesh: Mesh,
         return jax.lax.ppermute(
             a[:, -H:], SEQ_AXIS, [(i, i + 1) for i in range(spn - 1)])
 
-    def local_sums(params, inputs, targets, y):
+    def local_sums(params, inputs, targets, y, speaker):
         prev = _prev_tokens_sp(inputs)
         x = wn.embed_tokens(params, cfg, inputs, prev)       # [B, Tl, R]
         first = jax.lax.axis_index(SEQ_AXIS) == 0
@@ -196,26 +197,32 @@ def loss_fn_sp_fused(params: wn.Params, cfg: WaveNetConfig, mesh: Mesh,
 
         x_ext = ext(x)
         y_ext = ext(y) if y is not None else None
+        # time-constant global offsets: identical on every seq shard, so the
+        # overlap-discard window needs no halo treatment for g
+        g = (None if speaker is None
+             else wn.global_cond_offsets(params, cfg, speaker))
         skip = ts.forward_skip_fused(params, cfg, x_ext, tile=TT,
-                                     y=y_ext, interpret=interpret)
+                                     y=y_ext, g=g, interpret=interpret)
         skip = jnp.where(first, jnp.roll(skip, H, axis=1), skip)[:, H:]
         logits = wn.head_logits(params, cfg, skip)
         return _loss_sums(logits, targets)
 
     in_specs = (P(), P(DATA_AXIS, SEQ_AXIS), P(DATA_AXIS, SEQ_AXIS),
-                P(DATA_AXIS, SEQ_AXIS, None) if y is not None else P())
+                P(DATA_AXIS, SEQ_AXIS, None) if y is not None else P(),
+                P(DATA_AXIS) if speaker is not None else P())
     sums = jax.shard_map(
         local_sums, mesh=mesh, in_specs=in_specs,
         out_specs=P((DATA_AXIS, SEQ_AXIS), None),
         axis_names=frozenset({DATA_AXIS, SEQ_AXIS}),
         check_vma=False,
-    )(params, inputs, targets, y)
+    )(params, inputs, targets, y, speaker)
     return _metrics(sums, inputs.size)
 
 
 def loss_fn_sp(params: wn.Params, cfg: WaveNetConfig, mesh: Mesh,
                inputs: jax.Array, targets: jax.Array,
                mel: Optional[jax.Array] = None,
+               speaker: Optional[jax.Array] = None,
                ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
     """Sequence-parallel training loss.
 
@@ -229,7 +236,7 @@ def loss_fn_sp(params: wn.Params, cfg: WaveNetConfig, mesh: Mesh,
         from wavenet_tpu.models.conditioning import upsample_mel
         y = upsample_mel(params["upsampler"], cfg.mel, mel, inputs.shape[1])
 
-    def local_sums(params, inputs, targets, y):
+    def local_sums(params, inputs, targets, y, speaker):
         """Per-shard partial sums; reduced OUTSIDE the shard_map because
         jax 0.9 partial-manual shard_map rejects outputs replicated over the
         manual axes (out_specs P() errors with "refers to <auto axis>")."""
@@ -237,15 +244,17 @@ def loss_fn_sp(params: wn.Params, cfg: WaveNetConfig, mesh: Mesh,
             params, cfg, inputs,
             prev_tokens=_prev_tokens_sp(inputs),
             halo_fn=_right_halo_fn(cfg.max_dilation),
-            upsampled_cond=y)
+            upsampled_cond=y,
+            speaker=speaker)
         return _loss_sums(logits, targets)
 
     in_specs = (P(), P(DATA_AXIS, SEQ_AXIS), P(DATA_AXIS, SEQ_AXIS),
-                P(DATA_AXIS, SEQ_AXIS, None) if y is not None else P())
+                P(DATA_AXIS, SEQ_AXIS, None) if y is not None else P(),
+                P(DATA_AXIS) if speaker is not None else P())
     sums = jax.shard_map(
         local_sums, mesh=mesh, in_specs=in_specs,
         out_specs=P((DATA_AXIS, SEQ_AXIS), None),      # [dp*sp, 2] sharded
         axis_names=frozenset({DATA_AXIS, SEQ_AXIS}),   # `model` stays GSPMD
         check_vma=False,
-    )(params, inputs, targets, y)
+    )(params, inputs, targets, y, speaker)
     return _metrics(sums, inputs.size)

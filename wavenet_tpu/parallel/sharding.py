@@ -77,6 +77,10 @@ def param_pspecs(cfg: WaveNetConfig) -> Params:
             ups[f"w{i}"] = P(None, None, None)
             ups[f"b{i}"] = P(None)
         specs["upsampler"] = ups
+    if cfg.global_classes is not None:
+        # column-parallel like w_cur/b: the global offset joins the sharded z
+        specs["g_embed"] = P(None, None)
+        specs["v_global"] = P(None, None, None, M)
     return specs
 
 
@@ -111,6 +115,9 @@ def param_pspecs_layer(cfg: WaveNetConfig) -> Params:
             ups[f"w{i}"] = P(None, None, None)
             ups[f"b{i}"] = P(None)
         specs["upsampler"] = ups
+    if cfg.global_classes is not None:
+        specs["g_embed"] = P(None, None)
+        specs["v_global"] = P(M, None, None, None)   # layer axis, like w_cur
     return specs
 
 
@@ -124,15 +131,19 @@ def param_shardings(cfg: WaveNetConfig, mesh: Mesh,
 
 def batch_pspec(seq_sharded: bool = False) -> Dict[str, P]:
     t = P(DATA_AXIS, SEQ_AXIS) if seq_sharded else P(DATA_AXIS, None)
-    return {"tokens": t, "mel": P(DATA_AXIS, None, None)}
+    return {"tokens": t, "mel": P(DATA_AXIS, None, None),
+            "speaker": P(DATA_AXIS)}
 
 
 def batch_shardings(mesh: Mesh, with_mel: bool,
-                    seq_sharded: bool = False) -> Dict[str, NamedSharding]:
+                    seq_sharded: bool = False,
+                    with_speaker: bool = False) -> Dict[str, NamedSharding]:
     spec = batch_pspec(seq_sharded)
     out = {"tokens": NamedSharding(mesh, spec["tokens"])}
     if with_mel:
         out["mel"] = NamedSharding(mesh, spec["mel"])
+    if with_speaker:
+        out["speaker"] = NamedSharding(mesh, spec["speaker"])
     return out
 
 

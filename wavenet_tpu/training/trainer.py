@@ -115,6 +115,7 @@ def make_train_step(cfg: WaveNetConfig, tx: optax.GradientTransformation,
                 from wavenet_tpu.parallel import pipeline
                 return pipeline.loss_fn_pp(
                     p, cfg, mesh, batch["tokens"], mel=batch.get("mel"),
+                    speaker=batch.get("speaker"),
                     microbatch=cfg.pipeline_microbatch)
             if use_sp:
                 from wavenet_tpu.parallel import seqpar
@@ -122,14 +123,17 @@ def make_train_step(cfg: WaveNetConfig, tx: optax.GradientTransformation,
                 sp_loss = (seqpar.loss_fn_sp_fused if use_sp_fused
                            else seqpar.loss_fn_sp)
                 return sp_loss(p, cfg, mesh, toks[:, :-1], toks[:, 1:],
-                               mel=batch.get("mel"))
+                               mel=batch.get("mel"),
+                               speaker=batch.get("speaker"))
             if use_dp_map:
                 from wavenet_tpu.parallel import dataparallel
                 return dataparallel.loss_fn_dp(p, cfg, mesh,
                                                batch["tokens"],
                                                use_fused=True,
-                                               mel=batch.get("mel"))
+                                               mel=batch.get("mel"),
+                                               speaker=batch.get("speaker"))
             return wn.loss_fn(p, cfg, batch["tokens"], mel=batch.get("mel"),
+                              speaker=batch.get("speaker"),
                               use_fused=use_fused)
 
         (loss, aux), grads = jax.value_and_grad(loss_of, has_aux=True)(
@@ -163,7 +167,8 @@ class Trainer:
         self.param_shardings = shd.param_shardings(
             cfg, self.mesh, layer_sharded=self.use_pp)
         self.batch_shardings = shd.batch_shardings(
-            self.mesh, with_mel=cfg.mel is not None)
+            self.mesh, with_mel=cfg.mel is not None,
+            with_speaker=cfg.global_classes is not None)
         self.iter_state = IteratorState(seed=cfg.seed, step=0)
         self._eval_step = None
 
@@ -287,7 +292,8 @@ class Trainer:
 
             def eval_loss(params, batch):
                 return wn.loss_fn(params, cfg, batch["tokens"],
-                                  mel=batch.get("mel"))[1]
+                                  mel=batch.get("mel"),
+                                  speaker=batch.get("speaker"))[1]
 
             self._eval_step = jax.jit(
                 eval_loss,
