@@ -206,6 +206,40 @@ def test_trainer_end_to_end_with_speakers():
     assert np.isfinite(m["loss"])
 
 
+def test_pallas_decode_with_speaker_matches_xla_interpret():
+    """Whole-loop Pallas decode with the in-kernel global gate offset must
+    greedy-match the XLA scan decoder step-for-step (interpret mode)."""
+    from wavenet_tpu.ops.pallas import decode as pdec
+    cfg = cfg_()
+    p = wn.init_params(cfg, jax.random.PRNGKey(0))
+    B, N = 2, 40
+    sp = jnp.asarray([1, 3], jnp.int32)
+    token0 = jnp.full((B,), 128, jnp.int32)
+    gcond = wn.global_cond_offsets(p, cfg, sp)
+
+    st = wn.decode_init(cfg, B)
+
+    def body(carry, _):
+        st, tok = carry
+        st, logits = wn.decode_step(p, cfg, st, tok, gcond=gcond)
+        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        return (st, nxt), nxt
+
+    (_, _), ref = jax.lax.scan(body, (st, token0), None, length=N)
+    ref = jnp.moveaxis(ref, 0, 1)
+
+    got = pdec.generate_pallas(p, cfg, jax.random.PRNGKey(0), N, batch=B,
+                               prime_tokens=token0[:, None], speaker=sp,
+                               temperature=0.0, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+    # and without the offset the greedy tokens must differ
+    got0 = pdec.generate_pallas(
+        p, cfg.replace(global_classes=None), jax.random.PRNGKey(0), N,
+        batch=B, prime_tokens=token0[:, None], temperature=0.0,
+        interpret=True)
+    assert not np.array_equal(np.asarray(got), np.asarray(got0))
+
+
 def test_distributed_decode_with_speaker_matches_single_device():
     """P3 + global conditioning: the Megatron column-sharded v_global slice
     yields shard-local gate offsets — sharded tokens must equal the

@@ -147,18 +147,18 @@ def _decode_cfg(**kw):
 
 
 def check_decode(name, cfg, batch, num_steps, y=None, prime=None,
-                 temperature=0.0, force_tiles=None):
+                 speaker=None, temperature=0.0, force_tiles=None):
     # force_tiles is a STATIC jit arg of decode_chunk — monkeypatching
     # plan_tiles instead silently hits the jit cache of the un-tiled call
     # (same static signature) and never exercises the tiling.
     p = wn.init_params(cfg, jax.random.PRNGKey(0))
     key = jax.random.PRNGKey(3)
     hw = pdec.generate_pallas(p, cfg, key, num_steps, batch=batch,
-                              y=y, prime_tokens=prime,
+                              y=y, prime_tokens=prime, speaker=speaker,
                               temperature=temperature,
                               force_tiles=force_tiles)
     it = pdec.generate_pallas(p, cfg, key, num_steps, batch=batch,
-                              y=y, prime_tokens=prime,
+                              y=y, prime_tokens=prime, speaker=speaker,
                               temperature=temperature, interpret=True,
                               force_tiles=force_tiles)
     ok, d = same(hw, it)
@@ -190,6 +190,10 @@ def main():
     mel = jax.random.normal(jax.random.PRNGKey(6), (4, 5, 80))
     y = upsample_mel(pc["upsampler"], mel_cfg, mel, 256)
     check_decode("decode conditional", ccfg, batch=4, num_steps=256, y=y)
+
+    gcfg = _decode_cfg(global_classes=4, global_channels=16)
+    check_decode("decode global-cond", gcfg, batch=4, num_steps=256,
+                 speaker=jnp.asarray([0, 1, 2, 3], jnp.int32))
 
     if FAILURES:
         print(f"\n{len(FAILURES)} FAILURES: {FAILURES}")

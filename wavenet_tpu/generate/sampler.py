@@ -50,11 +50,11 @@ def generate_auto(params: wn.Params, cfg: WaveNetConfig, key: jax.Array,
     if cond is not None and y is not None:
         raise ValueError("pass either y (features) or cond (projections)")
     on_tpu = jax.devices()[0].platform != "cpu"
-    if (on_tpu and cond is None and speaker is None
-            and pdec.fits_vmem(cfg, batch)):
+    if on_tpu and cond is None and pdec.fits_vmem(cfg, batch):
         return pdec.generate_pallas(params, cfg, key, num_samples,
                                     batch=batch, prime_tokens=prime_tokens,
-                                    y=y, temperature=temperature)
+                                    y=y, speaker=speaker,
+                                    temperature=temperature)
     if y is not None:
         cond = jnp.einsum("btm,lmgr->btlgr", y, params["v_cond"],
                           preferred_element_type=jnp.float32)

@@ -148,7 +148,16 @@ def _dot(a, b, out_dtype=jnp.float32):
 
 def embed_tokens(params: Params, cfg: WaveNetConfig,
                  tokens: jax.Array, prev_tokens: jax.Array) -> jax.Array:
-    """E_cur[tokens] + E_prev[prev_tokens] -> residual stream [.., R]."""
+    """E_cur[tokens] + E_prev[prev_tokens] -> residual stream [.., R].
+
+    Deliberately a GATHER, not a one-hot matmul.  The matmul formulation
+    (embed backward as MXU matmul instead of a B*W-row scatter-add) was
+    measured on v5e and rejected: with DEFAULT matmul precision XLA rounds
+    the f32 tables to bf16 and the lowering (gather vs matmul) varies with
+    the surrounding graph — two jits of the same loss diverged at bf16 ulp
+    in x and 1e-1 relative in grads; with Precision.HIGHEST it was *slower*
+    than the scatter path (7.94 vs 7.72 ms full small-preset grad step) and
+    still not bit-stable (tools/tpu_step_breakdown.py bisect, round 2)."""
     cdt = _dtype(cfg)
     x = (params["embed_cur"][tokens] + params["embed_prev"][prev_tokens])
     x = x.astype(cdt)

@@ -79,6 +79,8 @@ def _tile_bytes(cfg: WaveNetConfig, bt: int, tc: int) -> int:
     if M:
         b += 2 * L * 2 * R * M                   # v_cond
         b += 2 * 2 * tc * M * bt                 # y block (dbl-buffered)
+    if cfg.global_classes is not None:
+        b += 4 * L * 2 * R * bt                  # global gate offsets (f32)
     return b
 
 
@@ -137,22 +139,18 @@ def _counter_rng_uniform(seed, t, shape, col0, colstride: int):
 
 def _decode_kernel(cfg: WaveNetConfig, TC: int, nTC: int, B_total: int,
                    temperature: float, num_forced: int, has_cond: bool,
-                   *refs):
-    if has_cond:
-        (seed_ref, t0_ref, col0_ref, tokens_init_ref, forced_ref,
-         ecur_ref, eprev_ref, wcur_ref, wprev_ref, b_ref,
-         wres_ref, bres_ref, wskip_ref, bskip_ref,
-         hw1_ref, hb1_ref, hw2_ref, hb2_ref,
-         y_ref, vcond_ref, rings_in_ref,
-         tokens_out_ref, rings_ref, carry_out_ref, carry_scr) = refs
-    else:
-        (seed_ref, t0_ref, col0_ref, tokens_init_ref, forced_ref,
-         ecur_ref, eprev_ref, wcur_ref, wprev_ref, b_ref,
-         wres_ref, bres_ref, wskip_ref, bskip_ref,
-         hw1_ref, hb1_ref, hw2_ref, hb2_ref,
-         rings_in_ref,
-         tokens_out_ref, rings_ref, carry_out_ref, carry_scr) = refs
-        y_ref = vcond_ref = None
+                   has_gc: bool, *refs):
+    refs = list(refs)
+    (seed_ref, t0_ref, col0_ref, tokens_init_ref, forced_ref,
+     ecur_ref, eprev_ref, wcur_ref, wprev_ref, b_ref,
+     wres_ref, bres_ref, wskip_ref, bskip_ref,
+     hw1_ref, hb1_ref, hw2_ref, hb2_ref) = refs[:18]
+    refs = refs[18:]
+    y_ref = refs.pop(0) if has_cond else None
+    vcond_ref = refs.pop(0) if has_cond else None
+    g_ref = refs.pop(0) if has_gc else None      # [L, 2R, Bt] f32 offsets
+    (rings_in_ref, tokens_out_ref, rings_ref, carry_out_ref,
+     carry_scr) = refs
     R = cfg.residual_channels
     S = cfg.skip_channels
     Q = cfg.quantization_channels
@@ -197,6 +195,8 @@ def _decode_kernel(cfg: WaveNetConfig, TC: int, nTC: int, B_total: int,
             if has_cond:                         # paper eq.3: V*y into gate
                 z = z + jnp.dot(vcond_ref[l], y_t,
                                 preferred_element_type=jnp.float32)
+            if has_gc:                           # paper eq.2: global offset
+                z = z + g_ref[l]
             h = (jnp.tanh(z[:R, :]) * jax.nn.sigmoid(z[R:, :])
                  ).astype(jnp.bfloat16)
             skip = (skip
@@ -290,7 +290,7 @@ def decode_chunk(params, cfg: WaveNetConfig, rings: jax.Array,
                  tokens_init: jax.Array, t0: jax.Array, seed: jax.Array,
                  num_steps: int,
                  temperature: float = 1.0, interpret: bool = False,
-                 forced=None, y=None, tc_hint: int = 2048,
+                 forced=None, y=None, g=None, tc_hint: int = 2048,
                  force_tiles: Optional[Tuple[int, int]] = None):
     """Generate `num_steps` tokens in one kernel launch over the
     (batch_tiles, time_chunks) grid.
@@ -301,6 +301,9 @@ def decode_chunk(params, cfg: WaveNetConfig, rings: jax.Array,
       step, column 1 the token before it (0 at sequence start).
     t0: scalar int32 global step index of the chunk start (ring phase).
     y: optional [B, num_steps, M] upsampled conditioning features (cfg.mel).
+    g: optional [L, B, 2, R] f32 global-conditioning gate offsets
+      (models.wavenet.global_cond_offsets) — time-constant, held VMEM-
+      resident across all steps.
     Returns (tokens [B, num_steps] i32, rings', carry [B, 2]) where carry is
     the tokens_init for the next call (pass t0 + num_steps with it).
     """
@@ -308,6 +311,7 @@ def decode_chunk(params, cfg: WaveNetConfig, rings: jax.Array,
     _, sum_d = _ring_offsets(cfg)
     R = cfg.residual_channels
     has_cond = y is not None
+    has_gc = g is not None
     if has_cond and cfg.mel is None:
         raise ValueError("y passed but cfg.mel is None")
     Bt, TC = force_tiles or plan_tiles(cfg, B, tc_hint)
@@ -324,7 +328,7 @@ def decode_chunk(params, cfg: WaveNetConfig, rings: jax.Array,
                 else forced.T.astype(jnp.int32))
     Pf = forced_t.shape[0]
     kernel = functools.partial(_decode_kernel, cfg, TC, nTC, B, temperature,
-                               num_forced, has_cond)
+                               num_forced, has_cond, has_gc)
 
     # Batch tiles are SEPARATE launches: Mosaic requires lane-axis blocks to
     # be 128-divisible or the whole dim, so (X, B)->(X, Bt) grid blocking
@@ -352,6 +356,13 @@ def decode_chunk(params, cfg: WaveNetConfig, rings: jax.Array,
             pl.BlockSpec(vck.shape, lambda j: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ]
+    if has_gc:
+        L = cfg.num_layers
+        # [L, B, 2, R] -> kernel layout [L, 2R, B] (transposed, like z)
+        g_k = jnp.moveaxis(g.reshape(L, B, 2 * R), 1, 2
+                           ).astype(jnp.float32)
+        in_specs.append(pl.BlockSpec((L, 2 * R, Bt), lambda j: (0, 0, 0),
+                                     memory_space=pltpu.VMEM))
     in_specs.append(pl.BlockSpec((sum_d, R, Bt), lambda j: (0, 0, 0),
                                  memory_space=pltpu.VMEM))
     n_in = len(in_specs)
@@ -389,6 +400,8 @@ def decode_chunk(params, cfg: WaveNetConfig, rings: jax.Array,
                     ti_t[:, sl], forced_t[:, sl], *ops]
         if has_cond:
             tile_ops += [y_k[:, :, sl], vck]
+        if has_gc:
+            tile_ops.append(g_k[:, :, sl])
         tile_ops.append(rings[:, :, sl])
         tt, rt, ct = call(*tile_ops)
         toks_tiles.append(tt)
@@ -404,20 +417,28 @@ def decode_chunk(params, cfg: WaveNetConfig, rings: jax.Array,
 
 def generate_pallas(params, cfg: WaveNetConfig, key: jax.Array,
                     num_samples: int, batch: int = 1,
-                    prime_tokens=None, y=None,
+                    prime_tokens=None, y=None, speaker=None,
                     temperature: float = 1.0,
                     chunk: int = 2048, interpret: bool = False,
                     force_tiles: Optional[Tuple[int, int]] = None
                     ) -> jax.Array:
     """Drop-in fast generation via the whole-loop kernel.  Supports
-    teacher-forced priming (prime_tokens [B, P]) and local conditioning
-    (y [B, T>=steps, M] upsampled mel features); callers should check
-    fits_vmem() and fall back to models.wavenet.generate otherwise.
+    teacher-forced priming (prime_tokens [B, P]), local conditioning
+    (y [B, T>=steps, M] upsampled mel features), and global conditioning
+    (speaker [B] int32 class ids, cfg.global_classes set); callers should
+    check fits_vmem() and fall back to models.wavenet.generate otherwise.
     `chunk` is the time-grid block hint (compile-relevant only);
     `force_tiles` overrides the (batch_tile, time_chunk) plan (tests)."""
     if not fits_vmem(cfg, batch):
         raise ValueError("model/batch too large for the VMEM-resident decode "
                          "kernel; use models.wavenet.generate")
+    g = None
+    if cfg.global_classes is not None:
+        if speaker is None:
+            raise ValueError("cfg.global_classes set but no speaker ids "
+                             "passed")
+        from wavenet_tpu.models import wavenet as wn
+        g = wn.global_cond_offsets(params, cfg, speaker)     # [L, B, 2, R]
     _, sum_d = _ring_offsets(cfg)
     R = cfg.residual_channels
     rings = jnp.zeros((sum_d, R, batch), jnp.bfloat16)
@@ -439,7 +460,7 @@ def generate_pallas(params, cfg: WaveNetConfig, key: jax.Array,
         y = y[:, :total]
     toks, _, _ = decode_chunk(params, cfg, rings, carry, jnp.int32(0), seed,
                               total, temperature, interpret=interpret,
-                              forced=prime_tokens, y=y,
+                              forced=prime_tokens, y=y, g=g,
                               tc_hint=min(chunk, 2048),
                               force_tiles=force_tiles)
     return toks[:, max(P - 1, 0):]
