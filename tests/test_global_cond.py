@@ -261,6 +261,37 @@ def test_distributed_decode_with_speaker_matches_single_device():
     assert not np.array_equal(np.asarray(ref), np.asarray(other))
 
 
+def test_from_dir_speaker_subdirs(tmp_path):
+    """Multi-speaker corpus layout root/<speaker>/*.wav: both loaders must
+    assign subdirectory-index speaker ids and emit identical batches."""
+    from wavenet_tpu.audio.dataset import AudioDataset, IteratorState
+    from wavenet_tpu.audio.io import write_wav
+    from wavenet_tpu.audio.streaming import StreamingAudioDataset
+    cfg = cfg_(batch_size=4, train_window=64, sample_rate=4000,
+               global_classes=3)
+    rng = np.random.default_rng(0)
+    for si, spk in enumerate(["alice", "bob", "carol"]):
+        (tmp_path / spk).mkdir()
+        for c in range(2):
+            x = rng.uniform(-0.4, 0.4, size=800).astype(np.float32)
+            write_wav(str(tmp_path / spk / f"c{c}.wav"), x, 4000)
+    mem = AudioDataset.from_dir(str(tmp_path), cfg)
+    stream = StreamingAudioDataset.from_dir(str(tmp_path), cfg)
+    assert sorted(set(map(int, mem.speakers))) == [0, 1, 2]
+    st = IteratorState(seed=5, step=0)
+    for _ in range(3):
+        bm, st2 = mem.sample_batch(st)
+        bs, _ = stream.sample_batch(st)
+        np.testing.assert_array_equal(bm["tokens"], bs["tokens"])
+        np.testing.assert_array_equal(bm["speaker"], bs["speaker"])
+        st = st2
+
+    # too many subdirectories for the configured class count must raise
+    with pytest.raises(ValueError, match="global_classes"):
+        AudioDataset.from_dir(str(tmp_path),
+                              cfg.replace(global_classes=2))
+
+
 def test_seqpar_with_speaker_matches_unsharded():
     from wavenet_tpu.parallel import seqpar
     from wavenet_tpu.parallel.mesh import make_mesh

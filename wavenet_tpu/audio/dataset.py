@@ -28,6 +28,30 @@ from wavenet_tpu.audio.io import list_wavs, read_wav
 from wavenet_tpu.config import WaveNetConfig
 
 
+def speakers_from_dir(root: str, paths: Sequence[str],
+                      cfg: WaveNetConfig) -> Optional[List[int]]:
+    """Per-clip global-conditioning class ids from the corpus layout: each
+    clip's id is its top-level subdirectory index under `root` (sorted
+    order, root/<speaker>/<clip>.wav); clips directly under root map to
+    class 0.  None when cfg.global_classes is unset."""
+    import os
+    if cfg.global_classes is None:
+        return None
+    rootp = os.path.abspath(root)
+
+    def subdir(p):
+        rel = os.path.relpath(os.path.abspath(p), rootp)
+        return rel.split(os.sep)[0] if os.sep in rel else ""
+
+    names = sorted({subdir(p) for p in paths})
+    if len(names) > cfg.global_classes:
+        raise ValueError(
+            f"{len(names)} speaker subdirectories under {root} but "
+            f"global_classes={cfg.global_classes}")
+    idx = {n: i for i, n in enumerate(names)}
+    return [idx[subdir(p)] for p in paths]
+
+
 @dataclasses.dataclass(frozen=True)
 class IteratorState:
     """Complete, serializable state of the data iterator."""
@@ -91,11 +115,15 @@ class AudioDataset:
 
     @classmethod
     def from_dir(cls, root: str, cfg: WaveNetConfig) -> "AudioDataset":
+        """Load every .wav under `root`.  With cfg.global_classes set, the
+        speaker id of each clip is its top-level subdirectory index (sorted
+        order) — the conventional multi-speaker corpus layout
+        root/<speaker>/<clip>.wav; clips directly under root get class 0."""
         paths = list_wavs(root)
         if not paths:
             raise FileNotFoundError(f"no .wav under {root}")
         clips = [read_wav(p, cfg.sample_rate)[0] for p in paths]
-        return cls(clips, cfg)
+        return cls(clips, cfg, speakers=speakers_from_dir(root, paths, cfg))
 
     @classmethod
     def synthetic(cls, cfg: WaveNetConfig, num_clips: int = 4,

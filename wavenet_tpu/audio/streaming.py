@@ -60,19 +60,35 @@ class StreamingAudioDataset:
     """Disk-backed dataset with the AudioDataset batching contract."""
 
     def __init__(self, paths: List[str], cfg: WaveNetConfig,
-                 cache_clips: int = 64, prefetch: int = 2):
+                 cache_clips: int = 64, prefetch: int = 2,
+                 speakers: Optional[List[int]] = None):
         if not paths:
             raise FileNotFoundError("empty wav list")
+        if speakers is not None and len(speakers) != len(paths):
+            raise ValueError("speakers must align 1:1 with paths")
         self.cfg = cfg
         self.paths = list(paths)
         window = cfg.train_window + 1
         lengths = [_scan_length(p, cfg.sample_rate) for p in self.paths]
-        keep = [(p, n) for p, n in zip(self.paths, lengths) if n >= window]
+        keep = [(i, p, n) for i, (p, n)
+                in enumerate(zip(self.paths, lengths)) if n >= window]
         if not keep:
             raise ValueError(
                 f"no clip is >= train_window+1 = {window} samples")
-        self.paths = [p for p, _ in keep]
-        self.lengths = np.asarray([n for _, n in keep], np.int64)
+        self.paths = [p for _, p, _ in keep]
+        self.lengths = np.asarray([n for _, _, n in keep], np.int64)
+        # same default as AudioDataset: explicit per-clip ids, else
+        # clip-index mod classes
+        self.speakers: Optional[np.ndarray] = None
+        if cfg.global_classes is not None:
+            if speakers is not None:
+                sp = np.asarray([speakers[i] for i, _, _ in keep], np.int32)
+            else:
+                sp = (np.arange(len(self.paths), dtype=np.int32)
+                      % cfg.global_classes)
+            if sp.size and (sp.min() < 0 or sp.max() >= cfg.global_classes):
+                raise ValueError("speaker id out of range for global_classes")
+            self.speakers = sp
         self._cache: "collections.OrderedDict[int, tuple]" = \
             collections.OrderedDict()
         self._cache_max = max(cache_clips, 1)
@@ -86,10 +102,12 @@ class StreamingAudioDataset:
     @classmethod
     def from_dir(cls, root: str, cfg: WaveNetConfig,
                  **kw) -> "StreamingAudioDataset":
+        from wavenet_tpu.audio.dataset import speakers_from_dir
         paths = list_wavs(root)
         if not paths:
             raise FileNotFoundError(f"no .wav under {root}")
-        return cls(paths, cfg, **kw)
+        return cls(paths, cfg,
+                   speakers=speakers_from_dir(root, paths, cfg), **kw)
 
     # ---- clip cache ----
 
@@ -167,6 +185,8 @@ class StreamingAudioDataset:
         batch = {"tokens": toks}
         if mels is not None:
             batch["mel"] = mels
+        if self.speakers is not None:
+            batch["speaker"] = self.speakers[clip_idx[list(sel)]]
         return batch
 
     # ---- background prefetch ----
