@@ -240,6 +240,39 @@ def test_pallas_decode_with_speaker_matches_xla_interpret():
     assert not np.array_equal(np.asarray(got), np.asarray(got0))
 
 
+def test_megatron_tp_with_speaker_matches_single_device():
+    """GSPMD Megatron channel sharding (P2) with global conditioning:
+    v_global column-shards with w_cur, so the sharded loss/grads must equal
+    single-device — including the g_embed / v_global leaves."""
+    from wavenet_tpu.parallel import sharding as shd
+    from wavenet_tpu.parallel.mesh import make_mesh
+    cfg = cfg_(compute_dtype="float32", data_parallel=2, model_parallel=4,
+               num_blocks=1, batch_size=8, train_window=128)
+    mesh = make_mesh(cfg)
+    p = wn.init_params(cfg, jax.random.PRNGKey(0))
+    toks = jax.random.randint(jax.random.PRNGKey(1), (8, 128), 0, 256)
+    sp = jnp.arange(8, dtype=jnp.int32) % cfg.global_classes
+
+    def lg(p, t, s):
+        return jax.value_and_grad(
+            lambda p: wn.loss_fn(p, cfg, t, speaker=s)[0])(p)
+
+    ref_loss, ref_g = lg(p, toks, sp)
+    pshard = shd.param_shardings(cfg, mesh)
+    bshard = shd.batch_shardings(mesh, with_mel=False, with_speaker=True)
+    p_s = jax.device_put(p, pshard)
+    t_s = jax.device_put(toks, bshard["tokens"])
+    s_s = jax.device_put(sp, bshard["speaker"])
+    loss, g = jax.jit(lg, in_shardings=(pshard, bshard["tokens"],
+                                        bshard["speaker"]))(p_s, t_s, s_s)
+    np.testing.assert_allclose(float(loss), float(ref_loss), rtol=2e-6)
+    for (ka, a), (kb, b) in zip(
+            jax.tree.flatten_with_path(ref_g)[0],
+            jax.tree.flatten_with_path(g)[0]):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=5e-5, rtol=1e-4, err_msg=str(ka))
+
+
 def test_distributed_decode_with_speaker_matches_single_device():
     """P3 + global conditioning: the Megatron column-sharded v_global slice
     yields shard-local gate offsets — sharded tokens must equal the
