@@ -240,6 +240,48 @@ def test_pallas_decode_with_speaker_matches_xla_interpret():
     assert not np.array_equal(np.asarray(got), np.asarray(got0))
 
 
+def test_mel_plus_speaker_compose():
+    """Local (mel) and global (speaker) conditioning in the SAME model:
+    scan and fused paths agree on the loss, decode matches the forward."""
+    from wavenet_tpu.config import MelConfig
+    mel_cfg = MelConfig(num_mels=8, hop_length=16, win_length=64,
+                        fmax=4000.0, upsample_factors=(4, 4))
+    cfg = cfg_(mel=mel_cfg)
+    p = wn.init_params(cfg, jax.random.PRNGKey(0))
+    toks = jax.random.randint(jax.random.PRNGKey(1), (2, 65), 0, 256)
+    mel = jax.random.normal(jax.random.PRNGKey(2), (2, 5, 8))
+    sp = jnp.asarray([1, 3], jnp.int32)
+
+    ref = wn.loss_fn(p, cfg, toks, mel=mel, speaker=sp)[0]
+    got = wn.loss_fn(p, cfg, toks, mel=mel, speaker=sp, use_fused=True,
+                     interpret=True)[0]
+    np.testing.assert_allclose(float(got), float(ref), atol=5e-3, rtol=2e-3)
+
+    # teacher-forced decode with BOTH conditionings == full forward
+    from wavenet_tpu.models.conditioning import upsample_mel
+    T = 32
+    toks32 = toks[:, :T]
+    y = upsample_mel(p["upsampler"], cfg.mel, mel, T)
+    cond = jnp.einsum("btm,lmgr->btlgr", y, p["v_cond"],
+                      preferred_element_type=jnp.float32)
+    full = wn.forward_logits(p, cfg, toks32, mel=mel, speaker=sp)
+    gcond = wn.global_cond_offsets(p, cfg, sp)
+    state = wn.decode_init(cfg, 2)
+
+    def step(state, tc):
+        tok, c = tc
+        state, logits = wn.decode_step(p, cfg, state, tok, cond_t=c,
+                                       gcond=gcond)
+        return state, logits
+
+    _, dec = jax.lax.scan(step, state,
+                          (jnp.moveaxis(toks32, 0, 1),
+                           jnp.moveaxis(cond, 0, 1)))
+    dec = jnp.moveaxis(dec, 0, 1)
+    np.testing.assert_allclose(np.asarray(dec), np.asarray(full),
+                               atol=2e-2, rtol=1e-2)
+
+
 def test_megatron_tp_with_speaker_matches_single_device():
     """GSPMD Megatron channel sharding (P2) with global conditioning:
     v_global column-shards with w_cur, so the sharded loss/grads must equal

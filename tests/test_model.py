@@ -149,3 +149,19 @@ def test_wavenet_facade(tmp_path):
     m2 = WaveNet.from_checkpoint(str(tmp_path / "c"))
     assert m2.cfg == cfg
     assert m2.num_params == sum(x.size for x in jax.tree.leaves(tr.state.params))
+
+
+def test_score_fn_per_utterance():
+    """score_fn: [B] bits/sample; ~log2(Q)=8 at init, and the facade's
+    waveform entry point agrees with explicit tokens."""
+    from wavenet_tpu.models.api import WaveNet
+    from wavenet_tpu.audio import mulaw
+    cfg = tiny()
+    m = WaveNet(cfg).init()
+    toks = jax.random.randint(jax.random.PRNGKey(1), (3, 257), 0, 256)
+    s = wn.score_fn(m.params, cfg, toks)
+    assert s.shape == (3,)
+    np.testing.assert_allclose(np.asarray(s), 8.0, atol=0.2)
+    wave = mulaw.decode_np(np.asarray(toks), cfg.quantization_channels)
+    s2 = m.score(waveform=wave)
+    np.testing.assert_allclose(np.asarray(s2), np.asarray(s), atol=1e-4)

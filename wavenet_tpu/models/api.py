@@ -79,6 +79,19 @@ class WaveNet:
                              batch=batch, prime_tokens=prime_tokens,
                              y=y, speaker=speaker, temperature=temperature)
 
+    def score(self, waveform=None, tokens=None, mel=None, speaker=None):
+        """Per-utterance teacher-forced bits/sample ([B]); lower is better.
+        Pass either float waveforms [B, T] (mu-law encoded here) or token
+        ids [B, T]."""
+        from wavenet_tpu.audio import mulaw
+        if (waveform is None) == (tokens is None):
+            raise ValueError("pass exactly one of waveform= / tokens=")
+        if tokens is None:
+            tokens = mulaw.encode(jnp.asarray(waveform),
+                                  self.cfg.quantization_channels)
+        return wn.score_fn(self.params, self.cfg, jnp.asarray(tokens),
+                           mel=mel, speaker=speaker)
+
     def generate_wav(self, path: str, seconds: float, **kw):
         from wavenet_tpu.generate.sampler import generate_wav
         return generate_wav(self.params, self.cfg, path, seconds, **kw)

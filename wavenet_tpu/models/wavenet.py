@@ -361,6 +361,26 @@ def loss_fn(params: Params, cfg: WaveNetConfig, tokens: jax.Array,
     return loss, aux
 
 
+def score_fn(params: Params, cfg: WaveNetConfig, tokens: jax.Array,
+             mel: Optional[jax.Array] = None,
+             speaker: Optional[jax.Array] = None,
+             use_fused: bool = False) -> jax.Array:
+    """Per-utterance teacher-forced score: mean next-sample negative
+    log-likelihood in BITS per sample, shape [B] — the quantity loss_fn
+    averages over the batch, exposed per clip for evaluation / model
+    comparison.  tokens: [B, T+1] mu-law ids."""
+    inputs, targets = tokens[:, :-1], tokens[:, 1:]
+    if use_fused:
+        logits = forward_logits_fused(params, cfg, inputs, mel=mel,
+                                      speaker=speaker)
+    else:
+        logits = forward_logits(params, cfg, inputs, mel=mel,
+                                speaker=speaker)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
+    return jnp.mean(nll, axis=-1) / jnp.log(2.0)
+
+
 # ---------------------------------------------------------------------------
 # Fast AR decode (cached ring-buffer queues)
 # ---------------------------------------------------------------------------
