@@ -232,6 +232,12 @@ def test_pallas_decode_with_speaker_matches_xla_interpret():
                                prime_tokens=token0[:, None], speaker=sp,
                                temperature=0.0, interpret=True)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+    # batch-tiled launches slice the per-tile g block — must not change it
+    tiled = pdec.generate_pallas(p, cfg, jax.random.PRNGKey(0), N, batch=B,
+                                 prime_tokens=token0[:, None], speaker=sp,
+                                 temperature=0.0, interpret=True,
+                                 force_tiles=(1, 8))
+    np.testing.assert_array_equal(np.asarray(tiled), np.asarray(ref))
     # and without the offset the greedy tokens must differ
     got0 = pdec.generate_pallas(
         p, cfg.replace(global_classes=None), jax.random.PRNGKey(0), N,
@@ -334,6 +340,27 @@ def test_distributed_decode_with_speaker_matches_single_device():
     other = dd.generate_sharded(p, base, mesh1, 7, 40, batch=4,
                                 speaker=jnp.zeros((4,), jnp.int32))
     assert not np.array_equal(np.asarray(ref), np.asarray(other))
+
+
+def test_pallas_decode_awkward_totals_interpret():
+    """Primed generation whose total step count is prime (no usable chunk
+    divisor) must still lower: generate_pallas pads to whole chunks and
+    discards the tail.  Found live: 0.25 s prime + 2 s at 16 kHz = 35999
+    steps -> TC=1 -> Mosaic block-shape error."""
+    from wavenet_tpu.ops.pallas import decode as pdec
+    cfg = cfg_(global_classes=None)
+    p = wn.init_params(cfg, jax.random.PRNGKey(0))
+    prime = jax.random.randint(jax.random.PRNGKey(1), (1, 14), 0, 256)
+    # total = 13 + 54 = 67 (prime)
+    toks = pdec.generate_pallas(p, cfg, jax.random.PRNGKey(2), 54, batch=1,
+                                prime_tokens=prime, temperature=0.0,
+                                interpret=True)
+    assert toks.shape == (1, 54)
+    # padding must not change the tokens: same request with a round total
+    ref = pdec.generate_pallas(p, cfg, jax.random.PRNGKey(2), 51, batch=1,
+                               prime_tokens=prime, temperature=0.0,
+                               interpret=True)
+    np.testing.assert_array_equal(np.asarray(toks[:, :51]), np.asarray(ref))
 
 
 def test_from_dir_speaker_subdirs(tmp_path):

@@ -15,6 +15,8 @@ Artifacts under runs/evidence/global_cond/: metrics.jsonl, confusion.json,
 f0.json, spk{0..3}.wav, README.md.
 
 Usage: python tools/gc_evidence.py [steps]   (default 20000; TPU)
+       python tools/gc_evidence.py resume    (skip training, redo evidence
+                                              from the saved checkpoint)
 """
 
 import json
@@ -25,7 +27,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np                                          # noqa: E402
 
-STEPS = int(sys.argv[1]) if len(sys.argv) > 1 else 20000
+RESUME = len(sys.argv) > 1 and sys.argv[1] == "resume"
+STEPS = (int(sys.argv[1]) if len(sys.argv) > 1 and not RESUME else 20000)
 CORPUS = "runs/corpus_ms"
 OUT = "runs/evidence/global_cond"
 N_SPK = 4
@@ -48,13 +51,13 @@ def f0_autocorr(x, sr, lo=60.0, hi=450.0):
     for s in range(0, len(x) - n, hop):
         seg = x[s:s + n].astype(np.float64)
         e = np.sqrt(np.mean(seg ** 2))
-        if e < 0.02:                      # skip silence/noise-floor frames
+        if e < 0.008:                     # skip silence/noise-floor frames
             continue
         seg = seg - seg.mean()
         ac = np.correlate(seg, seg, "full")[n - 1:]
         ac = ac / (ac[0] + 1e-9)
         pk = lags[np.argmax(ac[lags])]
-        if ac[pk] > 0.35:                 # voiced only
+        if ac[pk] > 0.25:                 # voiced only
             best.append(sr / pk)
     return float(np.median(best)) if best else float("nan")
 
@@ -78,17 +81,28 @@ def main():
     print(f"corpus: {len(ds.tokens)} clips, speakers "
           f"{np.bincount(ds.speakers, minlength=N_SPK)}", flush=True)
 
-    tr = Trainer(cfg, ds)
-    mf = open(os.path.join(OUT, "metrics.jsonl"), "w")
+    if RESUME:
+        from wavenet_tpu.models.api import WaveNet
+        params = WaveNet.from_checkpoint(os.path.join(OUT, "ckpt")).params
+        last = {}
+        if os.path.exists(os.path.join(OUT, "metrics.jsonl")):
+            for line in open(os.path.join(OUT, "metrics.jsonl")):
+                last = json.loads(line)
+        print("resumed from checkpoint; last metrics:", last, flush=True)
+    else:
+        tr = Trainer(cfg, ds, checkpoint_dir=os.path.join(OUT, "ckpt"))
+        mf = open(os.path.join(OUT, "metrics.jsonl"), "w")
 
-    def metrics_hook(step, m):
-        mf.write(json.dumps({"step": step, **m}) + "\n")
-        mf.flush()
+        def metrics_hook(step, m):
+            mf.write(json.dumps({"step": step, **m}) + "\n")
+            mf.flush()
 
-    last = tr.run(STEPS, log_every=500, metrics_fn=metrics_hook)
-    mf.close()
-    print("final:", {k: round(v, 4) for k, v in last.items()}, flush=True)
-    params = tr.state.params
+        last = tr.run(STEPS, log_every=500, metrics_fn=metrics_hook)
+        tr.save()
+        mf.close()
+        print("final:", {k: round(v, 4) for k, v in last.items()},
+              flush=True)
+        params = tr.state.params
 
     # --- 1. score confusion matrix (held-out deterministic windows) ---
     W = cfg.train_window
@@ -115,12 +129,19 @@ def main():
               open(os.path.join(OUT, "confusion.json"), "w"), indent=1)
 
     # --- 2. per-speaker samples + f0 ---
-    n = int(1.5 * cfg.sample_rate)
+    # Prime each sample with 0.25 s of held-out audio FROM THAT SPEAKER so
+    # the free-run starts voiced (the corpus is ~25% silence, and an
+    # unprimed zero-context rollout can legitimately stay silent); the f0 is
+    # measured on the 2 s CONTINUATION only, which the model generates.
+    P = int(0.25 * cfg.sample_rate)
+    n = int(2.0 * cfg.sample_rate)
     f0s = {}
     from wavenet_tpu.audio import mulaw
     for s in range(N_SPK):
+        k = [k for k, sp in enumerate(ds.speakers) if sp == s][-1]
+        prime = jnp.asarray(ds.tokens[k][:P][None])
         toks = generate_auto(params, cfg, jax.random.PRNGKey(100 + s), n,
-                             batch=1,
+                             batch=1, prime_tokens=prime,
                              speaker=jnp.full((1,), s, jnp.int32),
                              temperature=0.9)
         wave = np.asarray(mulaw.decode(toks, cfg.quantization_channels))[0]
@@ -147,8 +168,10 @@ def main():
             f"- score confusion (bits/sample, rows=true speaker, "
             f"cols=conditioned id): see `confusion.json`; diagonal is the "
             f"row minimum: **{diag_best}**\n"
-            f"- free-running samples `spk*.wav` (speaker id is the ONLY "
-            f"thing varied); measured f0 vs corpus f0: see `f0.json`\n")
+            f"- samples `spk*.wav`: primed with 0.25 s of held-out audio "
+            f"from the same speaker, then 2 s free-run conditioned on that "
+            f"speaker id; measured continuation f0 vs corpus f0: see "
+            f"`f0.json`\n")
     print("evidence written to", OUT, flush=True)
 
 

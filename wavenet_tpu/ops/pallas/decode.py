@@ -319,7 +319,18 @@ def decode_chunk(params, cfg: WaveNetConfig, rings: jax.Array,
         raise ValueError("model too large for the VMEM-resident decode "
                          "kernel; use models.wavenet.generate")
     if num_steps % TC:
-        TC = max(t for t in range(1, TC + 1) if num_steps % t == 0)
+        # Mosaic requires the time-block dim divisible by 8 (or the whole
+        # array): only such divisors are usable.  35999 total steps (prime)
+        # from a primed generate once landed here and produced TC=1.
+        ok = [t for t in range(8, TC + 1, 8) if num_steps % t == 0]
+        if num_steps <= TC:
+            TC = num_steps
+        elif ok:
+            TC = max(ok)
+        else:
+            raise ValueError(
+                f"num_steps={num_steps} has no time-chunk divisible by 8; "
+                f"pad the step count (generate_pallas does this)")
     nB, nTC = B // Bt, num_steps // TC
     ops = _flatten_params(params, cfg)
 
@@ -451,16 +462,27 @@ def generate_pallas(params, cfg: WaveNetConfig, key: jax.Array,
     carry = jnp.concatenate([first, jnp.zeros((batch, 1), jnp.int32)], axis=1)
     seed = jax.random.randint(key, (), 0, 2**31 - 1)
     # total steps: P-1 priming steps consume prime[1:], then num_samples
-    # free-running steps; outputs before the first free sample are dropped
+    # free-running steps; outputs before the first free sample are dropped.
+    # Round UP to a whole number of time chunks (the surplus free-running
+    # tail is discarded) — shrinking the chunk to a divisor instead can
+    # reach unlowerable sizes when the total is prime-ish.
     total = max(P - 1, 0) + num_samples
+    Bt, TC = force_tiles or plan_tiles(cfg, batch, min(chunk, 2048))
+    # shrink the chunk toward the total (never below 8) so short requests
+    # don't pad to a full 2048-step chunk
+    while TC > 8 and TC > total:
+        TC //= 2
+    TC = max(TC, 8)
+    total_pad = -(-total // TC) * TC
     if y is not None:
         if y.shape[1] < total:
             raise ValueError(f"y covers {y.shape[1]} < {total} steps "
                              f"(priming included)")
-        y = y[:, :total]
+        y = jnp.pad(y[:, :total],
+                    ((0, 0), (0, total_pad - total), (0, 0)))
     toks, _, _ = decode_chunk(params, cfg, rings, carry, jnp.int32(0), seed,
-                              total, temperature, interpret=interpret,
+                              total_pad, temperature, interpret=interpret,
                               forced=prime_tokens, y=y, g=g,
                               tc_hint=min(chunk, 2048),
-                              force_tiles=force_tiles)
-    return toks[:, max(P - 1, 0):]
+                              force_tiles=(Bt, TC))
+    return toks[:, max(P - 1, 0):total]
