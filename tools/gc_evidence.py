@@ -140,7 +140,7 @@ def main():
     for s in range(N_SPK):
         k = [k for k, sp in enumerate(ds.speakers) if sp == s][-1]
         prime = jnp.asarray(ds.tokens[k][:P][None])
-        toks = generate_auto(params, cfg, jax.random.PRNGKey(100 + s), n,
+        toks = generate_auto(params, cfg, jax.random.PRNGKey(300 + s), n,
                              batch=1, prime_tokens=prime,
                              speaker=jnp.full((1,), s, jnp.int32),
                              temperature=0.9)
