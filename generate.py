@@ -39,6 +39,9 @@ def parse_args(argv=None):
     p.add_argument("--naive", action="store_true",
                    help="use the O(RF)/sample reference algorithm instead of "
                         "the cached-queue fast decoder")
+    p.add_argument("--no-ema", action="store_true",
+                   help="sample from the raw training weights even when the "
+                        "checkpoint kept Polyak-averaged (EMA) weights")
     return p.parse_args(argv)
 
 
@@ -54,7 +57,8 @@ def main(argv=None):
                                               tokens_to_waveform)
     from wavenet_tpu.models.api import WaveNet
 
-    model = WaveNet.from_checkpoint(args.ckpt, step=args.step)
+    model = WaveNet.from_checkpoint(args.ckpt, step=args.step,
+                                    use_ema=not args.no_ema)
     cfg, params = model.cfg, model.params
 
     prime_tokens = None

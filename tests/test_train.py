@@ -145,3 +145,49 @@ def test_overfit_then_generate_distribution():
     assert l1 < 0.8, (l1, ref_hist.round(2), gen_hist.round(2))
     # generated audio must not be constant/silent
     assert out.std() > 1.0
+
+
+def test_ema_invariants_and_checkpoint(tmp_path):
+    """EMA (Polyak) averaging: decay=0 tracks params exactly, decay=1 stays
+    at init; save/restore round-trips the EMA; the facade loads EMA by
+    default and raw weights on request."""
+    import jax.numpy as jnp
+    from wavenet_tpu.models.api import WaveNet
+
+    def run(decay, steps=2, ckpt=None):
+        cfg = micro_cfg(ema_decay=decay)
+        ds = AudioDataset.synthetic(cfg, num_clips=2, clip_seconds=0.25)
+        tr = Trainer(cfg, ds, checkpoint_dir=ckpt)
+        tr.run(steps, log_every=0)
+        return tr
+
+    tr0 = run(0.0)
+    for (ka, a), (kb, b) in zip(
+            jax.tree_util.tree_flatten_with_path(tr0.state.params)[0],
+            jax.tree_util.tree_flatten_with_path(tr0.state.ema)[0]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=str(ka))
+
+    tr1 = run(1.0)
+    init = jax.jit(lambda: __import__(
+        "wavenet_tpu.models.wavenet", fromlist=["init_params"]
+    ).init_params(tr1.cfg, jax.random.PRNGKey(tr1.cfg.seed)))()
+    for (ka, a), (kb, b) in zip(
+            jax.tree_util.tree_flatten_with_path(init)[0],
+            jax.tree_util.tree_flatten_with_path(tr1.state.ema)[0]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=str(ka))
+
+    # checkpoint round-trip + facade selection
+    tr = run(0.5, steps=3, ckpt=str(tmp_path / "ck"))
+    tr.save()
+    tr.ckpt.wait()
+    m_ema = WaveNet.from_checkpoint(str(tmp_path / "ck"))
+    m_raw = WaveNet.from_checkpoint(str(tmp_path / "ck"), use_ema=False)
+    np.testing.assert_allclose(
+        np.asarray(m_ema.params["w_cur"]), np.asarray(tr.state.ema["w_cur"]))
+    np.testing.assert_allclose(
+        np.asarray(m_raw.params["w_cur"]),
+        np.asarray(tr.state.params["w_cur"]))
+    assert not np.allclose(np.asarray(m_ema.params["w_cur"]),
+                           np.asarray(m_raw.params["w_cur"]))

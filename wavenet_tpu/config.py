@@ -90,6 +90,9 @@ class WaveNetConfig:
     adam_b1: float = 0.9
     adam_b2: float = 0.999
     grad_clip_norm: Optional[float] = None
+    # Polyak/EMA averaging of params (standard vocoder practice: sample from
+    # the average, train on the raw weights).  None disables; typical 0.9999.
+    ema_decay: Optional[float] = None
     seed: int = 0
 
     # --- parallelism (mesh axis sizes; 1 = disabled) ---

@@ -34,8 +34,11 @@ class WaveNet:
         return self
 
     @classmethod
-    def from_checkpoint(cls, directory: str, step: Optional[int] = None
-                        ) -> "WaveNet":
+    def from_checkpoint(cls, directory: str, step: Optional[int] = None,
+                        use_ema: bool = True) -> "WaveNet":
+        """Load a trained model.  When the run kept Polyak-averaged weights
+        (cfg.ema_decay) they are used for inference by default — pass
+        use_ema=False for the raw training weights."""
         from wavenet_tpu.training.checkpoint import CheckpointManager
         from wavenet_tpu.training.trainer import TrainState, make_optimizer
         cfg = CheckpointManager.load_config(directory)
@@ -43,9 +46,13 @@ class WaveNet:
         params = jax.eval_shape(lambda: wn.init_params(cfg, jax.random.PRNGKey(0)))
         tx = make_optimizer(cfg)
         opt = jax.eval_shape(lambda p: tx.init(p), params)
-        abstract = TrainState(params, opt, jax.ShapeDtypeStruct((), jnp.int32))
+        ema = params if cfg.ema_decay is not None else None
+        abstract = TrainState(params, opt,
+                              jax.ShapeDtypeStruct((), jnp.int32), ema)
         state, _ = ckpt.restore(abstract, step=step)
-        return cls(cfg, state.params)
+        use = (state.ema if (use_ema and cfg.ema_decay is not None)
+               else state.params)
+        return cls(cfg, use)
 
     # ---- model surface ----
 

@@ -30,6 +30,10 @@ class TrainState(NamedTuple):
     params: Any
     opt_state: Any
     step: jax.Array          # scalar int32
+    # EMA of params when cfg.ema_decay is set, else None.  None is an empty
+    # pytree node, so the state structure (and old checkpoints) are
+    # unchanged when the feature is off.
+    ema: Any = None
 
 
 def make_lr_schedule(cfg: WaveNetConfig):
@@ -140,9 +144,14 @@ def make_train_step(cfg: WaveNetConfig, tx: optax.GradientTransformation,
             state.params)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
+        ema = state.ema
+        if cfg.ema_decay is not None:
+            d = cfg.ema_decay
+            ema = jax.tree.map(lambda e, p: d * e + (1.0 - d) * p,
+                               state.ema, params)
         metrics = dict(aux)
         metrics["grad_norm"] = optax.global_norm(grads)
-        return TrainState(params, opt_state, state.step + 1), metrics
+        return TrainState(params, opt_state, state.step + 1, ema), metrics
 
     return train_step
 
@@ -175,13 +184,15 @@ class Trainer:
         # init sharded state directly on the mesh: eval_shape + jit(out_shardings)
         def _init(key):
             params = wn.init_params(cfg, key)
+            ema = params if cfg.ema_decay is not None else None
             return TrainState(params, self.tx.init(params),
-                              jnp.zeros((), jnp.int32))
+                              jnp.zeros((), jnp.int32), ema)
 
         opt_shardings = self._opt_state_shardings(_init)
         self.state_shardings = TrainState(
             self.param_shardings, opt_shardings,
-            NamedSharding(self.mesh, P()))
+            NamedSharding(self.mesh, P()),
+            self.param_shardings if cfg.ema_decay is not None else None)
         self.state: TrainState = jax.jit(
             _init, out_shardings=self.state_shardings)(
                 jax.random.PRNGKey(cfg.seed))
