@@ -394,6 +394,78 @@ def test_from_dir_speaker_subdirs(tmp_path):
                               cfg.replace(global_classes=2))
 
 
+def test_pipeline_with_speaker_matches_fused(monkeypatch):
+    """Layer-pipeline model parallelism + speaker: each stage computes its
+    own gate offsets from the LOCAL layer-sharded v_global slice; loss and
+    all grads must match the single-device fused path."""
+    from wavenet_tpu.parallel import pipeline as pp
+    from wavenet_tpu.parallel.mesh import make_mesh
+    from wavenet_tpu.ops.pallas import train_stack as ts
+    cfg = cfg_(num_blocks=4, batch_size=4, train_window=64,
+               model_parallel=2, data_parallel=2)
+    # align single-device group plan to stage boundaries (bit-matched
+    # numerics; see tests/test_pipeline.py::align_group_budget)
+    TT = ts.pick_tile(cfg, 64)
+    Lst = cfg.num_layers // 2
+    budget = max(max(ts._group_sizes(cfg, TT, cfg.dilations[i:i + Lst]))
+                 for i in range(0, cfg.num_layers - Lst + 1))
+    monkeypatch.setattr(ts, "VMEM_BUDGET", budget)
+    mesh = make_mesh(cfg)
+    p = wn.init_params(cfg, jax.random.PRNGKey(0))
+    toks = jax.random.randint(jax.random.PRNGKey(1), (4, 65), 0, 256)
+    sp = jnp.asarray([0, 1, 2, 3], jnp.int32)
+
+    ref_l, ref_g = jax.value_and_grad(
+        lambda p: wn.loss_fn(p, cfg, toks, speaker=sp, use_fused=True,
+                             interpret=True)[0])(p)
+    pp_l, pp_g = jax.jit(jax.value_and_grad(
+        lambda p: pp.loss_fn_pp(p, cfg, mesh, toks, speaker=sp,
+                                interpret=True)[0]))(p)
+    np.testing.assert_allclose(float(pp_l), float(ref_l), rtol=2e-4,
+                               atol=2e-4)
+    for (ka, a), (kb, b) in zip(
+            jax.tree_util.tree_flatten_with_path(ref_g)[0],
+            jax.tree_util.tree_flatten_with_path(pp_g)[0]):
+        a, b = np.asarray(a, np.float32), np.asarray(b, np.float32)
+        scale = max(np.abs(a).max(), 1e-3)
+        np.testing.assert_allclose(b / scale, a / scale, atol=0.02,
+                                   err_msg=str(ka))
+
+
+def test_sp_fused_with_speaker_matches_unsharded(monkeypatch):
+    """Overlap-discard seq-parallel fused path + speaker: the time-constant
+    offsets need no halo; grads must match the unsharded fused loss."""
+    from wavenet_tpu.parallel import seqpar
+    from wavenet_tpu.parallel.mesh import make_mesh
+    cfg = cfg_(num_blocks=2, max_dilation=8, batch_size=2,
+               train_window=128, seq_parallel=2, data_parallel=1)
+    mesh = make_mesh(cfg)
+    assert seqpar.sp_fused_supported(cfg, 128, 2)
+    p = wn.init_params(cfg, jax.random.PRNGKey(0))
+    window = jax.random.randint(jax.random.PRNGKey(1), (2, 129), 0, 256)
+    inputs, targets = window[:, :-1], window[:, 1:]
+    sp = jnp.asarray([1, 3], jnp.int32)
+
+    def ref(p):
+        return wn.loss_fn(p, cfg, window, speaker=sp, use_fused=True,
+                          interpret=True)[0]
+
+    ref_l, ref_g = jax.value_and_grad(ref)(p)
+    sp_l, sp_g = jax.jit(jax.value_and_grad(
+        lambda p: seqpar.loss_fn_sp_fused(p, cfg, mesh, inputs, targets,
+                                          speaker=sp,
+                                          interpret=True)[0]))(p)
+    np.testing.assert_allclose(float(sp_l), float(ref_l), rtol=2e-5,
+                               atol=2e-5)
+    for (ka, a), (kb, b) in zip(
+            jax.tree_util.tree_flatten_with_path(ref_g)[0],
+            jax.tree_util.tree_flatten_with_path(sp_g)[0]):
+        a, b = np.asarray(a, np.float32), np.asarray(b, np.float32)
+        scale = max(np.abs(a).max(), 1e-3)
+        np.testing.assert_allclose(b / scale, a / scale, atol=0.02,
+                                   err_msg=str(ka))
+
+
 def test_seqpar_with_speaker_matches_unsharded():
     from wavenet_tpu.parallel import seqpar
     from wavenet_tpu.parallel.mesh import make_mesh
