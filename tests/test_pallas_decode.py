@@ -252,3 +252,25 @@ def test_priming_chunked_interpret():
                                 num_samples=N, batch=B, prime_tokens=prime,
                                 temperature=0.0, interpret=True, chunk=8)
     np.testing.assert_array_equal(np.asarray(one), np.asarray(many))
+
+
+def test_generate_stream_matches_one_shot_interpret():
+    """Streaming chunks must concatenate to EXACTLY the one-shot tokens —
+    sampled, primed, and speaker-conditioned (RNG keyed by global step)."""
+    from wavenet_tpu.generate.sampler import generate_stream
+    cfg = cfg_(global_classes=3, global_channels=8)
+    params = wn.init_params(cfg, jax.random.PRNGKey(0))
+    B, N = 2, 48
+    key = jax.random.PRNGKey(7)
+    sp = jnp.asarray([0, 2], jnp.int32)
+    prime = jax.random.randint(jax.random.PRNGKey(8), (B, 11), 0, 256)
+
+    one = pdec.generate_pallas(params, cfg, key, N, batch=B,
+                               prime_tokens=prime, speaker=sp,
+                               temperature=1.0, interpret=True)
+    chunks = list(generate_stream(params, cfg, key, N, chunk_samples=16,
+                                  batch=B, prime_tokens=prime, speaker=sp,
+                                  temperature=1.0, interpret=True))
+    assert len(chunks) > 1
+    got = jnp.concatenate(chunks, axis=1)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(one))

@@ -63,6 +63,80 @@ def generate_auto(params: wn.Params, cfg: WaveNetConfig, key: jax.Array,
                        temperature=temperature)
 
 
+def generate_stream(params: wn.Params, cfg: WaveNetConfig, key: jax.Array,
+                    num_samples: int, chunk_samples: int = 16000,
+                    batch: int = 1,
+                    prime_tokens: Optional[jax.Array] = None,
+                    y: Optional[jax.Array] = None,
+                    speaker: Optional[jax.Array] = None,
+                    temperature: float = 1.0,
+                    interpret: bool = False):
+    """Streaming generation: yields [B, <=chunk_samples] int32 token chunks.
+
+    Long-form / serving entry point: memory is bounded by one chunk (ring
+    state carries between kernel launches), and the emitted tokens are
+    IDENTICAL to the one-shot Pallas decode — the in-kernel RNG is keyed by
+    the global step, so chunking does not change the sample path (the
+    decode_chunk continuation contract, tests/test_pallas_decode.py).
+
+    y: [B, T, M] upsampled mel features covering max(P-1,0)+num_samples
+    steps; speaker: [B] int32 ids (cfg.global_classes).
+    """
+    from wavenet_tpu.ops.pallas import decode as pdec
+    if not pdec.fits_vmem(cfg, batch):
+        raise ValueError("model/batch too large for the VMEM-resident "
+                         "decode kernel")
+    # the kernel only compiles for TPU; on CPU run it emulated so the
+    # streaming API works everywhere (tests, dev boxes)
+    interpret = interpret or jax.devices()[0].platform == "cpu"
+    g = None
+    if cfg.global_classes is not None:
+        if speaker is None:
+            raise ValueError("cfg.global_classes set but no speaker ids "
+                             "passed")
+        g = wn.global_cond_offsets(params, cfg, speaker)
+    _, sum_d = pdec._ring_offsets(cfg)
+    R = cfg.residual_channels
+    Bt, TC = pdec.plan_tiles(cfg, batch)
+    # small interactive chunks: shrink the kernel's time block toward the
+    # requested chunk (floor 8) instead of forcing 2048-step latency
+    while TC > 8 and TC > chunk_samples:
+        TC //= 2
+    chunk = max(TC, chunk_samples // TC * TC)
+
+    P = 0 if prime_tokens is None else prime_tokens.shape[1]
+    total = max(P - 1, 0) + num_samples
+    if y is not None and y.shape[1] < total:
+        raise ValueError(f"y covers {y.shape[1]} < {total} steps "
+                         f"(priming included)")
+    rings = jnp.zeros((sum_d, R, batch), jnp.bfloat16)
+    first = (prime_tokens[:, 0:1].astype(jnp.int32) if P else
+             jnp.full((batch, 1), cfg.quantization_channels // 2, jnp.int32))
+    carry = jnp.concatenate([first, jnp.zeros((batch, 1), jnp.int32)], 1)
+    seed = jax.random.randint(key, (), 0, 2 ** 31 - 1)
+
+    t0, skip = 0, max(P - 1, 0)                  # skip = priming outputs
+    while t0 < total:
+        n = min(chunk, total - t0)
+        n_pad = -(-n // TC) * TC                 # pad the tail chunk
+        y_c = None
+        if y is not None:
+            y_c = y[:, t0:t0 + n]
+            if n_pad > n:
+                y_c = jnp.pad(y_c, ((0, 0), (0, n_pad - n), (0, 0)))
+        toks, rings, carry = pdec.decode_chunk(
+            params, cfg, rings, carry, jnp.int32(t0), seed, n_pad,
+            temperature, interpret=interpret, forced=prime_tokens,
+            y=y_c, g=g, force_tiles=(Bt, TC))
+        out = toks[:, :n]
+        if skip:
+            drop = min(skip, n)
+            out, skip = out[:, drop:], skip - drop
+        if out.shape[1]:
+            yield out
+        t0 += n
+
+
 def generate_naive(params: wn.Params, cfg: WaveNetConfig, key: jax.Array,
                    num_samples: int, batch: int = 1,
                    prime_tokens: Optional[jax.Array] = None,

@@ -99,6 +99,33 @@ class WaveNet:
         return wn.score_fn(self.params, self.cfg, jnp.asarray(tokens),
                            mel=mel, speaker=speaker)
 
+    def stream(self, seconds: float, chunk_seconds: float = 1.0,
+               batch: int = 1, key: Optional[jax.Array] = None,
+               prime_tokens=None, mel=None, speaker=None,
+               temperature: float = 1.0):
+        """Yield float waveform chunks ([B, <=chunk] in [-1, 1]) as they are
+        generated — the serving entry point for long-form synthesis.
+        Bounded memory; the emitted audio is bit-identical to a one-shot
+        generate (the decode kernel's RNG is keyed by global step)."""
+        from wavenet_tpu.audio import mulaw
+        from wavenet_tpu.generate.sampler import generate_stream
+        from wavenet_tpu.models.conditioning import upsample_mel
+        import numpy as np
+        key = jax.random.PRNGKey(0) if key is None else key
+        n = int(seconds * self.cfg.sample_rate)
+        y = None
+        if mel is not None:
+            P = 0 if prime_tokens is None else prime_tokens.shape[1]
+            y = upsample_mel(self.params["upsampler"], self.cfg.mel, mel,
+                             max(P - 1, 0) + n)
+        for toks in generate_stream(
+                self.params, self.cfg, key, n,
+                chunk_samples=int(chunk_seconds * self.cfg.sample_rate),
+                batch=batch, prime_tokens=prime_tokens, y=y,
+                speaker=speaker, temperature=temperature):
+            yield np.asarray(
+                mulaw.decode(toks, self.cfg.quantization_channels))
+
     def generate_wav(self, path: str, seconds: float, **kw):
         from wavenet_tpu.generate.sampler import generate_wav
         return generate_wav(self.params, self.cfg, path, seconds, **kw)
