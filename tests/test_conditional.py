@@ -187,3 +187,17 @@ def test_facade_generate_mel_with_priming():
                                                     MEL.num_mels))
     out = m.generate(num_samples=N, batch=B, prime_tokens=prime, mel=mel)
     assert out.shape == (B, N)
+
+
+def test_facade_vocode():
+    """WaveNet.vocode: one call from waveform -> mel -> conditioned tokens."""
+    import numpy as np
+    from wavenet_tpu.models.api import WaveNet
+    cfg = cfg_()
+    m = WaveNet(cfg).init()
+    t = np.arange(int(0.12 * cfg.sample_rate)) / cfg.sample_rate
+    wave = (0.3 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+    toks = m.vocode(wave)
+    F = len(wave) // cfg.mel.hop_length
+    assert toks.shape == (1, F * cfg.mel.hop_length)
+    assert 0 <= int(toks.min()) and int(toks.max()) < cfg.quantization_channels

@@ -86,6 +86,22 @@ class WaveNet:
                              batch=batch, prime_tokens=prime_tokens,
                              y=y, speaker=speaker, temperature=temperature)
 
+    def vocode(self, waveform, key: Optional[jax.Array] = None,
+               temperature: float = 1.0, speaker=None):
+        """Re-synthesize audio through the model: extract log-mel features
+        from `waveform` ([T] float) and generate conditioned on them — the
+        one-call vocoder entry point (generate.py --mel-from equivalent).
+        Returns [1, T'] int32 tokens (T' = frames * hop)."""
+        import numpy as np
+        if self.cfg.mel is None:
+            raise ValueError("vocode requires a mel-conditional model")
+        from wavenet_tpu.audio.mel import log_mel
+        mel = log_mel(np.asarray(waveform, np.float32),
+                      self.cfg.sample_rate, self.cfg.mel)[None]
+        n = mel.shape[1] * self.cfg.mel.hop_length
+        return self.generate(num_samples=n, key=key, mel=jnp.asarray(mel),
+                             speaker=speaker, temperature=temperature)
+
     def score(self, waveform=None, tokens=None, mel=None, speaker=None):
         """Per-utterance teacher-forced bits/sample ([B]); lower is better.
         Pass either float waveforms [B, T] (mu-law encoded here) or token
