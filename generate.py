@@ -39,6 +39,10 @@ def parse_args(argv=None):
     p.add_argument("--naive", action="store_true",
                    help="use the O(RF)/sample reference algorithm instead of "
                         "the cached-queue fast decoder")
+    p.add_argument("--stream", type=float, default=None, metavar="CHUNK_S",
+                   help="stream generation: write the wav progressively in "
+                        "CHUNK_S-second chunks (bit-identical audio to the "
+                        "one-shot path; serving-style bounded memory)")
     p.add_argument("--no-ema", action="store_true",
                    help="sample from the raw training weights even when the "
                         "checkpoint kept Polyak-averaged (EMA) weights")
@@ -94,6 +98,46 @@ def main(argv=None):
 
     key = jax.random.PRNGKey(args.seed)
     t0 = time.perf_counter()
+    if args.stream is not None:
+        if args.naive:
+            sys.exit("--stream uses the fast decoder; drop --naive")
+        import wave as wave_mod
+
+        import numpy as np
+        from wavenet_tpu.generate.sampler import generate_stream
+        speaker_t = speaker
+        writers = []
+        paths = ([args.out] if args.batch == 1 else
+                 [args.out.replace(".wav", f"_{i}.wav")
+                  for i in range(args.batch)])
+        for path in paths:
+            w = wave_mod.open(path, "wb")
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(cfg.sample_rate)
+            writers.append(w)
+        total = 0
+        for toks in generate_stream(
+                params, cfg, key, n,
+                chunk_samples=int(args.stream * cfg.sample_rate),
+                batch=args.batch, prime_tokens=prime_tokens, y=y,
+                speaker=speaker_t, temperature=args.temperature):
+            from wavenet_tpu.audio import mulaw
+            wavec = np.asarray(mulaw.decode(toks, cfg.quantization_channels))
+            pcm = np.clip(wavec * 32767.0, -32768, 32767).astype(np.int16)
+            for i, w in enumerate(writers):
+                w.writeframes(pcm[i].tobytes())
+            total += toks.shape[1]
+            print(f"\rstreamed {total}/{n} samples", end="",
+                  file=sys.stderr)
+        for w in writers:
+            w.close()
+        dt = time.perf_counter() - t0
+        print(f"\n{n} samples x{args.batch} in {dt:.2f}s = "
+              f"{n * args.batch / dt:.0f} samples/s (streamed)",
+              file=sys.stderr)
+        print(f"wrote {args.out}", file=sys.stderr)
+        return None
     if args.naive:
         toks = generate_naive(params, cfg, key, num_samples=n,
                               batch=args.batch, prime_tokens=prime_tokens,

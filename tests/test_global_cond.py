@@ -479,3 +479,23 @@ def test_seqpar_with_speaker_matches_unsharded():
         got = jax.jit(lambda p: seqpar.loss_fn_sp(
             p, cfg, mesh, toks[:, :-1], toks[:, 1:], speaker=sp)[0])(p)
     np.testing.assert_allclose(float(got), float(ref), rtol=1e-4, atol=1e-4)
+
+
+def test_trainer_all_features_on_mesh():
+    """Integration: Trainer on a (2,2,1) mesh with mel AND speaker
+    conditioning AND EMA — the full feature surface in one step function."""
+    from wavenet_tpu.audio.dataset import AudioDataset
+    from wavenet_tpu.config import MelConfig
+    from wavenet_tpu.training.trainer import Trainer
+    mel_cfg = MelConfig(num_mels=8, hop_length=16, win_length=64,
+                        fmax=2000.0, upsample_factors=(4, 4))
+    cfg = cfg_(batch_size=4, train_window=128, sample_rate=4000,
+               compute_dtype="float32", mel=mel_cfg,
+               data_parallel=2, seq_parallel=2, ema_decay=0.99)
+    ds = AudioDataset.synthetic(cfg, num_clips=4, clip_seconds=0.25)
+    tr = Trainer(cfg, ds)
+    m = tr.run(2, log_every=0)
+    assert np.isfinite(m["loss"])
+    ev = tr.evaluate(num_batches=2)
+    assert np.isfinite(ev["eval_loss"])
+    assert tr.state.ema is not None

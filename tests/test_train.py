@@ -191,3 +191,35 @@ def test_ema_invariants_and_checkpoint(tmp_path):
         np.asarray(tr.state.params["w_cur"]))
     assert not np.allclose(np.asarray(m_ema.params["w_cur"]),
                            np.asarray(m_raw.params["w_cur"]))
+
+
+def test_ema_checkpoint_cross_compat(tmp_path):
+    """EMA toggled across save/restore: a no-EMA checkpoint restores into
+    an EMA-enabled run (average seeded from the restored params), and an
+    EMA checkpoint restores into a no-EMA run (average dropped)."""
+    cfg0 = micro_cfg()
+    ds = AudioDataset.synthetic(cfg0, num_clips=2, clip_seconds=0.25)
+    tr0 = Trainer(cfg0, ds, checkpoint_dir=str(tmp_path / "a"))
+    tr0.run(2, log_every=0)
+    tr0.save()
+    tr0.ckpt.wait()
+
+    cfg1 = micro_cfg(ema_decay=0.9)
+    tr1 = Trainer(cfg1, ds, checkpoint_dir=str(tmp_path / "a"))
+    tr1.restore()
+    assert tr1.state.ema is not None
+    np.testing.assert_array_equal(np.asarray(tr1.state.ema["w_cur"]),
+                                  np.asarray(tr0.state.params["w_cur"]))
+    tr1.run(1, log_every=0)                     # averaging proceeds
+
+    tr1.ckpt = __import__(
+        "wavenet_tpu.training.checkpoint",
+        fromlist=["CheckpointManager"]).CheckpointManager(
+            str(tmp_path / "b"), cfg1)
+    tr1.save()
+    tr1.ckpt.wait()
+    tr2 = Trainer(cfg0, ds, checkpoint_dir=str(tmp_path / "b"))
+    tr2.restore()                                # EMA ckpt into no-EMA run
+    assert tr2.state.ema is None
+    np.testing.assert_array_equal(np.asarray(tr2.state.params["w_cur"]),
+                                  np.asarray(tr1.state.params["w_cur"]))

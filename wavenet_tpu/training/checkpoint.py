@@ -38,12 +38,23 @@ class CheckpointManager:
             with open(cfg_path, "w") as f:
                 f.write(cfg.to_json())
 
+    @staticmethod
+    def _state_tree(state: Any):
+        """Serialize NamedTuple states as dicts, DROPPING None-valued
+        optional fields (e.g. TrainState.ema when EMA is off): a None field
+        still creates a tree key in orbax, which would make every optional
+        field a checkpoint-format break."""
+        if hasattr(state, "_asdict"):
+            d = dict(state._asdict())
+            return {k: v for k, v in d.items() if v is not None}
+        return state
+
     def save(self, step: int, state: Any, iter_state: IteratorState,
              wait: bool = False) -> None:
         """Async by default; the train loop keeps running while tensorstore
         writes shards in the background."""
         payload = {
-            "state": ocp.args.StandardSave(state),
+            "state": ocp.args.StandardSave(self._state_tree(state)),
             "iterator": ocp.args.JsonSave(
                 {"seed": iter_state.seed, "step": iter_state.step}),
         }
@@ -56,15 +67,50 @@ class CheckpointManager:
         step = self.latest_step() if step is None else step
         if step is None:
             raise FileNotFoundError(f"no checkpoint in {self.directory}")
+        cls = type(abstract_state) if hasattr(abstract_state, "_asdict") \
+            else None
+        tree = self._state_tree(abstract_state)
+        if cls is not None:
+            # tolerate ema presence mismatches in either direction (resume
+            # an old run with EMA newly on, or with EMA turned off); probe
+            # the top-level keys straight from the step's _METADATA (both
+            # NamedTuple- and dict-saved states serialize by field name)
+            try:
+                meta_path = os.path.join(self.directory, str(step), "state",
+                                         "_METADATA")
+                with open(meta_path) as f:
+                    tm = json.load(f)["tree_metadata"]
+                disk_keys = {k.split("'")[1] for k in tm}
+            except Exception:
+                disk_keys = None
+            if disk_keys is not None:
+                if "ema" in tree and "ema" not in disk_keys:
+                    tree = {k: v for k, v in tree.items() if k != "ema"}
+                elif "ema" not in tree and "ema" in disk_keys:
+                    tree = dict(tree, ema=tree["params"])
         restored = self.mgr.restore(
             step,
             args=ocp.args.Composite(
-                state=ocp.args.StandardRestore(abstract_state),
+                state=ocp.args.StandardRestore(tree),
                 iterator=ocp.args.JsonRestore(),
             ))
+        rs = restored["state"]
+        if cls is not None:
+            fields = {f: rs.get(f) for f in cls._fields if f in rs}
+            state = cls(**fields)
+            if getattr(abstract_state, "ema", None) is not None \
+                    and state.ema is None:
+                # EMA enabled on a pre-EMA checkpoint: start the average
+                # from a COPY of the restored params (aliasing them would
+                # double-donate the buffers in the donated train step)
+                state = state._replace(
+                    ema=jax.tree.map(jax.numpy.copy, state.params))
+            if getattr(abstract_state, "ema", "x") is None:
+                state = state._replace(ema=None)
+        else:
+            state = rs
         it = restored["iterator"]
-        return restored["state"], IteratorState(seed=it["seed"],
-                                                step=it["step"])
+        return state, IteratorState(seed=it["seed"], step=it["step"])
 
     def latest_step(self) -> Optional[int]:
         return self.mgr.latest_step()
