@@ -274,3 +274,34 @@ def test_generate_stream_matches_one_shot_interpret():
     assert len(chunks) > 1
     got = jnp.concatenate(chunks, axis=1)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(one))
+
+
+def test_non_pow2_chunk_hint_lowers(monkeypatch):
+    """A non-power-of-two `chunk` hint must still produce a time block
+    divisible by 8 (code-review finding: TC halving reached 62)."""
+    cfg = cfg_()
+    params = wn.init_params(cfg, jax.random.PRNGKey(0))
+    toks = pdec.generate_pallas(params, cfg, jax.random.PRNGKey(1), 100,
+                                batch=1, chunk=1000, temperature=0.0,
+                                interpret=True)
+    assert toks.shape == (1, 100)
+    # the shared shrink helper keeps multiples of 8 with floor 8
+    assert pdec.shrink_tc(1000, 100) % 8 == 0
+    assert pdec.shrink_tc(9, 1) == 8
+    assert pdec.shrink_tc(2048, 3000) == 2048
+
+
+def test_long_prime_falls_back_to_scan():
+    """The teacher-forced prime block is VMEM-resident: fits_vmem must
+    reject primes that blow the budget, and generate_auto must route them
+    to the scan decoder instead of a Mosaic compile failure."""
+    from wavenet_tpu.generate.sampler import generate_auto
+    cfg = cfg_()
+    params = wn.init_params(cfg, jax.random.PRNGKey(0))
+    assert pdec.fits_vmem(cfg, 1, prime_len=100)
+    huge = 4 * 1024 * 1024                        # 16 MB of int32 tokens
+    assert not pdec.fits_vmem(cfg, 1, prime_len=huge)
+    with pytest.raises(ValueError, match="VMEM"):
+        pdec.generate_pallas(params, cfg, jax.random.PRNGKey(1), 8, batch=1,
+                             prime_tokens=jnp.zeros((1, huge), jnp.int32),
+                             interpret=True)

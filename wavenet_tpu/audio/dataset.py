@@ -76,8 +76,8 @@ class AudioDataset:
         window = cfg.train_window + 1          # +1: input/target offset pair
         if speakers is not None and len(speakers) != len(clips):
             raise ValueError("speakers must align 1:1 with clips")
-        kept_sp = [s for c, s in zip(clips, speakers or [0] * len(clips))
-                   if len(c) >= window]
+        sp_in = (speakers if speakers is not None else [0] * len(clips))
+        kept_sp = [s for c, s in zip(clips, sp_in) if len(c) >= window]
         kept = [c for c in clips if len(c) >= window]
         if not kept:
             raise ValueError(

@@ -50,7 +50,8 @@ def generate_auto(params: wn.Params, cfg: WaveNetConfig, key: jax.Array,
     if cond is not None and y is not None:
         raise ValueError("pass either y (features) or cond (projections)")
     on_tpu = jax.devices()[0].platform != "cpu"
-    if on_tpu and cond is None and pdec.fits_vmem(cfg, batch):
+    P0 = 0 if prime_tokens is None else prime_tokens.shape[1]
+    if on_tpu and cond is None and pdec.fits_vmem(cfg, batch, prime_len=P0):
         return pdec.generate_pallas(params, cfg, key, num_samples,
                                     batch=batch, prime_tokens=prime_tokens,
                                     y=y, speaker=speaker,
@@ -83,8 +84,9 @@ def generate_stream(params: wn.Params, cfg: WaveNetConfig, key: jax.Array,
     steps; speaker: [B] int32 ids (cfg.global_classes).
     """
     from wavenet_tpu.ops.pallas import decode as pdec
-    if not pdec.fits_vmem(cfg, batch):
-        raise ValueError("model/batch too large for the VMEM-resident "
+    P0 = 0 if prime_tokens is None else prime_tokens.shape[1]
+    if not pdec.fits_vmem(cfg, batch, prime_len=P0):
+        raise ValueError("model/batch/prime too large for the VMEM-resident "
                          "decode kernel")
     # the kernel only compiles for TPU; on CPU run it emulated so the
     # streaming API works everywhere (tests, dev boxes)
@@ -99,9 +101,8 @@ def generate_stream(params: wn.Params, cfg: WaveNetConfig, key: jax.Array,
     R = cfg.residual_channels
     Bt, TC = pdec.plan_tiles(cfg, batch)
     # small interactive chunks: shrink the kernel's time block toward the
-    # requested chunk (floor 8) instead of forcing 2048-step latency
-    while TC > 8 and TC > chunk_samples:
-        TC //= 2
+    # requested chunk instead of forcing 2048-step latency
+    TC = pdec.shrink_tc(TC, chunk_samples)
     chunk = max(TC, chunk_samples // TC * TC)
 
     P = 0 if prime_tokens is None else prime_tokens.shape[1]
@@ -124,9 +125,12 @@ def generate_stream(params: wn.Params, cfg: WaveNetConfig, key: jax.Array,
             y_c = y[:, t0:t0 + n]
             if n_pad > n:
                 y_c = jnp.pad(y_c, ((0, 0), (0, n_pad - n), (0, 0)))
+        # the prime block is VMEM-resident per launch but only consumed at
+        # global steps < P: drop it once priming is behind us
+        forced = prime_tokens if t0 < P - 1 else None
         toks, rings, carry = pdec.decode_chunk(
             params, cfg, rings, carry, jnp.int32(t0), seed, n_pad,
-            temperature, interpret=interpret, forced=prime_tokens,
+            temperature, interpret=interpret, forced=forced,
             y=y_c, g=g, force_tiles=(Bt, TC))
         out = toks[:, :n]
         if skip:

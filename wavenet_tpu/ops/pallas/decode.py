@@ -92,19 +92,39 @@ def plan_tiles(cfg: WaveNetConfig, batch: int,
     tiles = [b for b in (256, 128, 64, 48, 32, 24, 16, 8, 4, 2, 1)
              if b <= batch and batch % b == 0]
     for bt in tiles:
-        tc = min(tc_hint, 2048)
+        tc = max(min(tc_hint, 2048) // 8 * 8, 8)   # Mosaic: blocks % 8 == 0
         while tc >= 128 and _tile_bytes(cfg, bt, tc) > VMEM_BUDGET:
-            tc //= 2
-        if tc >= 8 and _tile_bytes(cfg, bt, max(tc, 8)) <= VMEM_BUDGET:
-            return bt, max(tc, 8)
+            tc = max(tc // 2 // 8 * 8, 8)
+        if _tile_bytes(cfg, bt, tc) <= VMEM_BUDGET:
+            return bt, tc
     return 0, 0
 
 
-def fits_vmem(cfg: WaveNetConfig, batch: int, num_steps: int = 2048) -> bool:
+def fits_vmem(cfg: WaveNetConfig, batch: int, num_steps: int = 2048,
+              prime_len: int = 0) -> bool:
     """True when the whole-loop kernel can serve (cfg, batch) — with batch
     tiling and time streaming this now covers large batches AND the
-    conditional vocoder (round 1 required cfg.mel is None and B <= 32)."""
-    return plan_tiles(cfg, batch)[0] > 0
+    conditional vocoder (round 1 required cfg.mel is None and B <= 32).
+
+    prime_len: teacher-forced prime length; the forced token block
+    [prime_len, Bt] int32 stays VMEM-resident for the launch, so very long
+    primes must fall back to the scan decoder."""
+    bt, tc = plan_tiles(cfg, batch)
+    if not bt:
+        return False
+    if prime_len:
+        return _tile_bytes(cfg, bt, tc) + 4 * prime_len * bt <= VMEM_BUDGET
+    return True
+
+
+def shrink_tc(tc: int, want: int) -> int:
+    """Shrink a planned time chunk toward `want` steps, keeping it a
+    multiple of 8 (Mosaic requires time blocks divisible by 8) with floor
+    8.  Shared by the one-shot and streaming drivers so the lowering
+    constraint lives in one place."""
+    while tc > 8 and tc > want:
+        tc //= 2
+    return max(tc // 8 * 8, 8)
 
 
 def _mix(h):
@@ -467,12 +487,14 @@ def generate_pallas(params, cfg: WaveNetConfig, key: jax.Array,
     # tail is discarded) — shrinking the chunk to a divisor instead can
     # reach unlowerable sizes when the total is prime-ish.
     total = max(P - 1, 0) + num_samples
+    if P and not force_tiles and not fits_vmem(cfg, batch, prime_len=P):
+        raise ValueError(f"prime of {P} samples exceeds the kernel's VMEM "
+                         f"budget at batch {batch}; use "
+                         f"models.wavenet.generate")
     Bt, TC = force_tiles or plan_tiles(cfg, batch, min(chunk, 2048))
-    # shrink the chunk toward the total (never below 8) so short requests
-    # don't pad to a full 2048-step chunk
-    while TC > 8 and TC > total:
-        TC //= 2
-    TC = max(TC, 8)
+    # shrink the chunk toward the total (never below 8, multiple of 8) so
+    # short requests don't pad to a full 2048-step chunk
+    TC = shrink_tc(TC, total)
     total_pad = -(-total // TC) * TC
     if y is not None:
         if y.shape[1] < total:

@@ -88,12 +88,24 @@ class CheckpointManager:
                     tree = {k: v for k, v in tree.items() if k != "ema"}
                 elif "ema" not in tree and "ema" in disk_keys:
                     tree = dict(tree, ema=tree["params"])
-        restored = self.mgr.restore(
-            step,
-            args=ocp.args.Composite(
-                state=ocp.args.StandardRestore(tree),
-                iterator=ocp.args.JsonRestore(),
-            ))
+        def _do(tree):
+            return self.mgr.restore(
+                step,
+                args=ocp.args.Composite(
+                    state=ocp.args.StandardRestore(tree),
+                    iterator=ocp.args.JsonRestore(),
+                ))
+
+        try:
+            restored = _do(tree)
+        except ValueError as e:
+            # self-heal if the metadata probe missed (e.g. an orbax layout
+            # change): toggle the ema key and retry once
+            if cls is None or "ema" not in str(e):
+                raise
+            tree = ({k: v for k, v in tree.items() if k != "ema"}
+                    if "ema" in tree else dict(tree, ema=tree["params"]))
+            restored = _do(tree)
         rs = restored["state"]
         if cls is not None:
             fields = {f: rs.get(f) for f in cls._fields if f in rs}
