@@ -109,3 +109,33 @@ def test_pallas_dp_matches_per_shard_kernel():
                                     interpret=True)
         np.testing.assert_array_equal(np.asarray(got[i * per:(i + 1) * per]),
                                       np.asarray(want), err_msg=f"shard {i}")
+
+
+@pytest.mark.parametrize("dp,mp", [(4, 1), (2, 2)])
+def test_conditional_sharded_matches_single_device(dp, mp):
+    """Mel-conditioned distributed decode: each shard projects its step's
+    features with the LOCAL v_cond column slice (aligned with the local z
+    columns); tokens must equal the single-device run."""
+    from wavenet_tpu.config import MelConfig
+    from wavenet_tpu.models.conditioning import upsample_mel
+    mel_cfg = MelConfig(num_mels=8, hop_length=16, win_length=64,
+                        fmax=4000.0, upsample_factors=(4, 4))
+    cfg = cfg_(data_parallel=dp, model_parallel=mp, mel=mel_cfg)
+    base = cfg_base_strip(cfg)
+    mesh = make_mesh(cfg)
+    mesh1 = make_mesh(base, devices=jax.devices()[:1])
+    p = wn.init_params(cfg, jax.random.PRNGKey(0))
+    n, P = 32, 9
+    mel = jax.random.normal(jax.random.PRNGKey(2), (4, 4, 8))
+    y = upsample_mel(p["upsampler"], mel_cfg, mel, P - 1 + n)
+    prime = jax.random.randint(jax.random.PRNGKey(3), (4, P), 0, 256)
+
+    ref = dd.generate_sharded(p, base, mesh1, 5, n, batch=4,
+                              prime_tokens=prime, y=y)
+    got = dd.generate_sharded(p, cfg, mesh, 5, n, batch=4,
+                              prime_tokens=prime, y=y)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+    # and the conditioning must actually matter
+    bare = dd.generate_sharded(p, base, mesh1, 5, n, batch=4,
+                               prime_tokens=prime, y=y * 0.0)
+    assert not np.array_equal(np.asarray(ref), np.asarray(bare))

@@ -305,3 +305,28 @@ def test_long_prime_falls_back_to_scan():
         pdec.generate_pallas(params, cfg, jax.random.PRNGKey(1), 8, batch=1,
                              prime_tokens=jnp.zeros((1, huge), jnp.int32),
                              interpret=True)
+
+
+def test_generate_stream_with_mel_matches_one_shot_interpret():
+    """Streaming slices the upsampled mel per chunk (padding the tail);
+    the chunks must concatenate to the one-shot conditional tokens."""
+    from wavenet_tpu.config import MelConfig
+    from wavenet_tpu.generate.sampler import generate_stream
+    from wavenet_tpu.models.conditioning import upsample_mel
+    mel_cfg = MelConfig(num_mels=8, hop_length=16, win_length=64,
+                        fmax=4000.0, upsample_factors=(4, 4))
+    cfg = cfg_(mel=mel_cfg)
+    params = wn.init_params(cfg, jax.random.PRNGKey(0))
+    B, N = 2, 48
+    key = jax.random.PRNGKey(9)
+    mel = jax.random.normal(jax.random.PRNGKey(10), (B, 4, 8))
+    y = upsample_mel(params["upsampler"], mel_cfg, mel, N)
+
+    one = pdec.generate_pallas(params, cfg, key, N, batch=B, y=y,
+                               temperature=1.0, interpret=True)
+    chunks = list(generate_stream(params, cfg, key, N, chunk_samples=16,
+                                  batch=B, y=y, temperature=1.0,
+                                  interpret=True))
+    assert len(chunks) > 1
+    np.testing.assert_array_equal(
+        np.asarray(jnp.concatenate(chunks, axis=1)), np.asarray(one))

@@ -82,7 +82,7 @@ def counter_gumbel(seed, t, row0, col0, shape):
 # ---------------------------------------------------------------------------
 
 def _layer_scan_local(cfg: WaveNetConfig, params_local, x, old_all,
-                      use_psum: bool, gcond=None):
+                      use_psum: bool, gcond=None, cond=None):
     """All gated layers on the local shard.  x, old_all carry FULL channel
     width (replicated over `model`); weights are the local Megatron slices,
     so z/h have model-local columns and the row-parallel res product ends in
@@ -90,7 +90,9 @@ def _layer_scan_local(cfg: WaveNetConfig, params_local, x, old_all,
 
     gcond: None or [L, B, 2, R/mp] f32 global-conditioning gate offsets —
     v_global is COLUMN-sharded like w_cur (parallel/sharding.py), so the
-    locally-computed offsets align with the local z columns; no collective."""
+    locally-computed offsets align with the local z columns; no collective.
+    cond: None or [L, B, 2, R/mp] f32 local-conditioning contribution at
+    THIS step (y_t @ v_cond with the local column slice — same alignment)."""
     cdt = jnp.dtype(cfg.compute_dtype)
     stacked = {k: params_local[k] for k in
                ("w_cur", "w_prev", "b", "w_res", "b_res", "w_skip", "b_skip")}
@@ -105,6 +107,8 @@ def _layer_scan_local(cfg: WaveNetConfig, params_local, x, old_all,
              + lp["b"].astype(jnp.float32))       # [B, 2, R/mp] f32
         if "gcond" in lp:
             z = z + lp["gcond"]
+        if "cond" in lp:
+            z = z + lp["cond"]                    # [B, 2, R/mp] f32
         h = (jnp.tanh(z[..., 0, :]) * jax.nn.sigmoid(z[..., 1, :])).astype(cdt)
         # partial sums over the local R/mp rows of the row-parallel weights
         skip = skip + wn._dot(h, lp["w_skip"].astype(cdt))
@@ -121,6 +125,8 @@ def _layer_scan_local(cfg: WaveNetConfig, params_local, x, old_all,
     xs["old"] = old_all
     if gcond is not None:
         xs["gcond"] = gcond
+    if cond is not None:
+        xs["cond"] = cond
     (x, skip), layer_inputs = jax.lax.scan(body, (x, skip0), xs)
     return x, skip, layer_inputs
 
@@ -159,6 +165,8 @@ def decode_step_sharded(params_local, cfg: WaveNetConfig,
 
     state.queues: [sum_d, B/dp, Rq] where Rq = R/mp when shard_rings_model
     (reads reconstitute full R by all_gather over `model`) else R.
+    cond_t: None or [L, B/dp, 2, R/mp] f32 — this step's local-conditioning
+    contribution computed from the LOCAL v_cond column slice.
     Returns (new_state, logits_local [B/dp, Q/mp]).
     """
     cdt = jnp.dtype(cfg.compute_dtype)
@@ -173,14 +181,9 @@ def decode_step_sharded(params_local, cfg: WaveNetConfig,
         # cached conv-state exchange: reconstitute full channels over ICI
         old_all = jax.lax.all_gather(old_all, MODEL_AXIS, axis=2,
                                      tiled=True)        # [L, B, R]
-    if cond_t is not None:
-        raise NotImplementedError(
-            "conditional distributed decode: precompute cond inside the "
-            "shard_map caller and add to z (not wired yet)")
-
     x, skip_partial, layer_inputs = _layer_scan_local(
         cfg, params_local, x, old_all, use_psum=use_collectives,
-        gcond=gcond)
+        gcond=gcond, cond=cond_t)
 
     if shard_rings_model:
         mp_idx = (jax.lax.axis_index(MODEL_AXIS) if use_collectives
@@ -216,6 +219,7 @@ def generate_sharded(params, cfg: WaveNetConfig, mesh: Mesh, seed,
                      num_samples: int, batch: int,
                      prime_tokens: Optional[jax.Array] = None,
                      speaker: Optional[jax.Array] = None,
+                     y: Optional[jax.Array] = None,
                      temperature: float = 1.0,
                      shard_rings_model: bool = False) -> jax.Array:
     """Distributed fast AR generation over the (data, model) mesh.
@@ -223,6 +227,9 @@ def generate_sharded(params, cfg: WaveNetConfig, mesh: Mesh, seed,
     seed: int — sampling noise comes from the counter RNG (identical tokens
     for any mesh layout, incl. single-device; see module docstring).
     speaker: optional [batch] int32 global-conditioning ids (data-sharded).
+    y: optional [batch, T, M] UPSAMPLED mel features (data-sharded; T must
+    cover max(P-1,0)+num_samples) — each shard projects its step's features
+    with the LOCAL v_cond column slice, aligned with the local z columns.
     Returns [batch, num_samples] int32 tokens (data-sharded).
     """
     dp = mesh.shape[DATA_AXIS]
@@ -244,14 +251,30 @@ def generate_sharded(params, cfg: WaveNetConfig, mesh: Mesh, seed,
     has_sp = speaker is not None
     if not has_sp:
         speaker = jnp.zeros((batch,), jnp.int32)     # placeholder operand
+    has_cond = y is not None
+    total_steps = max(Pn - 1, 0) + num_samples
+    if has_cond and y.shape[1] < total_steps:
+        raise ValueError(f"y covers {y.shape[1]} < {total_steps} steps "
+                         f"(priming included)")
+    if not has_cond:
+        y = jnp.zeros((batch, 1, 1))                 # placeholder operand
     seed = jnp.asarray(seed, jnp.int32)
 
-    def run(params_local, prime, speaker_local):
+    def run(params_local, prime, speaker_local, y_local):
         B_loc = batch // dp
         # local gate offsets from the LOCAL v_global column slice — aligns
         # with the model-local z columns by construction (sharding.py)
         gcond = (wn.global_cond_offsets(params_local, cfg, speaker_local)
                  if has_sp else None)
+        cond_all = None
+        if has_cond:
+            cdt = jnp.dtype(cfg.compute_dtype)
+            # [T, L, B_loc, 2, R/mp]: per-step local gate contributions
+            cond_all = jnp.einsum(
+                "btm,lmwr->tlbwr",
+                y_local[:, :total_steps].astype(cdt),
+                params_local["v_cond"].astype(cdt),
+                preferred_element_type=jnp.float32)
         if use_coll:
             dp_idx = jax.lax.axis_index(DATA_AXIS)
             mp_idx = jax.lax.axis_index(MODEL_AXIS)
@@ -267,43 +290,55 @@ def generate_sharded(params, cfg: WaveNetConfig, mesh: Mesh, seed,
                        shard_rings_model=shard_rings_model,
                        use_collectives=use_coll, gcond=gcond)
 
-        def prime_body(st, tok_t):
-            st, _ = step(st, tok_t)
-            return st, None
-
+        np_ = max(Pn - 1, 0)
         if Pn > 0:
-            st, _ = jax.lax.scan(prime_body, state,
-                                 jnp.moveaxis(prime[:, :Pn - 1], 1, 0))
+            prime_t = jnp.moveaxis(prime[:, :Pn - 1], 1, 0)
+            if has_cond:
+                st, _ = jax.lax.scan(
+                    lambda st, xs: (step(st, xs[0], cond_t=xs[1])[0], None),
+                    state, (prime_t, cond_all[:np_]))
+            else:
+                st, _ = jax.lax.scan(
+                    lambda st, t: (step(st, t)[0], None), state, prime_t)
             first = prime[:, Pn - 1]
         else:
             st = state
             first = jnp.full((B_loc,), Q // 2, jnp.int32)
 
-        def body(carry, _):
+        def body(carry, cond_t):
             st, tok = carry
-            st, logits_local = step(st, tok)
+            st, logits_local = step(st, tok, cond_t=cond_t)
             nxt = _sample_distributed(cfg, logits_local, seed, st.t, row0,
                                       col0, temperature, use_coll)
             return (st, nxt), nxt
 
-        (_, _), samples = jax.lax.scan(body, (st, first), None,
-                                       length=num_samples)
+        body_xs = (cond_all[np_:np_ + num_samples] if has_cond else None)
+
+        def body_nc(carry, _):
+            return body(carry, None)
+
+        if has_cond:
+            (_, _), samples = jax.lax.scan(body, (st, first), body_xs)
+        else:
+            (_, _), samples = jax.lax.scan(body_nc, (st, first), None,
+                                           length=num_samples)
         return jnp.moveaxis(samples, 0, 1)[None]        # [1, B_loc, N]
 
     if not use_coll:
-        return run(params, prime_tokens, speaker)[0]
+        return run(params, prime_tokens, speaker, y)[0]
 
     pspecs = shd.param_pspecs(cfg)
     sharded = jax.shard_map(
         run, mesh=mesh,
-        in_specs=(pspecs, P(DATA_AXIS, None), P(DATA_AXIS)),
+        in_specs=(pspecs, P(DATA_AXIS, None), P(DATA_AXIS),
+                  P(DATA_AXIS, None, None)),
         out_specs=P((DATA_AXIS, MODEL_AXIS), None, None),
         axis_names=frozenset({DATA_AXIS, MODEL_AXIS}),
         check_vma=False,
     )
     # partial-manual shard_map (axis_names a mesh subset) only dispatches
     # under jit in jax 0.9 — same constraint as parallel/seqpar.py
-    out = jax.jit(sharded)(params, prime_tokens, speaker)
+    out = jax.jit(sharded)(params, prime_tokens, speaker, y)
     # model shards produced identical token blocks; keep the first
     return out.reshape(dp, mp, batch // dp, num_samples)[:, 0].reshape(
         batch, num_samples)
