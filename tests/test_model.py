@@ -165,3 +165,17 @@ def test_score_fn_per_utterance():
     wave = mulaw.decode_np(np.asarray(toks), cfg.quantization_channels)
     s2 = m.score(waveform=wave)
     np.testing.assert_allclose(np.asarray(s2), np.asarray(s), atol=1e-4)
+
+
+def test_facade_save_roundtrip(tmp_path):
+    """WaveNet.save -> from_checkpoint round-trips params without a
+    Trainer (e.g. persisting EMA-extracted or converted weights)."""
+    from wavenet_tpu.models.api import WaveNet
+    m = WaveNet(tiny()).init()
+    m.save(str(tmp_path / "ck"))
+    m2 = WaveNet.from_checkpoint(str(tmp_path / "ck"))
+    for (ka, a), (kb, b) in zip(
+            jax.tree_util.tree_flatten_with_path(m.params)[0],
+            jax.tree_util.tree_flatten_with_path(m2.params)[0]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=str(ka))

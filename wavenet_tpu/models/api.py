@@ -54,6 +54,24 @@ class WaveNet:
                else state.params)
         return cls(cfg, use)
 
+    def save(self, directory: str, step: int = 0) -> None:
+        """Write these params as a loadable checkpoint (config JSON beside
+        it, reference params-next-to-weights parity) without needing a
+        Trainer — e.g. to persist EMA-extracted or converted weights.  The
+        optimizer state is freshly initialized; resuming TRAINING from such
+        a checkpoint starts the optimizer cold."""
+        from wavenet_tpu.audio.dataset import IteratorState
+        from wavenet_tpu.training.checkpoint import CheckpointManager
+        from wavenet_tpu.training.trainer import TrainState, make_optimizer
+        if self.params is None:
+            raise ValueError("no params; call init() or load a checkpoint")
+        tx = make_optimizer(self.cfg)
+        state = TrainState(self.params, tx.init(self.params),
+                           jnp.asarray(step, jnp.int32))
+        ckpt = CheckpointManager(directory, self.cfg)
+        ckpt.save(step, state, IteratorState(seed=self.cfg.seed, step=0),
+                  wait=True)
+
     # ---- model surface ----
 
     def logits(self, tokens, mel=None, speaker=None):
