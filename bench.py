@@ -24,7 +24,7 @@ BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 
 
 def bench_training(steps: int = 30, windows: int = 10,
-                   time_budget_s: float = 480.0,
+                   time_budget_s: float = 360.0,
                    target: float | None = None):
     """Throttle-aware sustained-window measurement.
 
