@@ -83,6 +83,10 @@ def main(argv=None):
         mel = log_mel(ref, cfg.sample_rate, cfg.mel)[None]   # [1, F, M]
         P = 0 if prime_tokens is None else prime_tokens.shape[1]
         n = min(n, mel.shape[1] * cfg.mel.hop_length - max(P - 1, 0))
+        if n <= 0:
+            sys.exit(f"--prime ({P} samples) covers the whole --mel-from "
+                     f"reference ({mel.shape[1] * cfg.mel.hop_length} "
+                     f"samples); nothing left to vocode")
         y = upsample_mel(params["upsampler"], cfg.mel, jnp.asarray(mel),
                          max(P - 1, 0) + n)
         y = jnp.tile(y, (args.batch, 1, 1))

@@ -159,7 +159,11 @@ class StreamingAudioDataset:
         slice of the global batch (multi-host IO sharding); the returned
         arrays then cover just those rows."""
         nxt = state.next()
-        if (self._pf_queue is not None and rows == self._pf_rows):
+        if (self._pf_queue is not None and rows == self._pf_rows
+                and (batch_size is None
+                     or batch_size == self.cfg.batch_size)):
+            # prefetched batches are always cfg.batch_size rows; a caller
+            # asking for a different size must bypass the queue
             got = self._try_prefetched(state)
             if got is not None:
                 return got, nxt
@@ -197,16 +201,21 @@ class StreamingAudioDataset:
         thread.  sample_batch() then pops them in order; a state mismatch
         (e.g. after restore) transparently resynchronizes."""
         self.stop_prefetch()
-        self._pf_queue = queue.Queue(maxsize=self._prefetch_depth)
+        q = queue.Queue(maxsize=self._prefetch_depth)
+        stop = threading.Event()
+        self._pf_queue = q
         self._pf_rows = rows
-        self._pf_stop = threading.Event()
+        self._pf_stop = stop
 
         def worker(st: IteratorState):
-            while not self._pf_stop.is_set():
+            # bind q/stop locally: a worker that outlives the 5 s join
+            # timeout in stop_prefetch must keep talking to ITS queue and
+            # stop event, not re-attach to a successor's
+            while not stop.is_set():
                 batch = self._assemble(st, None, rows)
-                while not self._pf_stop.is_set():
+                while not stop.is_set():
                     try:
-                        self._pf_queue.put((st, batch), timeout=0.2)
+                        q.put((st, batch), timeout=0.2)
                         break
                     except queue.Full:
                         continue

@@ -57,8 +57,8 @@ def generate_auto(params: wn.Params, cfg: WaveNetConfig, key: jax.Array,
                                     y=y, speaker=speaker,
                                     temperature=temperature)
     if y is not None:
-        cond = jnp.einsum("btm,lmgr->btlgr", y, params["v_cond"],
-                          preferred_element_type=jnp.float32)
+        from wavenet_tpu.models.conditioning import project_cond
+        cond = project_cond(params, y)
     return wn.generate(params, cfg, key, num_samples, batch=batch,
                        prime_tokens=prime_tokens, cond=cond, speaker=speaker,
                        temperature=temperature)

@@ -55,6 +55,14 @@ def upsample_mel(params: Dict[str, Any], mel_cfg: MelConfig,
     return y[:, :target_len, :]
 
 
+def project_cond(params, y: jax.Array) -> jax.Array:
+    """Upsampled features [B, T, M] -> per-step gate contributions
+    [B, T, L, 2, R] via every layer's v_cond (the single definition of this
+    contraction; decode paths slice cond[:, t] per step)."""
+    return jnp.einsum("btm,lmgr->btlgr", y, params["v_cond"],
+                      preferred_element_type=jnp.float32)
+
+
 def prepare_decode_cond(params, cfg, mel: jax.Array,
                         total_len: int) -> jax.Array:
     """Precompute per-step conditioning contributions for AR decode.
@@ -63,5 +71,4 @@ def prepare_decode_cond(params, cfg, mel: jax.Array,
     projected through every layer's v_cond, ready to be sliced per step by
     models.wavenet.generate (cond_t = cond[:, t])."""
     y = upsample_mel(params["upsampler"], cfg.mel, mel, total_len)
-    return jnp.einsum("btm,lmgr->btlgr", y, params["v_cond"],
-                      preferred_element_type=jnp.float32)
+    return project_cond(params, y)
