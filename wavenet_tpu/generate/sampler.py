@@ -84,37 +84,19 @@ def generate_stream(params: wn.Params, cfg: WaveNetConfig, key: jax.Array,
     steps; speaker: [B] int32 ids (cfg.global_classes).
     """
     from wavenet_tpu.ops.pallas import decode as pdec
-    P0 = 0 if prime_tokens is None else prime_tokens.shape[1]
-    if not pdec.fits_vmem(cfg, batch, prime_len=P0):
-        raise ValueError("model/batch/prime too large for the VMEM-resident "
-                         "decode kernel")
     # the kernel only compiles for TPU; on CPU run it emulated so the
     # streaming API works everywhere (tests, dev boxes)
     interpret = interpret or jax.devices()[0].platform == "cpu"
-    g = None
-    if cfg.global_classes is not None:
-        if speaker is None:
-            raise ValueError("cfg.global_classes set but no speaker ids "
-                             "passed")
-        g = wn.global_cond_offsets(params, cfg, speaker)
-    _, sum_d = pdec._ring_offsets(cfg)
-    R = cfg.residual_channels
+    rings, carry, seed, g, P, total = pdec.setup_decode(
+        params, cfg, key, batch, num_samples, prime_tokens, speaker)
     Bt, TC = pdec.plan_tiles(cfg, batch)
     # small interactive chunks: shrink the kernel's time block toward the
     # requested chunk instead of forcing 2048-step latency
     TC = pdec.shrink_tc(TC, chunk_samples)
     chunk = max(TC, chunk_samples // TC * TC)
-
-    P = 0 if prime_tokens is None else prime_tokens.shape[1]
-    total = max(P - 1, 0) + num_samples
     if y is not None and y.shape[1] < total:
         raise ValueError(f"y covers {y.shape[1]} < {total} steps "
                          f"(priming included)")
-    rings = jnp.zeros((sum_d, R, batch), jnp.bfloat16)
-    first = (prime_tokens[:, 0:1].astype(jnp.int32) if P else
-             jnp.full((batch, 1), cfg.quantization_channels // 2, jnp.int32))
-    carry = jnp.concatenate([first, jnp.zeros((batch, 1), jnp.int32)], 1)
-    seed = jax.random.randint(key, (), 0, 2 ** 31 - 1)
 
     t0, skip = 0, max(P - 1, 0)                  # skip = priming outputs
     while t0 < total:

@@ -72,7 +72,9 @@ def _tile_bytes(cfg: WaveNetConfig, bt: int, tc: int) -> int:
     b = 2 * (
         L * (2 * R * 2 * R + R * R + R * S)      # layer weights
         + 2 * Q * R + S * S + S * Q              # embeds + head
-        + bt * sum_d * R                         # ring tile
+        + 2 * bt * sum_d * R                     # ring tile: the aliasing is
+        #   HBM-only — the input block and the output block are BOTH live in
+        #   VMEM (the kernel copies rings_in -> rings at j == 0)
         + bt * (4 * R + S + 4 * Q)               # working set
     )
     b += 2 * 4 * tc * bt                         # token block (dbl-buffered)
@@ -93,15 +95,16 @@ def plan_tiles(cfg: WaveNetConfig, batch: int,
              if b <= batch and batch % b == 0]
     for bt in tiles:
         tc = max(min(tc_hint, 2048) // 8 * 8, 8)   # Mosaic: blocks % 8 == 0
-        while tc >= 128 and _tile_bytes(cfg, bt, tc) > VMEM_BUDGET:
-            tc = max(tc // 2 // 8 * 8, 8)
+        while tc > 8 and _tile_bytes(cfg, bt, tc) > VMEM_BUDGET:
+            tc = max(tc // 2 // 8 * 8, 8)          # lane occupancy (bt)
+            #   beats time-chunk size: explore down to the floor before
+            #   abandoning this batch tile
         if _tile_bytes(cfg, bt, tc) <= VMEM_BUDGET:
             return bt, tc
     return 0, 0
 
 
-def fits_vmem(cfg: WaveNetConfig, batch: int, num_steps: int = 2048,
-              prime_len: int = 0) -> bool:
+def fits_vmem(cfg: WaveNetConfig, batch: int, prime_len: int = 0) -> bool:
     """True when the whole-loop kernel can serve (cfg, batch) — with batch
     tiling and time streaming this now covers large batches AND the
     conditional vocoder (round 1 required cfg.mel is None and B <= 32).
@@ -446,6 +449,39 @@ def decode_chunk(params, cfg: WaveNetConfig, rings: jax.Array,
     return tokens_t.T, rings_out, carry_t.T
 
 
+def setup_decode(params, cfg: WaveNetConfig, key: jax.Array, batch: int,
+                 num_samples: int, prime_tokens=None, speaker=None,
+                 gate_prime: bool = True):
+    """Shared driver prolog for the one-shot AND streaming decoders — one
+    definition of the VMEM gate (incl. the prime block), the
+    global-conditioning offsets, ring/carry init, seed derivation, and step
+    accounting, so the two drivers cannot drift apart (their outputs are
+    contractually bit-identical).  Returns (rings, carry, seed, g, P,
+    total) with total = max(P-1, 0) + num_samples."""
+    P = 0 if prime_tokens is None else prime_tokens.shape[1]
+    if not fits_vmem(cfg, batch, prime_len=P if gate_prime else 0):
+        raise ValueError("model/batch/prime too large for the VMEM-resident "
+                         "decode kernel; use models.wavenet.generate")
+    g = None
+    if cfg.global_classes is not None:
+        if speaker is None:
+            raise ValueError("cfg.global_classes set but no speaker ids "
+                             "passed")
+        from wavenet_tpu.models import wavenet as wn
+        g = wn.global_cond_offsets(params, cfg, speaker)     # [L, B, 2, R]
+    _, sum_d = _ring_offsets(cfg)
+    rings = jnp.zeros((sum_d, cfg.residual_channels, batch), jnp.bfloat16)
+    if P:
+        first = prime_tokens[:, 0:1].astype(jnp.int32)
+    else:
+        first = jnp.full((batch, 1), cfg.quantization_channels // 2,
+                         jnp.int32)
+    carry = jnp.concatenate([first, jnp.zeros((batch, 1), jnp.int32)],
+                            axis=1)
+    seed = jax.random.randint(key, (), 0, 2 ** 31 - 1)
+    return rings, carry, seed, g, P, max(P - 1, 0) + num_samples
+
+
 def generate_pallas(params, cfg: WaveNetConfig, key: jax.Array,
                     num_samples: int, batch: int = 1,
                     prime_tokens=None, y=None, speaker=None,
@@ -460,37 +496,14 @@ def generate_pallas(params, cfg: WaveNetConfig, key: jax.Array,
     check fits_vmem() and fall back to models.wavenet.generate otherwise.
     `chunk` is the time-grid block hint (compile-relevant only);
     `force_tiles` overrides the (batch_tile, time_chunk) plan (tests)."""
-    if not fits_vmem(cfg, batch):
-        raise ValueError("model/batch too large for the VMEM-resident decode "
-                         "kernel; use models.wavenet.generate")
-    g = None
-    if cfg.global_classes is not None:
-        if speaker is None:
-            raise ValueError("cfg.global_classes set but no speaker ids "
-                             "passed")
-        from wavenet_tpu.models import wavenet as wn
-        g = wn.global_cond_offsets(params, cfg, speaker)     # [L, B, 2, R]
-    _, sum_d = _ring_offsets(cfg)
-    R = cfg.residual_channels
-    rings = jnp.zeros((sum_d, R, batch), jnp.bfloat16)
-    P = 0 if prime_tokens is None else prime_tokens.shape[1]
-    if P:
-        first = prime_tokens[:, 0:1].astype(jnp.int32)
-    else:
-        first = jnp.full((batch, 1), cfg.quantization_channels // 2,
-                         jnp.int32)
-    carry = jnp.concatenate([first, jnp.zeros((batch, 1), jnp.int32)], axis=1)
-    seed = jax.random.randint(key, (), 0, 2**31 - 1)
-    # total steps: P-1 priming steps consume prime[1:], then num_samples
+    rings, carry, seed, g, P, total = setup_decode(
+        params, cfg, key, batch, num_samples, prime_tokens, speaker,
+        gate_prime=force_tiles is None)
+    # total: P-1 priming steps consume prime[1:], then num_samples
     # free-running steps; outputs before the first free sample are dropped.
     # Round UP to a whole number of time chunks (the surplus free-running
     # tail is discarded) — shrinking the chunk to a divisor instead can
     # reach unlowerable sizes when the total is prime-ish.
-    total = max(P - 1, 0) + num_samples
-    if P and not force_tiles and not fits_vmem(cfg, batch, prime_len=P):
-        raise ValueError(f"prime of {P} samples exceeds the kernel's VMEM "
-                         f"budget at batch {batch}; use "
-                         f"models.wavenet.generate")
     Bt, TC = force_tiles or plan_tiles(cfg, batch, min(chunk, 2048))
     # shrink the chunk toward the total (never below 8, multiple of 8) so
     # short requests don't pad to a full 2048-step chunk

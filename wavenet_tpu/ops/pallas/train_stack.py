@@ -103,11 +103,12 @@ def _group_sizes(cfg: WaveNetConfig, TT: int, dils):
     w = 2 * Lg * (4 * R * R + R * R + R * S) + 2 * Lg * M * 2 * R + gc
     dw = (4 * Lg * (4 * R * R + R * R + R * S + 3 * R)
           + 4 * Lg * M * 2 * R + 8 * TT * M + gc)
-    fwd = (w + 2 * sum_dg * R + 2 * (maxd + TT) * R
+    # xbuf scratch is f32 (4 bytes); y input blocks are bf16 double-buffered
+    fwd = (w + 2 * sum_dg * R + 4 * (maxd + TT) * R + 4 * TT * M
            + 2 * (2 * TT * R * 2 + 4 * TT * S * 2 + 2 * sum_dg * R
                   + 2 * TT * R))
     bwd = (w + dw + 2 * (Lg + 1) * TT * R
-           + 4 * sum_dg * R + 2 * (maxd + TT) * R + 4 * (TT + maxd) * R
+           + 4 * sum_dg * R + 4 * (maxd + TT) * R + 4 * (TT + maxd) * R
            + 2 * (2 * TT * R * 2 + 4 * TT * R * 4 + 4 * TT * S
                   + 2 * sum_dg * R))
     return fwd, bwd
@@ -137,6 +138,30 @@ def group_plan(cfg: WaveNetConfig, TT: int) -> List[Tuple[int, int]]:
 def supported(cfg: WaveNetConfig, T: int) -> bool:
     TT = pick_tile(cfg, T)
     return bool(TT) and bool(group_plan(cfg, TT))
+
+
+def _causal_shift(x_b, ring_region, d, pad, TT, maxd, xbuf):
+    """xp[t] = (ring | x_b)[t - d]: THE Mosaic-safe causal shift, used by
+    the forward kernel and both backward passes (ring_region is the layer's
+    [pad, R] left context — the live ring or a ring snapshot; pad==_pad8(d)).
+
+    Two recipes by dilation:
+      d >= 8 (pad == d): every boundary is 8-row aligned, so the shift is a
+        plain aligned concat of the ring region and x_b[:TT-d] — no scratch
+        buffer, no roll, no f32 round-trip.
+      d < 8: boundaries are misaligned, and Mosaic miscompiles BOTH
+        misaligned vector slices and misaligned ref loads of nonzero data
+        (three hardware-vs-interpret bisects) — go through the aligned
+        scratch window + pltpu.roll.  The buffer is f32 because
+        tpu.dynamic_rotate only handles 32-bit lanes; values are
+        bf16-representable so the round-trip is exact."""
+    if d >= 8:
+        return (ring_region if d == TT else
+                jnp.concatenate([ring_region, x_b[:TT - d]], axis=0))
+    xbuf[maxd:] = x_b.astype(jnp.float32)
+    xbuf[maxd - pad:maxd] = ring_region.astype(jnp.float32)
+    return pltpu.roll(xbuf[maxd - pad:maxd + TT],
+                      (TT + d) % (pad + TT), 0)[:TT].astype(jnp.bfloat16)
 
 
 # ---------------------------------------------------------------------------
@@ -180,28 +205,13 @@ def _fwd_kernel(cfg: WaveNetConfig, TT: int, dils, has_cond: bool,
     for li, (d, off) in enumerate(zip(dils, offs)):
         pad = _pad8(d)
         x_b = x.astype(jnp.bfloat16)
-        # Causal shift.  Two Mosaic-safe recipes by dilation:
-        #   d >= 8 (pad == d): every boundary is 8-row aligned, so the shift
-        #     is a plain aligned concat of the ring region and x_b[:TT-d] —
-        #     no scratch buffer, no roll, no f32 round-trip (the roll amount
-        #     (TT+d) % (pad+TT) is literally 0 here; the old path paid a
-        #     2x(TT+pad)-row f32 copy per layer for a no-op rotate).
-        #   d < 8: boundaries are misaligned, and Mosaic miscompiles BOTH
-        #     misaligned vector slices and misaligned ref loads of nonzero
-        #     data (three hardware-vs-interpret bisects) — go through the
-        #     aligned scratch window + pltpu.roll.  The buffer is f32
-        #     because tpu.dynamic_rotate only handles 32-bit lanes; values
-        #     are bf16-representable so the round-trip is exact.
+        xp = _causal_shift(x_b, rings[off:off + pad], d, pad, TT, maxd, xbuf)
+        # ring update: the last pad rows of this tile become the next tile's
+        # left context.  d >= 8 stores straight from x_b; d < 8 reads back
+        # from the scratch window (same values, already staged there)
         if d >= 8:
-            ring_rows = rings[off:off + d]                   # [d, R] bf16
-            xp = (ring_rows if d == TT else
-                  jnp.concatenate([ring_rows, x_b[:TT - d]], axis=0))
             rings[off:off + d] = x_b[TT - d:]
         else:
-            xbuf[maxd:] = x_b.astype(jnp.float32)
-            xbuf[maxd - pad:maxd] = rings[off:off + pad].astype(jnp.float32)
-            xp = pltpu.roll(xbuf[maxd - pad:maxd + TT],
-                            (TT + d) % (pad + TT), 0)[:TT].astype(jnp.bfloat16)
             rings[off:off + pad] = xbuf[maxd + TT - pad:maxd + TT
                                         ].astype(jnp.bfloat16)
         # MXU K-fusion: one [TT, 2R] @ [2R, 2R] matmul instead of two
@@ -283,18 +293,8 @@ def _bwd_kernel(cfg: WaveNetConfig, TT: int, nT: int, dils,
     for li, (d, off) in enumerate(zip(dils, offs)):
         pad = _pad8(d)
         x_b = x.astype(jnp.bfloat16)
-        # causal shift: aligned concat for d >= 8, scratch roll for d < 8
-        # (same two recipes as the forward kernel — see _fwd_kernel)
-        if d >= 8:
-            snap = snaps_ref[0, 0, off:off + d]
-            xp = (snap if d == TT else
-                  jnp.concatenate([snap, x_b[:TT - d]], axis=0))
-        else:
-            xbuf[maxd:] = x_b.astype(jnp.float32)
-            xbuf[maxd - pad:maxd] = snaps_ref[0, 0, off:off + pad
-                                              ].astype(jnp.float32)
-            xp = pltpu.roll(xbuf[maxd - pad:maxd + TT],
-                            (TT + d) % (pad + TT), 0)[:TT].astype(jnp.bfloat16)
+        xp = _causal_shift(x_b, snaps_ref[0, 0, off:off + pad], d, pad, TT,
+                           maxd, xbuf)
         z = (jnp.dot(jnp.concatenate([x_b, xp], axis=1), wz_ref[li],
                      preferred_element_type=jnp.float32)
              + b_ref[li])
@@ -322,17 +322,8 @@ def _bwd_kernel(cfg: WaveNetConfig, TT: int, nT: int, dils,
         d, off = dils[li], offs[li]
         pad = _pad8(d)
         x_lb16 = xs[li]                          # bf16, as the fwd consumed
-        if d >= 8:
-            snap = snaps_ref[0, 0, off:off + d]
-            xp_l = (snap if d == TT else
-                    jnp.concatenate([snap, x_lb16[:TT - d]], axis=0))
-        else:
-            xbuf[maxd:] = x_lb16.astype(jnp.float32)
-            xbuf[maxd - pad:maxd] = snaps_ref[0, 0, off:off + pad
-                                              ].astype(jnp.float32)
-            xp_l = pltpu.roll(xbuf[maxd - pad:maxd + TT],
-                              (TT + d) % (pad + TT),
-                              0)[:TT].astype(jnp.bfloat16)
+        xp_l = _causal_shift(x_lb16, snaps_ref[0, 0, off:off + pad], d, pad,
+                             TT, maxd, xbuf)
         xcat = jnp.concatenate([x_lb16, xp_l], axis=1)       # [TT, 2R] bf16
         z = (jnp.dot(xcat, wz_ref[li], preferred_element_type=jnp.float32)
              + b_ref[li])
@@ -653,6 +644,9 @@ def forward_skip_fused(params, cfg: WaveNetConfig, x: jax.Array,
     if not TT:
         raise ValueError(f"T={T} is not tileable for this config; gate fused "
                          f"paths on train_stack.supported(cfg, T)")
+    if T % TT:
+        raise ValueError(f"tile={TT} does not divide T={T}: the grid would "
+                         f"leave the last {T % TT} rows unwritten")
     groups = group_plan(cfg, TT)
     if not groups:
         raise ValueError("no VMEM-feasible group plan; gate on supported()")
