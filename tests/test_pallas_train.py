@@ -179,6 +179,103 @@ def test_grads_match_oracle(tile):
                                    err_msg=str(ka))
 
 
+@pytest.mark.parametrize("nb", [(2, 2), (4, 2), (2, 4), (4, 4)])
+def test_multirow_matches_oracle(nb):
+    """Multi-row grid steps (nb batch rows flattened into each matmul's M
+    dim) are mathematically identical to single-row: forward and grads must
+    match the oracle exactly as tightly as nb=(1,1) does."""
+    cfg = cfg_()
+    p = wn.init_params(cfg, jax.random.PRNGKey(0))
+    toks = jax.random.randint(jax.random.PRNGKey(1), (4, 64), 0, 256)
+    tgt = jax.random.normal(jax.random.PRNGKey(2), (4, 64, cfg.skip_channels))
+
+    def loss_with(stack_fn, p):
+        x = embed(p, cfg, toks)
+        return jnp.mean((stack_fn(p, x) - tgt) ** 2)
+
+    ref_l, ref_g = jax.value_and_grad(
+        lambda p: loss_with(lambda p, x: oracle_skip(p, cfg, x), p))(p)
+    fus_l, fus_g = jax.value_and_grad(
+        lambda p: loss_with(lambda p, x: ts.forward_skip_fused(
+            p, cfg, x, interpret=True, tile=16, nb=nb), p))(p)
+    np.testing.assert_allclose(float(fus_l), float(ref_l), rtol=2e-3)
+    for (ka, a), (kb, b) in zip(
+            jax.tree_util.tree_flatten_with_path(ref_g)[0],
+            jax.tree_util.tree_flatten_with_path(fus_g)[0]):
+        a, b = np.asarray(a, np.float32), np.asarray(b, np.float32)
+        scale = max(np.abs(a).max(), 1e-3)
+        np.testing.assert_allclose(b / scale, a / scale, atol=0.02,
+                                   err_msg=str(ka))
+
+
+def test_multirow_bitwise_equals_single_row():
+    """Same kernel recipe, rows independent in the matmul -> the multi-row
+    forward must be BIT-identical to single-row (both interpret mode)."""
+    cfg = cfg_()
+    p = wn.init_params(cfg, jax.random.PRNGKey(0))
+    toks = jax.random.randint(jax.random.PRNGKey(1), (4, 64), 0, 256)
+    x = embed(p, cfg, toks)
+    a = ts.forward_skip_fused(p, cfg, x, interpret=True, tile=16, nb=(1, 1))
+    b = ts.forward_skip_fused(p, cfg, x, interpret=True, tile=16, nb=(4, 1))
+    assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_multirow_conditional_and_global():
+    """Mel + speaker conditioning through the multi-row kernels: loss and
+    grads finite and equal to the single-row fused loss."""
+    from wavenet_tpu.config import MelConfig
+    mel_cfg = MelConfig(num_mels=8, hop_length=16, win_length=64,
+                        fmax=4000.0, upsample_factors=(4, 4))
+    cfg = cfg_(mel=mel_cfg, global_classes=3, global_channels=8)
+    p = wn.init_params(cfg, jax.random.PRNGKey(0))
+    toks = jax.random.randint(jax.random.PRNGKey(1), (4, 65), 0, 256)
+    mel = jax.random.normal(jax.random.PRNGKey(2), (4, 5, 8))
+    spk = jnp.asarray([0, 1, 2, 1], jnp.int32)
+
+    def fused_loss(p, nb):
+        inputs, targets = toks[:, :-1], toks[:, 1:]
+        prev = jnp.pad(inputs[:, :-1], ((0, 0), (1, 0)))
+        x = wn.embed_tokens(p, cfg, inputs, prev)
+        from wavenet_tpu.models.conditioning import upsample_mel
+        y = upsample_mel(p["upsampler"], cfg.mel, mel, 64)
+        g = wn.global_cond_offsets(p, cfg, spk)
+        skip = ts.forward_skip_fused(p, cfg, x, interpret=True, tile=16,
+                                     y=y, g=g, nb=nb)
+        logits = wn.head_logits(p, cfg, skip)
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        return jnp.mean(-jnp.take_along_axis(
+            logp, targets[..., None], -1)[..., 0])
+
+    l1, g1 = jax.value_and_grad(lambda p: fused_loss(p, (1, 1)))(p)
+    l2, g2 = jax.value_and_grad(lambda p: fused_loss(p, (2, 4)))(p)
+    np.testing.assert_allclose(float(l2), float(l1), rtol=1e-6)
+    for (ka, a), (kb, b) in zip(
+            jax.tree_util.tree_flatten_with_path(g1)[0],
+            jax.tree_util.tree_flatten_with_path(g2)[0]):
+        a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+        scale = max(np.abs(a).max(), 1e-6)
+        np.testing.assert_allclose(b / scale, a / scale, atol=1e-5,
+                                   err_msg=str(ka))
+
+
+def test_pick_nb_planner():
+    from wavenet_tpu.config import small, full
+    c = small()
+    nb = ts.pick_nb(c, c.train_window, c.batch_size)
+    assert c.batch_size % nb[0] == 0 and c.batch_size % nb[1] == 0
+    TT = ts.pick_tile(c, c.train_window)
+    assert ts.group_plan(c, TT, nb)          # feasible plan exists
+    # non-power-of-two batches fall back to single-row
+    assert ts.pick_nb(c, c.train_window, 3) == (1, 1)
+    # untileable T falls back
+    assert ts.pick_nb(c, 100, 8) == (1, 1)
+    # full preset must not explode its group count for a marginal nb win
+    f = full()
+    nbf = ts.pick_nb(f, f.train_window, f.batch_size)
+    TTf = ts.pick_tile(f, f.train_window)
+    assert len(ts.group_plan(f, TTf, nbf)) <= 8
+
+
 def test_logits_sane_vs_scan():
     """Loose band vs the scan path: same model, slightly different precision
     recipe — logits must agree to bf16-chaos levels and the loss closely."""

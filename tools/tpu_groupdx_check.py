@@ -46,7 +46,7 @@ for gi, (lo, hi) in enumerate(groups):
     dxout = jax.random.normal(ks[3], (B, T, R), jnp.float32)
 
     def run(interp):
-        f = lambda x, skip, gw: ts.group_apply(cfg, interp, TT, dils,
+        f = lambda x, skip, gw: ts.group_apply(cfg, interp, TT, dils, (1, 1),
                                                x, skip, gw, None)
         out, vjp = jax.vjp(f, x, skip, gw)
         return out, vjp((dskip, dxout))

@@ -101,6 +101,57 @@ def check_train_grads():
                f"(max rel diff {rel:.3e}, band {band:g})")
 
 
+def check_train_multirow():
+    """Multi-row grid steps (nb > 1): the flattened [NB*TT, *] matmuls are
+    row-independent, so hardware output must be BIT-IDENTICAL to the
+    interpret-mode single-row kernel for every feasible nb — this catches
+    both Mosaic miscompiles and any row-mixing bug in the per-row
+    ring/shift bookkeeping."""
+    cfg = small()
+    p = wn.init_params(cfg, jax.random.PRNGKey(0))
+    toks = jax.random.randint(jax.random.PRNGKey(7), (8, 2048), 0, 256)
+    prev = jnp.pad(toks[:, :-1], ((0, 0), (1, 0)))
+    x = wn.embed_tokens(p, cfg, toks, prev)
+    ref = ts.forward_skip_fused(p, cfg, x, interpret=True, nb=(1, 1))
+    for nf in (2, 4, 8):
+        if not ts.group_plan(cfg, ts.pick_tile(cfg, 2048), (nf, 1)):
+            report(f"train fwd multirow nb={nf}", True, "(skipped: no plan)")
+            continue
+        hw = ts.forward_skip_fused(p, cfg, x, nb=(nf, 1))
+        ok, d = same(hw, ref)
+        report(f"train fwd multirow nb={nf}", ok, d)
+
+    # gradients through the multi-row backward kernel, banded as
+    # check_train_grads (surrounding XLA graphs differ between hw and
+    # interpret; kernel-internal leaves come out bit-exact)
+    toks = jax.random.randint(jax.random.PRNGKey(8), (8, 1025), 0, 256)
+    nb = ts.pick_nb(cfg, 1024, 8)
+
+    def loss(p, interp, nb_):
+        inputs, targets = toks[:, :-1], toks[:, 1:]
+        pv = jnp.pad(inputs[:, :-1], ((0, 0), (1, 0)))
+        xx = wn.embed_tokens(p, cfg, inputs, pv)
+        skip = ts.forward_skip_fused(p, cfg, xx, interpret=interp, nb=nb_)
+        logits = wn.head_logits(p, cfg, skip)
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        return jnp.mean(-jnp.take_along_axis(
+            logp, targets[..., None], -1)[..., 0])
+
+    g_hw = jax.jit(jax.grad(lambda p: loss(p, False, nb)))(p)
+    g_it = jax.jit(jax.grad(lambda p: loss(p, True, (1, 1))))(p)
+    for (ka, a), (kb, b) in zip(
+            jax.tree_util.tree_flatten_with_path(g_hw)[0],
+            jax.tree_util.tree_flatten_with_path(g_it)[0]):
+        name = jax.tree_util.keystr(ka)
+        a = np.asarray(a, np.float64)
+        b = np.asarray(b, np.float64)
+        scale = max(np.abs(b).max(), 1e-6)
+        rel = np.abs(a - b).max() / scale
+        band = 2e-2 if "embed" in name else 1e-4
+        report(f"train multirow nb={nb} grad {name}", rel < band,
+               f"(max rel diff {rel:.3e}, band {band:g})")
+
+
 def check_train_global_cond():
     """Global-conditioning (speaker) fused path: forward bit-exactness and
     the same banded gradient check as check_train_grads, including the
@@ -170,6 +221,7 @@ def main():
         "tpu_verify must run on the TPU backend"
     check_train_forward()
     check_train_grads()
+    check_train_multirow()
     check_train_global_cond()
 
     cfg = _decode_cfg()

@@ -93,46 +93,121 @@ def pick_tile(cfg: WaveNetConfig, T: int) -> int:
     return tt
 
 
-def _group_sizes(cfg: WaveNetConfig, TT: int, dils):
+def _group_sizes(cfg: WaveNetConfig, TT: int, dils, nb=(1, 1)):
+    """VMEM bytes (fwd, bwd) for one layer-group kernel processing
+    nb = (rows per fwd grid step, rows per bwd grid step).
+
+    Per-row terms (I/O blocks, rings, stashes) scale with nb; the shared
+    scratch windows and weight blocks do not.  The `(nb-1) * vals` terms
+    approximate the flattened [nb*TT, *] live VALUES (x/skip carries, z, h,
+    o, dz, ...) the multi-row kernel keeps in flight — calibrated so nb=1
+    reproduces the round-2 formula exactly (whose plans are
+    hardware-proven), and nb>1 is strictly more conservative."""
     R, S = cfg.residual_channels, cfg.skip_channels
     Lg = len(dils)
     sum_dg = sum(_pad8(d) for d in dils)
     maxd = _winpad(cfg)
     M = cfg.mel.num_mels if cfg.mel is not None else 0
     gc = 8 * Lg * R if cfg.global_classes is not None else 0   # g block f32
-    w = 2 * Lg * (4 * R * R + R * R + R * S) + 2 * Lg * M * 2 * R + gc
+    nf, nbw = nb
+    w = 2 * Lg * (4 * R * R + R * R + R * S) + 2 * Lg * M * 2 * R
     dw = (4 * Lg * (4 * R * R + R * R + R * S + 3 * R)
-          + 4 * Lg * M * 2 * R + 8 * TT * M + gc)
+          + 4 * Lg * M * 2 * R)
     # xbuf scratch is f32 (4 bytes); y input blocks are bf16 double-buffered
-    fwd = (w + 2 * sum_dg * R + 4 * (maxd + TT) * R + 4 * TT * M
-           + 2 * (2 * TT * R * 2 + 4 * TT * S * 2 + 2 * sum_dg * R
-                  + 2 * TT * R))
-    bwd = (w + dw + 2 * (Lg + 1) * TT * R
-           + 4 * sum_dg * R + 4 * (maxd + TT) * R + 4 * (TT + maxd) * R
-           + 2 * (2 * TT * R * 2 + 4 * TT * R * 4 + 4 * TT * S
-                  + 2 * sum_dg * R))
+    fwd = (w + nf * gc + 2 * nf * sum_dg * R + 4 * (maxd + TT) * R
+           + 4 * nf * TT * M
+           + 2 * nf * (2 * TT * R * 2 + 4 * TT * S * 2 + 2 * sum_dg * R
+                       + 2 * TT * R)
+           + (nf - 1) * TT * (13 * R + 4 * S + M))
+    bwd = (w + dw + nbw * (8 * TT * M + 2 * gc)
+           + 2 * nbw * (Lg + 1) * TT * R
+           + 4 * nbw * sum_dg * R + 4 * (maxd + TT) * R + 4 * (TT + maxd) * R
+           + 2 * nbw * (2 * TT * R * 2 + 4 * TT * R * 4 + 4 * TT * S
+                        + 2 * sum_dg * R)
+           + (nbw - 1) * TT * (20 * R + 4 * S + 2 * M))
     return fwd, bwd
 
 
-def plan_dils(cfg: WaveNetConfig, dils, TT: int) -> List[Tuple[int, int]]:
+def plan_dils(cfg: WaveNetConfig, dils, TT: int,
+              nb=(1, 1)) -> List[Tuple[int, int]]:
     """Fewest contiguous layer groups (within the given dilation slice)
     whose fwd AND bwd kernels fit VMEM."""
     L = len(dils)
     groups, lo = [], 0
     while lo < L:
         hi = lo + 1
-        if max(_group_sizes(cfg, TT, dils[lo:hi])) > VMEM_BUDGET:
+        if max(_group_sizes(cfg, TT, dils[lo:hi], nb)) > VMEM_BUDGET:
             return []                                   # cannot fit at all
-        while hi < L and max(_group_sizes(cfg, TT,
-                                          dils[lo:hi + 1])) <= VMEM_BUDGET:
+        while hi < L and max(_group_sizes(cfg, TT, dils[lo:hi + 1],
+                                          nb)) <= VMEM_BUDGET:
             hi += 1
         groups.append((lo, hi))
         lo = hi
     return groups
 
 
-def group_plan(cfg: WaveNetConfig, TT: int) -> List[Tuple[int, int]]:
-    return plan_dils(cfg, cfg.dilations, TT)
+def group_plan(cfg: WaveNetConfig, TT: int,
+               nb=(1, 1)) -> List[Tuple[int, int]]:
+    return plan_dils(cfg, cfg.dilations, TT, nb)
+
+
+def _pow2_divisors(B: int, cap: int = 8) -> List[int]:
+    out, n = [], 1
+    while n <= min(B, cap):
+        if B % n == 0:
+            out.append(n)
+        n *= 2
+    return out
+
+
+def _est_cost_us(cfg: WaveNetConfig, TT: int, nT: int, B: int,
+                 nf: int, nbw: int, ngroups: int) -> float:
+    """Rough wall-time model for one fused fwd+bwd pass, microseconds.
+
+    Per layer grid-step: a fixed serialization latency T0 (the dependency
+    chain of small matmuls — the skinny-preset bound, BASELINE.md MFU
+    analysis) plus a per-row slope from MXU FLOPs and VPU gate math at
+    de-rated throughputs.  Each layer-group boundary beyond the first adds
+    an HBM round-trip of the x/skip/snap streams.  Constants calibrated on
+    v5e against the round-2 measurements (tools/tpu_multirow_bench.py)."""
+    R, S = cfg.residual_channels, cfg.skip_channels
+    L = cfg.num_layers
+    # per-row, per-layer-step costs (us)
+    mxu = 2 * TT * (5 * R * R + R * S) / 100e6     # ~100 MFLOP/us effective
+    vpu = TT * 2 * R * 8.0 / 3.0e6                 # gate transcendentals
+    t_f = 1.0 + nf * (mxu + vpu)
+    t_b = 2.2 + nbw * 2.4 * (mxu + vpu)            # recompute + reverse
+    cost = L * nT * ((B / nf) * t_f + (B / nbw) * t_b)
+    # group-boundary streams: x/skip both directions, fwd + bwd re-reads
+    bnd = B * TT * nT * (8 * R + 8 * S) * 2.2 / 800e3   # us at ~800 GB/s
+    cost += (ngroups - 1) * (bnd + 30.0)
+    return cost
+
+
+def pick_nb(cfg: WaveNetConfig, T: int, B: int,
+            TT: int = 0) -> Tuple[int, int]:
+    """Choose (rows per fwd grid step, rows per bwd grid step).
+
+    The skinny presets (R=64) are bound by the SERIALIZED chain of small
+    per-grid-step matmuls, not MXU throughput (BASELINE.md MFU analysis):
+    folding nb batch rows into each matmul's M dimension cuts the chain
+    length nb-fold for sublinear extra per-matmul cost.  Candidates are
+    scored by _est_cost_us subject to a VMEM-feasible group plan existing.
+    Always feasible: (1, 1) is the round-2 layout."""
+    TT = TT or pick_tile(cfg, T)
+    if not TT or T % TT:
+        return (1, 1)
+    nT = T // TT
+    best, best_cost = (1, 1), None
+    for nf in _pow2_divisors(B):
+        for nbw in _pow2_divisors(B):
+            groups = group_plan(cfg, TT, (nf, nbw))
+            if not groups:
+                continue
+            cost = _est_cost_us(cfg, TT, nT, B, nf, nbw, len(groups))
+            if best_cost is None or cost < best_cost:
+                best, best_cost = (nf, nbw), cost
+    return best
 
 
 def supported(cfg: WaveNetConfig, T: int) -> bool:
@@ -168,13 +243,29 @@ def _causal_shift(x_b, ring_region, d, pad, TT, maxd, xbuf):
 # forward kernel for one layer group
 # ---------------------------------------------------------------------------
 
+def _rows(ref, NB: int):
+    """Concatenate a block's NB batch rows into one flat [NB*TT, C] value.
+    NB == 1 keeps the round-2 single-row load (hardware-proven codegen)."""
+    if NB == 1:
+        return ref[0]
+    return jnp.concatenate([ref[n] for n in range(NB)], axis=0)
+
+
+def _store_rows(ref, NB: int, TT: int, val):
+    if NB == 1:
+        ref[0] = val
+    else:
+        for n in range(NB):
+            ref[n] = val[n * TT:(n + 1) * TT]
+
+
 def _fwd_kernel(cfg: WaveNetConfig, TT: int, dils, has_cond: bool,
-                has_gc: bool, *refs):
+                has_gc: bool, NB: int, *refs):
     refs = list(refs)
     xin_ref, skip_in_ref = refs[:2]
     refs = refs[2:]
     y_ref = refs.pop(0) if has_cond else None
-    g_ref = refs.pop(0) if has_gc else None      # [1, Lg, 2R] f32 gate offset
+    g_ref = refs.pop(0) if has_gc else None      # [NB, Lg, 2R] f32 gate offset
     if has_cond:
         (wz_ref, b_ref, wrs_ref, bres_ref, bskip_ref, vcond_ref,
          skip_ref, snaps_ref, xout_ref, rings, xbuf) = refs
@@ -191,50 +282,78 @@ def _fwd_kernel(cfg: WaveNetConfig, TT: int, dils, has_cond: bool,
     def _():
         rings[:] = jnp.zeros_like(rings)
 
-    snaps_ref[0, 0] = rings[:]                   # ring state at tile START
+    if NB == 1:
+        snaps_ref[0, 0] = rings[:]               # ring state at tile START
+    else:
+        snaps_ref[:, 0] = rings[:]
 
     # f32 residual carry; bf16 only at MXU inputs / ring+stash stores.  The
     # group I/O stream (xin/xout) is f32 ARRAYS holding bf16-ROUNDED values:
     # primal numerics are identical to a bf16 stream, but autodiff cotangents
     # across group boundaries keep f32 (bf16 grads measurably degraded
     # convergence in round 1).
-    x = xin_ref[0]                               # [TT, R] f32 (bf16-valued)
-    skip = skip_in_ref[0]
-    y = y_ref[0] if has_cond else None           # [TT, M] bf16
+    #
+    # Multi-row (NB > 1): the block's NB batch rows are flattened to
+    # [NB*TT, C] so every matmul carries NB tiles of M — identical math
+    # (rows are independent in a matmul), NB-fold fewer serialized grid
+    # steps.  Only the causal shifts and ring updates stay per-row (each row
+    # has its own left-context ring).
+    x = _rows(xin_ref, NB)                       # [NB*TT, R] f32 (bf16-valued)
+    skip = _rows(skip_in_ref, NB)
+    y = _rows(y_ref, NB) if has_cond else None   # [NB*TT, M] bf16
 
     for li, (d, off) in enumerate(zip(dils, offs)):
         pad = _pad8(d)
         x_b = x.astype(jnp.bfloat16)
-        xp = _causal_shift(x_b, rings[off:off + pad], d, pad, TT, maxd, xbuf)
-        # ring update: the last pad rows of this tile become the next tile's
-        # left context.  d >= 8 stores straight from x_b; d < 8 reads back
-        # from the scratch window (same values, already staged there)
-        if d >= 8:
-            rings[off:off + d] = x_b[TT - d:]
-        else:
-            rings[off:off + pad] = xbuf[maxd + TT - pad:maxd + TT
-                                        ].astype(jnp.bfloat16)
-        # MXU K-fusion: one [TT, 2R] @ [2R, 2R] matmul instead of two
+        xps = []
+        for n in range(NB):
+            xbn = x_b if NB == 1 else x_b[n * TT:(n + 1) * TT]
+            rr = rings[off:off + pad] if NB == 1 else rings[n, off:off + pad]
+            xps.append(_causal_shift(xbn, rr, d, pad, TT, maxd, xbuf))
+            # ring update: the last pad rows of this tile become the next
+            # tile's left context.  d >= 8 stores straight from x_b; d < 8
+            # reads back from the scratch window (same values, already
+            # staged there — so it must happen inside this row's iteration,
+            # before the next row overwrites xbuf)
+            if d >= 8:
+                if NB == 1:
+                    rings[off:off + d] = xbn[TT - d:]
+                else:
+                    rings[n, off:off + d] = xbn[TT - d:]
+            else:
+                rv = xbuf[maxd + TT - pad:maxd + TT].astype(jnp.bfloat16)
+                if NB == 1:
+                    rings[off:off + pad] = rv
+                else:
+                    rings[n, off:off + pad] = rv
+        xp = xps[0] if NB == 1 else jnp.concatenate(xps, axis=0)
+        # MXU K-fusion: one [NB*TT, 2R] @ [2R, 2R] matmul instead of two
         # K=R halves — doubles MXU K-occupancy for R < 128 configs (the
         # lane-axis concat/slice patterns are hw-vs-interpret verified by
         # tools/tpu_lane_ops_check.py)
-        xcat = jnp.concatenate([x_b, xp], axis=1)          # [TT, 2R]
+        xcat = jnp.concatenate([x_b, xp], axis=1)          # [NB*TT, 2R]
         z = (jnp.dot(xcat, wz_ref[li], preferred_element_type=jnp.float32)
-             + b_ref[li])                        # [TT, 2R] f32
+             + b_ref[li])                        # [NB*TT, 2R] f32
         if has_cond:                             # paper eq.3: V*y into gate
             z = z + jnp.dot(y, vcond_ref[li],
                             preferred_element_type=jnp.float32)
         if has_gc:                               # paper eq.2: global offset
-            z = z + g_ref[0, li:li + 1, :]       # [1, 2R] broadcast over TT
+            if NB == 1:
+                z = z + g_ref[0, li:li + 1, :]   # [1, 2R] broadcast over TT
+            else:
+                z = z + jnp.concatenate(
+                    [jnp.broadcast_to(g_ref[n, li:li + 1, :], (TT, 2 * R))
+                     for n in range(NB)], axis=0)
         h = (jnp.tanh(z[:, :R]) * jax.nn.sigmoid(z[:, R:])
              ).astype(jnp.bfloat16)
-        # MXU N-fusion: res and skip projections as one [TT,R] @ [R, R+S]
+        # MXU N-fusion: res and skip projections as one [NB*TT,R] @ [R, R+S]
         o = jnp.dot(h, wrs_ref[li], preferred_element_type=jnp.float32)
         x = x + o[:, :R] + bres_ref[li]
         skip = skip + o[:, R:] + bskip_ref[li]
 
-    skip_ref[0] = skip
-    xout_ref[0] = x.astype(jnp.bfloat16).astype(jnp.float32)
+    _store_rows(skip_ref, NB, TT, skip)
+    _store_rows(xout_ref, NB, TT,
+                x.astype(jnp.bfloat16).astype(jnp.float32))
 
 
 # ---------------------------------------------------------------------------
@@ -242,14 +361,14 @@ def _fwd_kernel(cfg: WaveNetConfig, TT: int, dils, has_cond: bool,
 # ---------------------------------------------------------------------------
 
 def _bwd_kernel(cfg: WaveNetConfig, TT: int, nT: int, dils,
-                has_cond: bool, has_gc: bool, *refs):
+                has_cond: bool, has_gc: bool, NB: int, *refs):
     """Backward over one layer group.  xin is the stashed group input;
     dxin is the cotangent of the group's x OUTPUT."""
     refs = list(refs)
     xin_ref, snaps_ref, dskip_ref, dxin_ref = refs[:4]
     refs = refs[4:]
     y_ref = refs.pop(0) if has_cond else None
-    g_ref = refs.pop(0) if has_gc else None      # [1, Lg, 2R] f32
+    g_ref = refs.pop(0) if has_gc else None      # [NB, Lg, 2R] f32
     wz_ref, b_ref, wrs_ref, bres_ref = refs[:4]
     refs = refs[4:]
     vcond_ref = refs.pop(0) if has_cond else None
@@ -260,7 +379,7 @@ def _bwd_kernel(cfg: WaveNetConfig, TT: int, nT: int, dils,
         refs = refs[2:]
     else:
         dvcond_ref = dy_ref = None
-    dg_ref = refs.pop(0) if has_gc else None     # [1, Lg, 2R] f32 per-row
+    dg_ref = refs.pop(0) if has_gc else None     # [NB, Lg, 2R] f32 per-row
     xs, dz_rings, xbuf, dbuf = refs
     R = cfg.residual_channels
     offs, _ = _ring_layout(dils)                 # group-local padded offsets
@@ -268,6 +387,11 @@ def _bwd_kernel(cfg: WaveNetConfig, TT: int, nT: int, dils,
     bi = pl.program_id(0)
     jr = pl.program_id(1)                        # 0 .. nT-1, tile = nT-1-jr
     maxd = _winpad(cfg)
+
+    def snap_region(n, off, pad):
+        if NB == 1:
+            return snaps_ref[0, 0, off:off + pad]
+        return snaps_ref[n, 0, off:off + pad]
 
     def _dg(a, b, ca, cb, prec=jnp.float32):
         return jax.lax.dot_general(a, b, (((ca,), (cb,)), ((), ())),
@@ -287,22 +411,34 @@ def _bwd_kernel(cfg: WaveNetConfig, TT: int, nT: int, dils,
         if has_gc:                               # per-row dg accumulator
             dg_ref[:] = jnp.zeros_like(dg_ref)
 
+    def gate_offset(li):
+        if NB == 1:
+            return g_ref[0, li:li + 1, :]
+        return jnp.concatenate(
+            [jnp.broadcast_to(g_ref[n, li:li + 1, :], (TT, 2 * R))
+             for n in range(NB)], axis=0)
+
     # ---- recompute this tile's group-layer inputs from ring snapshots ----
-    x = xin_ref[0]                               # f32 (bf16-valued) stash
+    x = _rows(xin_ref, NB)                       # f32 (bf16-valued) stash
+    y_flat = _rows(y_ref, NB) if has_cond else None
     xs[0] = x.astype(jnp.bfloat16)
     for li, (d, off) in enumerate(zip(dils, offs)):
         pad = _pad8(d)
         x_b = x.astype(jnp.bfloat16)
-        xp = _causal_shift(x_b, snaps_ref[0, 0, off:off + pad], d, pad, TT,
-                           maxd, xbuf)
+        xps = []
+        for n in range(NB):
+            xbn = x_b if NB == 1 else x_b[n * TT:(n + 1) * TT]
+            xps.append(_causal_shift(xbn, snap_region(n, off, pad), d, pad,
+                                     TT, maxd, xbuf))
+        xp = xps[0] if NB == 1 else jnp.concatenate(xps, axis=0)
         z = (jnp.dot(jnp.concatenate([x_b, xp], axis=1), wz_ref[li],
                      preferred_element_type=jnp.float32)
              + b_ref[li])
         if has_cond:
-            z = z + jnp.dot(y_ref[0], vcond_ref[li],
+            z = z + jnp.dot(y_flat, vcond_ref[li],
                             preferred_element_type=jnp.float32)
         if has_gc:
-            z = z + g_ref[0, li:li + 1, :]
+            z = z + gate_offset(li)
         h = (jnp.tanh(z[:, :R]) * jax.nn.sigmoid(z[:, R:])
              ).astype(jnp.bfloat16)
         o = jnp.dot(h, wrs_ref[li], preferred_element_type=jnp.float32)
@@ -312,26 +448,30 @@ def _bwd_kernel(cfg: WaveNetConfig, TT: int, nT: int, dils,
     # ---- reverse pass: GRADIENTS STAY f32 END-TO-END (quantizing them to
     # bf16 measurably degraded convergence); forward residuals (h, x) are
     # bf16, cast up exactly for the f32 MXU dots ----
-    dskip = dskip_ref[0]                         # [TT, S] f32
-    dx = dxin_ref[0]                             # [TT, R] f32 (d x_{hi})
+    dskip = _rows(dskip_ref, NB)                 # [NB*TT, S] f32
+    dx = _rows(dxin_ref, NB)                     # [NB*TT, R] f32 (d x_{hi})
     if has_cond:
-        y_f = y_ref[0].astype(jnp.float32)       # [TT, M]
+        y_f = y_flat.astype(jnp.float32)         # [NB*TT, M]
         dy = jnp.zeros_like(y_f)
 
     for li in reversed(range(Lg)):
         d, off = dils[li], offs[li]
         pad = _pad8(d)
         x_lb16 = xs[li]                          # bf16, as the fwd consumed
-        xp_l = _causal_shift(x_lb16, snaps_ref[0, 0, off:off + pad], d, pad,
-                             TT, maxd, xbuf)
-        xcat = jnp.concatenate([x_lb16, xp_l], axis=1)       # [TT, 2R] bf16
+        xpls = []
+        for n in range(NB):
+            xln = x_lb16 if NB == 1 else x_lb16[n * TT:(n + 1) * TT]
+            xpls.append(_causal_shift(xln, snap_region(n, off, pad), d, pad,
+                                      TT, maxd, xbuf))
+        xp_l = xpls[0] if NB == 1 else jnp.concatenate(xpls, axis=0)
+        xcat = jnp.concatenate([x_lb16, xp_l], axis=1)    # [NB*TT, 2R] bf16
         z = (jnp.dot(xcat, wz_ref[li], preferred_element_type=jnp.float32)
              + b_ref[li])
         if has_cond:
-            z = z + jnp.dot(y_ref[0], vcond_ref[li],
+            z = z + jnp.dot(y_flat, vcond_ref[li],
                             preferred_element_type=jnp.float32)
         if has_gc:
-            z = z + g_ref[0, li:li + 1, :]
+            z = z + gate_offset(li)
         tf = jnp.tanh(z[:, :R])
         sg = jax.nn.sigmoid(z[:, R:])
         h = (tf * sg).astype(jnp.bfloat16).astype(jnp.float32)
@@ -350,39 +490,63 @@ def _bwd_kernel(cfg: WaveNetConfig, TT: int, nT: int, dils,
         dwz_ref[li] += _dg(xcat.astype(jnp.float32), dz, 0, 0)  # [2R, 2R]
         db_ref[li:li + 1, :] += jnp.sum(dz, axis=0, keepdims=True)
         if has_gc:                               # dg[b, l] = sum_t dz
-            dg_ref[0, li:li + 1, :] += jnp.sum(dz, axis=0, keepdims=True)
+            if NB == 1:
+                dg_ref[0, li:li + 1, :] += jnp.sum(dz, axis=0, keepdims=True)
+            else:
+                for n in range(NB):
+                    dg_ref[n, li:li + 1, :] += jnp.sum(
+                        dz[n * TT:(n + 1) * TT], axis=0, keepdims=True)
         if has_cond:
             dvcond_ref[li] += _dg(y_f, dz, 0, 0)          # y^T @ dz
             dy = dy + _dg(dz, vcond_ref[li].astype(jnp.float32), 1, 1)
 
         # fused input cotangent: dz @ wz^T gives [d x_cur | d x_prev]
-        dboth = _dg(dz, wz_ref[li].astype(jnp.float32), 1, 1)   # [TT, 2R]
+        dboth = _dg(dz, wz_ref[li].astype(jnp.float32), 1, 1)  # [NB*TT, 2R]
         dprev = dboth[:, R:]
-        # transposed causal shift: dx[s] += dprev[s+d]; rows s >= TT-d come
-        # from the LATER tile's dprev head (dz ring).  Aligned concat for
-        # d >= 8 (read the ring region BEFORE overwriting it), scratch roll
-        # for d < 8 — same two recipes as the forward shift.
-        if d >= 8:
-            # dprev is a LANE-slice of the matmul output (offset R): Mosaic
-            # rejects concat operands whose layouts disagree in lane offset
-            # ("result/input offset mismatch on non-concat dimension", found
-            # by the FS bisect) — a store/load through dbuf renormalizes it.
-            dbuf[:TT] = dprev
-            ring_rows = dz_rings[off:off + d]                # [d, R] f32
-            shifted = (ring_rows if d == TT else
-                       jnp.concatenate([dbuf[d:TT], ring_rows], axis=0))
-            dz_rings[off:off + d] = dbuf[:d]
-        else:
-            dbuf[:TT] = dprev
-            dbuf[TT:TT + pad] = dz_rings[off:off + pad]
-            shifted = pltpu.roll(dbuf[:TT + pad], TT + pad - d, 0)[:TT]
-            dz_rings[off:off + pad] = dbuf[:pad]  # head of dprev, aligned
+        # transposed causal shift, per batch row: dx[s] += dprev[s+d]; rows
+        # s >= TT-d come from the LATER tile's dprev head (that row's dz
+        # ring).  Aligned concat for d >= 8 (read the ring region BEFORE
+        # overwriting it), scratch roll for d < 8 — same two recipes as the
+        # forward shift.  dbuf is shared: each row's shifted value is
+        # materialized before the next row restages dbuf.
+        shifted_rows = []
+        for n in range(NB):
+            dprev_n = dprev if NB == 1 else dprev[n * TT:(n + 1) * TT]
+            if d >= 8:
+                # dprev is a LANE-slice of the matmul output (offset R):
+                # Mosaic rejects concat operands whose layouts disagree in
+                # lane offset ("result/input offset mismatch on non-concat
+                # dimension", found by the FS bisect) — a store/load through
+                # dbuf renormalizes it.
+                dbuf[:TT] = dprev_n
+                ring_rows = (dz_rings[off:off + d] if NB == 1 else
+                             dz_rings[n, off:off + d])      # [d, R] f32
+                shifted_rows.append(
+                    ring_rows if d == TT else
+                    jnp.concatenate([dbuf[d:TT], ring_rows], axis=0))
+                if NB == 1:
+                    dz_rings[off:off + d] = dbuf[:d]
+                else:
+                    dz_rings[n, off:off + d] = dbuf[:d]
+            else:
+                dbuf[:TT] = dprev_n
+                dbuf[TT:TT + pad] = (dz_rings[off:off + pad] if NB == 1 else
+                                     dz_rings[n, off:off + pad])
+                shifted_rows.append(
+                    pltpu.roll(dbuf[:TT + pad], TT + pad - d, 0)[:TT])
+                # head of dprev, aligned
+                if NB == 1:
+                    dz_rings[off:off + pad] = dbuf[:pad]
+                else:
+                    dz_rings[n, off:off + pad] = dbuf[:pad]
+        shifted = (shifted_rows[0] if NB == 1 else
+                   jnp.concatenate(shifted_rows, axis=0))
 
         dx = dx + dboth[:, :R] + shifted
 
-    dx_ref[0] = dx
+    _store_rows(dx_ref, NB, TT, dx)
     if has_cond:
-        dy_ref[0] = dy
+        _store_rows(dy_ref, NB, TT, dy)
 
 
 # ---------------------------------------------------------------------------
@@ -428,40 +592,45 @@ def _prep_weights(cfg, gw):
     )
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
-def group_apply(cfg: WaveNetConfig, interpret: bool, TT: int, dils,
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4))
+def group_apply(cfg: WaveNetConfig, interpret: bool, TT: int, dils, nb,
                 x, skip_in, gw, y, g=None):
     """One layer group: (x [B,T,R] f32 bf16-valued, skip_in [B,T,S] f32)
     -> (skip_out, x_out).  gw: dict of raw per-group param slices; y: [B,T,M]
     upsampled conditioning features or None; g: [B, Lg, 2R] f32 time-constant
-    global-conditioning gate offsets or None; dils: static dilation tuple."""
-    skip, x_out, _ = _group_fwd(cfg, interpret, TT, dils, x, skip_in, gw,
+    global-conditioning gate offsets or None; dils: static dilation tuple;
+    nb: static (fwd, bwd) batch rows per grid step (see pick_nb)."""
+    skip, x_out, _ = _group_fwd(cfg, interpret, TT, dils, nb, x, skip_in, gw,
                                 y, g)
     return skip, x_out
 
 
-def _group_fwd(cfg, interpret, TT, dils, x, skip_in, gw, y, g):
+def _group_fwd(cfg, interpret, TT, dils, nb, x, skip_in, gw, y, g):
     B, T, R = x.shape
     nT = T // TT
+    NB = nb[0]
+    if B % NB:
+        raise ValueError(f"nb_fwd={NB} does not divide batch {B}")
     S = cfg.skip_channels
     has_cond = y is not None
     has_gc = g is not None
     _, sum_dg = _ring_layout(dils)
     ops = _prep_weights(cfg, gw)
-    kernel = functools.partial(_fwd_kernel, cfg, TT, dils, has_cond, has_gc)
+    kernel = functools.partial(_fwd_kernel, cfg, TT, dils, has_cond, has_gc,
+                               NB)
 
     blk = lambda bi, j: (bi, j, 0)
     in_specs = [
-        pl.BlockSpec((1, TT, R), blk, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, TT, S), blk, memory_space=pltpu.VMEM),
+        pl.BlockSpec((NB, TT, R), blk, memory_space=pltpu.VMEM),
+        pl.BlockSpec((NB, TT, S), blk, memory_space=pltpu.VMEM),
     ]
     operands = [x, skip_in]
     if has_cond:
-        in_specs.append(pl.BlockSpec((1, TT, cfg.mel.num_mels), blk,
+        in_specs.append(pl.BlockSpec((NB, TT, cfg.mel.num_mels), blk,
                                      memory_space=pltpu.VMEM))
         operands.append(y.astype(jnp.bfloat16))
     if has_gc:
-        in_specs.append(pl.BlockSpec((1, len(dils), 2 * R),
+        in_specs.append(pl.BlockSpec((NB, len(dils), 2 * R),
                                      lambda bi, j: (bi, 0, 0),
                                      memory_space=pltpu.VMEM))
         operands.append(g)
@@ -475,15 +644,16 @@ def _group_fwd(cfg, interpret, TT, dils, x, skip_in, gw, y, g):
                                      memory_space=pltpu.VMEM))
         operands.append(vc)
 
+    ring_shape = ((sum_dg, R) if NB == 1 else (NB, sum_dg, R))
     skip, snaps, x_out = pl.pallas_call(
         kernel,
-        grid=(B, nT),
+        grid=(B // NB, nT),
         in_specs=in_specs,
         out_specs=(
-            pl.BlockSpec((1, TT, S), blk, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, sum_dg, R), lambda bi, j: (bi, j, 0, 0),
+            pl.BlockSpec((NB, TT, S), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((NB, 1, sum_dg, R), lambda bi, j: (bi, j, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TT, R), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((NB, TT, R), blk, memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((B, T, S), jnp.float32),
@@ -492,7 +662,7 @@ def _group_fwd(cfg, interpret, TT, dils, x, skip_in, gw, y, g):
         ),
         input_output_aliases={1: 0},              # skip accumulator
         scratch_shapes=[
-            pltpu.VMEM((sum_dg, R), jnp.bfloat16),
+            pltpu.VMEM(ring_shape, jnp.bfloat16),
             pltpu.VMEM((_winpad(cfg) + TT, R), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
@@ -502,17 +672,20 @@ def _group_fwd(cfg, interpret, TT, dils, x, skip_in, gw, y, g):
     return skip, x_out, snaps
 
 
-def _group_vjp_fwd(cfg, interpret, TT, dils, x, skip_in, gw, y, g=None):
-    skip, x_out, snaps = _group_fwd(cfg, interpret, TT, dils, x, skip_in,
+def _group_vjp_fwd(cfg, interpret, TT, dils, nb, x, skip_in, gw, y, g=None):
+    skip, x_out, snaps = _group_fwd(cfg, interpret, TT, dils, nb, x, skip_in,
                                     gw, y, g)
     return (skip, x_out), (x, snaps, gw, y, g)
 
 
-def _group_vjp_bwd(cfg, interpret, TT, dils, res, cts):
+def _group_vjp_bwd(cfg, interpret, TT, dils, nb, res, cts):
     dskip, dxout = cts
     x, snaps, gw, y, g = res
     B, T, R = x.shape
     nT = T // TT
+    NB = nb[1]
+    if B % NB:
+        raise ValueError(f"nb_bwd={NB} does not divide batch {B}")
     S = cfg.skip_channels
     Lg = len(dils)
     has_cond = y is not None
@@ -520,26 +693,27 @@ def _group_vjp_bwd(cfg, interpret, TT, dils, res, cts):
     _, sum_dg = _ring_layout(dils)
     wz, b, wrs, bres, _ = _prep_weights(cfg, gw)
     kernel = functools.partial(_bwd_kernel, cfg, TT, nT, dils, has_cond,
-                               has_gc)
+                               has_gc, NB)
 
     const3 = lambda bi, jr: (0, 0, 0)
     rev = lambda bi, jr: (bi, nT - 1 - jr, 0)
 
     in_specs = [
-        pl.BlockSpec((1, TT, R), rev, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, sum_dg, R), lambda bi, jr: (bi, nT - 1 - jr, 0, 0),
+        pl.BlockSpec((NB, TT, R), rev, memory_space=pltpu.VMEM),
+        pl.BlockSpec((NB, 1, sum_dg, R),
+                     lambda bi, jr: (bi, nT - 1 - jr, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, TT, S), rev, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, TT, R), rev, memory_space=pltpu.VMEM),
+        pl.BlockSpec((NB, TT, S), rev, memory_space=pltpu.VMEM),
+        pl.BlockSpec((NB, TT, R), rev, memory_space=pltpu.VMEM),
     ]
     operands = [x, snaps, dskip, dxout]
     if has_cond:
         M = cfg.mel.num_mels
-        in_specs.append(pl.BlockSpec((1, TT, M), rev,
+        in_specs.append(pl.BlockSpec((NB, TT, M), rev,
                                      memory_space=pltpu.VMEM))
         operands.append(y.astype(jnp.bfloat16))
     if has_gc:
-        in_specs.append(pl.BlockSpec((1, Lg, 2 * R),
+        in_specs.append(pl.BlockSpec((NB, Lg, 2 * R),
                                      lambda bi, jr: (bi, 0, 0),
                                      memory_space=pltpu.VMEM))
         operands.append(g)
@@ -554,7 +728,7 @@ def _group_vjp_bwd(cfg, interpret, TT, dils, res, cts):
         operands.append(vc)
 
     out_specs = [
-        pl.BlockSpec((1, TT, R), rev, memory_space=pltpu.VMEM),
+        pl.BlockSpec((NB, TT, R), rev, memory_space=pltpu.VMEM),
         pl.BlockSpec((Lg, 2 * R, 2 * R), const3, memory_space=pltpu.VMEM),
         pl.BlockSpec((Lg, 2 * R), lambda *_: (0, 0),
                      memory_space=pltpu.VMEM),
@@ -571,26 +745,27 @@ def _group_vjp_bwd(cfg, interpret, TT, dils, res, cts):
     if has_cond:
         out_specs += [
             pl.BlockSpec((Lg, M, 2 * R), const3, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TT, M), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((NB, TT, M), rev, memory_space=pltpu.VMEM),
         ]
         out_shape += [
             jax.ShapeDtypeStruct((Lg, M, 2 * R), jnp.float32),
             jax.ShapeDtypeStruct((B, T, M), jnp.float32),
         ]
     if has_gc:
-        out_specs.append(pl.BlockSpec((1, Lg, 2 * R),
+        out_specs.append(pl.BlockSpec((NB, Lg, 2 * R),
                                       lambda bi, jr: (bi, 0, 0),
                                       memory_space=pltpu.VMEM))
         out_shape.append(jax.ShapeDtypeStruct((B, Lg, 2 * R), jnp.float32))
+    dz_ring_shape = ((sum_dg, R) if NB == 1 else (NB, sum_dg, R))
     outs = pl.pallas_call(
         kernel,
-        grid=(B, nT),
+        grid=(B // NB, nT),
         in_specs=in_specs,
         out_specs=tuple(out_specs),
         out_shape=tuple(out_shape),
         scratch_shapes=[
-            pltpu.VMEM((Lg + 1, TT, R), jnp.bfloat16),      # xs stash
-            pltpu.VMEM((sum_dg, R), jnp.float32),           # dz rings
+            pltpu.VMEM((Lg + 1, NB * TT, R), jnp.bfloat16),  # xs stash
+            pltpu.VMEM(dz_ring_shape, jnp.float32),          # dz rings
             pltpu.VMEM((_winpad(cfg) + TT, R), jnp.float32),
             pltpu.VMEM((TT + _winpad(cfg), R), jnp.float32),
         ],
@@ -631,14 +806,17 @@ group_apply.defvjp(_group_vjp_fwd, _group_vjp_bwd)
 
 def forward_skip_fused(params, cfg: WaveNetConfig, x: jax.Array,
                        interpret: bool = False, tile=None,
-                       y=None, g=None) -> jax.Array:
+                       y=None, g=None, nb=None) -> jax.Array:
     """Embedded input [B, T, R] -> skip-sum [B, T, S] f32 via the fused
     per-group kernels.  y: optional [B, T, M] upsampled conditioning
     features (cfg.mel set); g: optional [L, B, 2, R] f32 global-conditioning
     gate offsets (models.wavenet.global_cond_offsets) — time-constant, so the
     kernels add one [2R] row per (batch row, layer) instead of a [T, 2R]
     stream, and the cotangent path back to g_embed/v_global rides autodiff
-    through the per-group slice/transpose below."""
+    through the per-group slice/transpose below.
+
+    nb: (fwd, bwd) batch rows per grid step; None auto-picks via pick_nb
+    (multi-row kernels — identical math, shorter serialized grid chain)."""
     B, T, R = x.shape
     TT = tile or pick_tile(cfg, T)
     if not TT:
@@ -647,7 +825,13 @@ def forward_skip_fused(params, cfg: WaveNetConfig, x: jax.Array,
     if T % TT:
         raise ValueError(f"tile={TT} does not divide T={T}: the grid would "
                          f"leave the last {T % TT} rows unwritten")
-    groups = group_plan(cfg, TT)
+    if nb is None:
+        nb = pick_nb(cfg, T, B, TT=TT)
+    nb = tuple(nb)
+    groups = plan_dils(cfg, cfg.dilations, TT, nb)
+    if not groups and nb != (1, 1):
+        nb = (1, 1)
+        groups = group_plan(cfg, TT)
     if not groups:
         raise ValueError("no VMEM-feasible group plan; gate on supported()")
     has_cond = y is not None
@@ -660,6 +844,6 @@ def forward_skip_fused(params, cfg: WaveNetConfig, x: jax.Array,
         if g is not None:
             g_g = g[lo:hi].transpose(1, 0, 2, 3).reshape(B, hi - lo, 2 * R)
         skip, x_g = group_apply(cfg, interpret, TT,
-                                tuple(cfg.dilations[lo:hi]),
+                                tuple(cfg.dilations[lo:hi]), nb,
                                 x_g, skip, gw, y, g_g)
     return skip

@@ -70,7 +70,7 @@ def _stage_chain(cfg, interpret, TT, dils, stage_params, x, skip, y, g=None):
         gw = {k: stage_params[k][lo:hi] for k in ts.GROUP_KEYS}
         if y is not None:
             gw["v_cond"] = stage_params["v_cond"][lo:hi]
-        skip, x = ts.group_apply(cfg, interpret, TT, dils[lo:hi],
+        skip, x = ts.group_apply(cfg, interpret, TT, dils[lo:hi], (1, 1),
                                  x, skip, gw, y,
                                  None if g is None else g[:, lo:hi])
     return skip, x
