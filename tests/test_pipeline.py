@@ -102,6 +102,37 @@ def test_pipeline_conditional_matches_fused(monkeypatch):
                                    err_msg=str(ka))
 
 
+def test_pipeline_multirow_matches_single_row(monkeypatch):
+    """Multi-row grid steps inside the pipeline stages: force
+    pick_nb_dils to (2, 2) and require bit-level agreement of the LOSS with
+    the nb=(1,1) pipeline (rows are independent in the flattened matmuls).
+    Weight grads reduce over the flattened [NB*TT] rows in one jnp.sum
+    instead of one per-row sum per grid step — a different f32 summation
+    order — so they get a last-ulps band instead of bit equality."""
+    from wavenet_tpu.ops.pallas import train_stack as ts
+    cfg = cfg_(model_parallel=2, batch_size=4)
+    mesh = make_mesh(cfg)
+    p = wn.init_params(cfg, jax.random.PRNGKey(0))
+    toks = jax.random.randint(jax.random.PRNGKey(1), (4, 65), 0, 256)
+
+    def run():
+        return jax.jit(jax.value_and_grad(
+            lambda p: pp.loss_fn_pp(p, cfg, mesh, toks, microbatch=4,
+                                    interpret=True)[0]))(p)
+
+    l1, g1 = run()
+    monkeypatch.setattr(ts, "pick_nb_dils", lambda *a, **k: (2, 2))
+    l2, g2 = run()
+    assert np.float32(l1) == np.float32(l2)
+    for (ka, a), (kb, b) in zip(
+            jax.tree_util.tree_flatten_with_path(g1)[0],
+            jax.tree_util.tree_flatten_with_path(g2)[0]):
+        a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+        scale = max(np.abs(a).max(), 1e-6)
+        np.testing.assert_allclose(b / scale, a / scale, atol=1e-6,
+                                   err_msg=str(ka))
+
+
 def test_layer_sharded_params_place():
     """param_pspecs_layer places stacked leaves split on L over `model`."""
     from jax.sharding import NamedSharding

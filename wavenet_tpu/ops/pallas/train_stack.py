@@ -161,7 +161,7 @@ def _pow2_divisors(B: int, cap: int = 8) -> List[int]:
 
 
 def _est_cost_us(cfg: WaveNetConfig, TT: int, nT: int, B: int,
-                 nf: int, nbw: int, ngroups: int) -> float:
+                 nf: int, nbw: int, ngroups: int, L: int = 0) -> float:
     """Rough wall-time model for one fused fwd+bwd pass, microseconds.
 
     Per layer grid-step: a fixed serialization latency T0 (the dependency
@@ -169,9 +169,11 @@ def _est_cost_us(cfg: WaveNetConfig, TT: int, nT: int, B: int,
     analysis) plus a per-row slope from MXU FLOPs and VPU gate math at
     de-rated throughputs.  Each layer-group boundary beyond the first adds
     an HBM round-trip of the x/skip/snap streams.  Constants calibrated on
-    v5e against the round-2 measurements (tools/tpu_multirow_bench.py)."""
+    v5e against the round-2 measurements (tools/tpu_multirow_bench.py).
+    L: layer count the chain runs over (a pipeline stage's slice, or 0 for
+    the whole stack)."""
     R, S = cfg.residual_channels, cfg.skip_channels
-    L = cfg.num_layers
+    L = L or cfg.num_layers
     # per-row, per-layer-step costs (us)
     mxu = 2 * TT * (5 * R * R + R * S) / 100e6     # ~100 MFLOP/us effective
     vpu = TT * 2 * R * 8.0 / 3.0e6                 # gate transcendentals
@@ -194,6 +196,14 @@ def pick_nb(cfg: WaveNetConfig, T: int, B: int,
     length nb-fold for sublinear extra per-matmul cost.  Candidates are
     scored by _est_cost_us subject to a VMEM-feasible group plan existing.
     Always feasible: (1, 1) is the round-2 layout."""
+    return pick_nb_dils(cfg, cfg.dilations, T, B, TT)
+
+
+def pick_nb_dils(cfg: WaveNetConfig, dils, T: int, B: int,
+                 TT: int = 0) -> Tuple[int, int]:
+    """pick_nb over an arbitrary dilation slice (a pipeline stage's layers);
+    B is the batch the kernels actually see (a microbatch under pipeline
+    parallelism, the per-shard batch under dp shard_map)."""
     TT = TT or pick_tile(cfg, T)
     if not TT or T % TT:
         return (1, 1)
@@ -201,10 +211,11 @@ def pick_nb(cfg: WaveNetConfig, T: int, B: int,
     best, best_cost = (1, 1), None
     for nf in _pow2_divisors(B):
         for nbw in _pow2_divisors(B):
-            groups = group_plan(cfg, TT, (nf, nbw))
+            groups = plan_dils(cfg, dils, TT, (nf, nbw))
             if not groups:
                 continue
-            cost = _est_cost_us(cfg, TT, nT, B, nf, nbw, len(groups))
+            cost = _est_cost_us(cfg, TT, nT, B, nf, nbw, len(groups),
+                                L=len(dils))
             if best_cost is None or cost < best_cost:
                 best, best_cost = (nf, nbw), cost
     return best

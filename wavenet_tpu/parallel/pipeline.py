@@ -62,15 +62,17 @@ def supported(cfg: WaveNetConfig, T: int, mp: int) -> bool:
     return bool(TT) and bool(ts.plan_dils(cfg, stage_dilations(cfg, mp), TT))
 
 
-def _stage_chain(cfg, interpret, TT, dils, stage_params, x, skip, y, g=None):
+def _stage_chain(cfg, interpret, TT, dils, nb, stage_params, x, skip, y,
+                 g=None):
     """All layer groups of one stage (chained group_apply kernels).
     g: None or [Bmu, L_stage, 2R] f32 global-conditioning offsets for this
-    stage's layers."""
-    for lo, hi in ts.plan_dils(cfg, dils, TT):
+    stage's layers.  nb: (fwd, bwd) rows per grid step — the group plan must
+    be computed with the SAME nb the kernels run with (VMEM feasibility)."""
+    for lo, hi in ts.plan_dils(cfg, dils, TT, nb):
         gw = {k: stage_params[k][lo:hi] for k in ts.GROUP_KEYS}
         if y is not None:
             gw["v_cond"] = stage_params["v_cond"][lo:hi]
-        skip, x = ts.group_apply(cfg, interpret, TT, dils[lo:hi], (1, 1),
+        skip, x = ts.group_apply(cfg, interpret, TT, dils[lo:hi], nb,
                                  x, skip, gw, y,
                                  None if g is None else g[:, lo:hi])
     return skip, x
@@ -106,6 +108,8 @@ def loss_fn_pp(params: wn.Params, cfg: WaveNetConfig, mesh: Mesh,
     nsteps = n_mu + mp - 1
     R = cfg.residual_channels
     S = cfg.skip_channels
+    # multi-row grid steps over the microbatch ([1,1] always feasible)
+    nb = ts.pick_nb_dils(cfg, dils, W, Bmu, TT)
 
     y_all = None
     if cfg.mel is not None:
@@ -139,7 +143,7 @@ def loss_fn_pp(params: wn.Params, cfg: WaveNetConfig, mesh: Mesh,
             x_in, skip_in = carry
             y_mb = None if y_all is None else mb(y_all, k - s)
             g_mb = None if g_st is None else mb(g_st, k - s)
-            skip_out, x_out = _stage_chain(cfg, interpret, TT, dils,
+            skip_out, x_out = _stage_chain(cfg, interpret, TT, dils, nb,
                                            params, x_in, skip_in, y_mb,
                                            g_mb)
             x_nxt = jax.lax.ppermute(x_out, MODEL_AXIS, fwd)
