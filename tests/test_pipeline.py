@@ -120,6 +120,9 @@ def test_pipeline_multirow_matches_single_row(monkeypatch):
             lambda p: pp.loss_fn_pp(p, cfg, mesh, toks, microbatch=4,
                                     interpret=True)[0]))(p)
 
+    # pin BOTH sides: the auto-pick would choose nb=(4,4) here, so without
+    # pinning the "single-row baseline" would itself be multi-row
+    monkeypatch.setattr(ts, "pick_nb_dils", lambda *a, **k: (1, 1))
     l1, g1 = run()
     monkeypatch.setattr(ts, "pick_nb_dils", lambda *a, **k: (2, 2))
     l2, g2 = run()

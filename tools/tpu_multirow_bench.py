@@ -67,16 +67,14 @@ def sweep(name):
         kw["speaker"] = jnp.zeros((B,), jnp.int32)
     p = wn.init_params(cfg, jax.random.PRNGKey(0))
     TT = ts.pick_tile(cfg, T)
+    if not TT or T % TT:
+        print(f"== {name}: T={T} untileable (pick_tile -> {TT}); skipping",
+              flush=True)
+        return
     nT = T // TT
     pick = ts.pick_nb(cfg, T, B)
     print(f"== {name}: B={B} T={T} TT={TT} auto-pick nb={pick}", flush=True)
-    cands = []
-    for nf in ts._pow2_divisors(B):
-        for nbw in ts._pow2_divisors(B):
-            groups = ts.group_plan(cfg, TT, (nf, nbw))
-            if groups:
-                cands.append(((nf, nbw), len(groups)))
-    for nb, ng in cands:
+    for nb, ng in ts.nb_candidates(cfg, cfg.dilations, TT, B):
         est = ts._est_cost_us(cfg, TT, nT, B, nb[0], nb[1], ng) / 1e3
         try:
             fn = jax.jit(jax.value_and_grad(

@@ -199,6 +199,19 @@ def pick_nb(cfg: WaveNetConfig, T: int, B: int,
     return pick_nb_dils(cfg, cfg.dilations, T, B, TT)
 
 
+def nb_candidates(cfg: WaveNetConfig, dils, TT: int, B: int):
+    """VMEM-feasible multi-row candidates: [((nb_fwd, nb_bwd), ngroups)].
+    The single source of the candidate space — pick_nb_dils scores exactly
+    this list and tools/tpu_multirow_bench.py sweeps exactly this list."""
+    out = []
+    for nf in _pow2_divisors(B):
+        for nbw in _pow2_divisors(B):
+            groups = plan_dils(cfg, dils, TT, (nf, nbw))
+            if groups:
+                out.append(((nf, nbw), len(groups)))
+    return out
+
+
 def pick_nb_dils(cfg: WaveNetConfig, dils, T: int, B: int,
                  TT: int = 0) -> Tuple[int, int]:
     """pick_nb over an arbitrary dilation slice (a pipeline stage's layers);
@@ -209,15 +222,10 @@ def pick_nb_dils(cfg: WaveNetConfig, dils, T: int, B: int,
         return (1, 1)
     nT = T // TT
     best, best_cost = (1, 1), None
-    for nf in _pow2_divisors(B):
-        for nbw in _pow2_divisors(B):
-            groups = plan_dils(cfg, dils, TT, (nf, nbw))
-            if not groups:
-                continue
-            cost = _est_cost_us(cfg, TT, nT, B, nf, nbw, len(groups),
-                                L=len(dils))
-            if best_cost is None or cost < best_cost:
-                best, best_cost = (nf, nbw), cost
+    for (nf, nbw), ng in nb_candidates(cfg, dils, TT, B):
+        cost = _est_cost_us(cfg, TT, nT, B, nf, nbw, ng, L=len(dils))
+        if best_cost is None or cost < best_cost:
+            best, best_cost = (nf, nbw), cost
     return best
 
 
@@ -836,15 +844,19 @@ def forward_skip_fused(params, cfg: WaveNetConfig, x: jax.Array,
     if T % TT:
         raise ValueError(f"tile={TT} does not divide T={T}: the grid would "
                          f"leave the last {T % TT} rows unwritten")
-    if nb is None:
+    auto_nb = nb is None
+    if auto_nb:
         nb = pick_nb(cfg, T, B, TT=TT)
     nb = tuple(nb)
     groups = plan_dils(cfg, cfg.dilations, TT, nb)
-    if not groups and nb != (1, 1):
+    if not groups and auto_nb and nb != (1, 1):
+        # auto-pick raced a config edge: fall back to the proven layout
         nb = (1, 1)
         groups = group_plan(cfg, TT)
     if not groups:
-        raise ValueError("no VMEM-feasible group plan; gate on supported()")
+        raise ValueError(f"no VMEM-feasible group plan at nb={nb}; gate on "
+                         f"supported() (explicitly requested nb is honored, "
+                         f"never silently downgraded)")
     has_cond = y is not None
     skip = jnp.zeros((B, T, cfg.skip_channels), jnp.float32)
     # f32 stream holding bf16-rounded values (see _fwd_kernel docs)

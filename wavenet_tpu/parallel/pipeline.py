@@ -68,7 +68,11 @@ def _stage_chain(cfg, interpret, TT, dils, nb, stage_params, x, skip, y,
     g: None or [Bmu, L_stage, 2R] f32 global-conditioning offsets for this
     stage's layers.  nb: (fwd, bwd) rows per grid step — the group plan must
     be computed with the SAME nb the kernels run with (VMEM feasibility)."""
-    for lo, hi in ts.plan_dils(cfg, dils, TT, nb):
+    groups = ts.plan_dils(cfg, dils, TT, nb)
+    if not groups:
+        raise ValueError(f"no VMEM-feasible group plan for stage dils={dils} "
+                         f"at nb={nb}; gate on pipeline.supported()")
+    for lo, hi in groups:
         gw = {k: stage_params[k][lo:hi] for k in ts.GROUP_KEYS}
         if y is not None:
             gw["v_cond"] = stage_params["v_cond"][lo:hi]
