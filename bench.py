@@ -195,6 +195,30 @@ def bench_decode_naive(num_samples: int = 256, batch: int = 1):
     return {"naive_samples_per_sec": num_samples * batch / dt}
 
 
+def _arm_device_watchdog(timeout_s: float):
+    """The tunneled TPU relay can go down entirely (observed: jax.devices()
+    blocks forever at ~0 CPU).  A hung benchmark records NOTHING; this
+    daemon emits a parseable failure line and hard-exits if backend init
+    doesn't finish inside timeout_s, so the driver gets an honest record
+    instead of a timeout kill."""
+    import threading
+
+    done = threading.Event()
+
+    def watch():
+        if not done.wait(timeout_s):
+            print(json.dumps({
+                "metric": "train_audio_seconds_per_sec_per_chip",
+                "value": 0.0, "unit": "audio-s/s/chip", "vs_baseline": 0.0,
+                "error": f"tpu_unreachable: device init exceeded "
+                         f"{timeout_s:.0f}s (relay down?)",
+            }), flush=True)
+            os._exit(3)
+
+    threading.Thread(target=watch, daemon=True).start()
+    return done
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--train-steps", type=int, default=30)
@@ -212,6 +236,12 @@ def main():
                     "train_audio_seconds_per_sec_per_chip")
         except Exception:
             pass
+
+    import jax
+    init_done = _arm_device_watchdog(
+        float(os.environ.get("WAVENET_TPU_INIT_TIMEOUT_S", "300")))
+    jax.devices()                                    # blocks if relay is down
+    init_done.set()
 
     details = {}
     details.update(bench_training(args.train_steps, target=target))
