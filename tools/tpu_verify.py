@@ -4,6 +4,9 @@ Checks hardware-vs-interpret bit-exactness for every Pallas kernel surface:
   1. fused training stack: forward skip-sum at several sequence lengths
   2. fused training stack: full loss gradients (every param leaf)
   2b. fused training stack with global conditioning (speaker): fwd + grads
+  2c. fused training stack, multi-row grid (nb > 1): fwd bit-exact + grads
+  2d. fused training stack with mel conditioning (in-kernel y @ v_cond):
+      fwd (single- and multi-row) + grads
   3. decode kernel: greedy tokens, single tile
   4. decode kernel: batch-tiled grid (B split into tiles)
   5. decode kernel: conditional (streamed y, in-kernel v_cond projection)
@@ -190,6 +193,53 @@ def check_train_global_cond():
                f"(max rel diff {rel:.3e}, band {band:g})")
 
 
+def check_train_conditional():
+    """Mel-conditioned fused training path (in-kernel y @ v_cond): forward
+    bit-exactness and banded grads, at both single-row and multi-row nb —
+    the y stream is the one kernel input the other checks never exercise."""
+    from wavenet_tpu.config import MelConfig
+    from wavenet_tpu.models.conditioning import upsample_mel
+    mel_cfg = MelConfig(num_mels=80, hop_length=256, win_length=1024,
+                        fmax=8000.0, upsample_factors=(16, 16))
+    cfg = small().replace(mel=mel_cfg)
+    p = wn.init_params(cfg, jax.random.PRNGKey(0))
+    mel = jax.random.normal(jax.random.PRNGKey(9), (4, 5, 80))
+
+    toks = jax.random.randint(jax.random.PRNGKey(1), (4, 1024), 0, 256)
+    prev = jnp.pad(toks[:, :-1], ((0, 0), (1, 0)))
+    x = wn.embed_tokens(p, cfg, toks, prev)
+    y = upsample_mel(p["upsampler"], cfg.mel, mel, 1024)
+    for nb in ((1, 1), (2, 1), (4, 1)):
+        if not ts.plan_dils(cfg, cfg.dilations,
+                            ts.pick_tile(cfg, 1024), nb):
+            report(f"train fwd mel nb={nb}", True, "(skipped: no plan)")
+            continue
+        hw = ts.forward_skip_fused(p, cfg, x, y=y, nb=nb)
+        it = ts.forward_skip_fused(p, cfg, x, y=y, interpret=True, nb=(1, 1))
+        ok, d = same(hw, it)
+        report(f"train fwd mel nb={nb}", ok, d)
+
+    toks = jax.random.randint(jax.random.PRNGKey(2), (4, 1025), 0, 256)
+
+    def loss(p, interp):
+        return wn.loss_fn(p, cfg, toks, mel=mel, use_fused=True,
+                          interpret=interp)[0]
+
+    g_hw = jax.jit(jax.grad(lambda p: loss(p, False)))(p)
+    g_it = jax.jit(jax.grad(lambda p: loss(p, True)))(p)
+    for (ka, a), (kb, b) in zip(
+            jax.tree_util.tree_flatten_with_path(g_hw)[0],
+            jax.tree_util.tree_flatten_with_path(g_it)[0]):
+        name = jax.tree_util.keystr(ka)
+        a = np.asarray(a, np.float64)
+        b = np.asarray(b, np.float64)
+        scale = max(np.abs(b).max(), 1e-6)
+        rel = np.abs(a - b).max() / scale
+        band = 2e-2 if "embed" in name else 1e-4
+        report(f"train mel grad {name}", rel < band,
+               f"(max rel diff {rel:.3e}, band {band:g})")
+
+
 def _decode_cfg(**kw):
     base = dict(num_blocks=2, max_dilation=64, residual_channels=32,
                 skip_channels=32, compute_dtype="bfloat16")
@@ -223,6 +273,7 @@ def main():
     check_train_grads()
     check_train_multirow()
     check_train_global_cond()
+    check_train_conditional()
 
     cfg = _decode_cfg()
     check_decode("decode greedy single-tile", cfg, batch=8, num_steps=256)
