@@ -20,10 +20,18 @@ def main():
     from wavenet_tpu.config import WaveNetConfig
     from wavenet_tpu.training.trainer import Trainer
 
+    mode = os.environ.get("WAVENET_MH_MODE", "dp")
+    if mode == "tp":
+        # Megatron channel sharding under a real process group: dp rows map
+        # one-per-process (each host feeds its local_batch_slice), the model
+        # axis shards every gated block's channels — the per-layer psum and
+        # the grad psum both compile across the 2-process mesh
+        par = dict(data_parallel=2, model_parallel=2)
+    else:
+        par = dict(data_parallel=len(jax.devices()))
     cfg = WaveNetConfig(num_blocks=1, max_dilation=8, residual_channels=8,
                         skip_channels=8, compute_dtype="float32",
-                        batch_size=4, train_window=128,
-                        data_parallel=len(jax.devices()))
+                        batch_size=4, train_window=128, **par)
     ds = AudioDataset.synthetic(cfg, num_clips=2, clip_seconds=0.1)
     tr = Trainer(cfg, ds)
     m = tr.run(num_steps=2, log_every=0)
