@@ -276,6 +276,37 @@ def test_pick_nb_planner():
     assert len(ts.group_plan(f, TTf, nbf)) <= 8
 
 
+def test_planner_fuzz():
+    """Planner invariants over a random config sweep (the round-1 advisor
+    crash was a planner edge: max_dilation < 8 produced a negative ring
+    slice).  For every config and tileable T:
+      - a (1, 1) plan exists whenever supported() says so;
+      - pick_nb returns a pair whose plan is feasible and divides B;
+      - _group_sizes grows monotonically in each nb component (the VMEM
+        model may never say a BIGGER step is cheaper, or plan_dils would
+        build infeasible groups)."""
+    rng = np.random.RandomState(7)
+    for _ in range(40):
+        cfg = cfg_(num_blocks=int(rng.randint(1, 4)),
+                   max_dilation=int(2 ** rng.randint(0, 7)),
+                   residual_channels=int(rng.choice([8, 16, 32, 64])),
+                   skip_channels=int(rng.choice([8, 16, 32, 64])))
+        T = int(rng.choice([64, 128, 512, 1024]))
+        B = int(rng.choice([1, 2, 3, 4, 8]))
+        TT = ts.pick_tile(cfg, T)
+        if not ts.supported(cfg, T):
+            continue
+        assert ts.group_plan(cfg, TT, (1, 1)), (cfg.dilations, TT)
+        nb = ts.pick_nb(cfg, T, B)
+        assert B % nb[0] == 0 and B % nb[1] == 0, (nb, B)
+        assert ts.group_plan(cfg, TT, nb), (cfg.dilations, TT, nb)
+        dils = cfg.dilations[:max(1, len(cfg.dilations) // 2)]
+        f1, b1 = ts._group_sizes(cfg, TT, dils, (1, 1))
+        f2, b2 = ts._group_sizes(cfg, TT, dils, (2, 2))
+        f4, b4 = ts._group_sizes(cfg, TT, dils, (4, 4))
+        assert f1 <= f2 <= f4 and b1 <= b2 <= b4
+
+
 def test_logits_sane_vs_scan():
     """Loose band vs the scan path: same model, slightly different precision
     recipe — logits must agree to bf16-chaos levels and the loss closely."""
