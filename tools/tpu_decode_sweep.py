@@ -1,17 +1,24 @@
 """Hardware sweep of the decode kernel's (batch_tile, time_chunk) plan and
-VMEM budget.
+VMEM budget — settles the rings-aliasing accounting question.
 
-plan_tiles currently caps the kernel at VMEM_BUDGET = 12 MiB — set early and
-hardware-proven, but far below the chip's VMEM.  A bigger budget admits
-larger batch tiles: B=64 as ONE launch at bt=64 (full lane occupancy,
-no serialized per-tile launches) instead of four bt=16 launches.  This tool
-raises the module budget, then for each candidate tiling:
+v5e VMEM is ~16 MiB/core.  _tile_bytes counts the rings input block AND the
+aliased output block as BOTH live (the conservative reading after the
+round-2 kernel review), which caps B=64 at four serialized bt=16 launches.
+But the PRE-review bench ran bt=32 — 16.8 MiB of rings by that accounting —
+under a 14 MiB vmem_limit without Mosaic rejection, strong evidence the
+input_output_alias shares ONE VMEM buffer and the double-count costs a
+hardware-proven 2x batch tile.  This tool raises the module budget (which
+also raises the pallas_call vmem_limit), then for each candidate tiling:
 
   1. verifies tokens == interpret-mode (nonzero data, sampled t=1.0 — the
      Mosaic-miscompile gate; a tiling that is fast but wrong is useless);
   2. times a long free-running decode at the mandated B=64.
 
-    python -u tools/tpu_decode_sweep.py [budget_mb] [steps]
+bt=32 BIT-EXACT + faster => revert _tile_bytes to single-count the aliased
+rings (and keep the explicit j==0 copy note).  A Mosaic vmem-limit REJECTION
+at bt=32 => the double-count is real; keep bt=16.
+
+    python -u tools/tpu_decode_sweep.py [budget_mb=24] [steps=4096]
 """
 
 import os
@@ -29,7 +36,7 @@ from wavenet_tpu.ops.pallas import decode as pdec               # noqa: E402
 
 
 def main():
-    budget_mb = int(sys.argv[1]) if len(sys.argv) > 1 else 96
+    budget_mb = int(sys.argv[1]) if len(sys.argv) > 1 else 24
     steps = int(sys.argv[2]) if len(sys.argv) > 2 else 4096
     pdec.VMEM_BUDGET = budget_mb * 1024 * 1024   # before any decode trace
     cfg = fastgen_bench()
