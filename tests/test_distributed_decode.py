@@ -139,3 +139,14 @@ def test_conditional_sharded_matches_single_device(dp, mp):
     bare = dd.generate_sharded(p, base, mesh1, 5, n, batch=4,
                                prime_tokens=prime, y=y * 0.0)
     assert not np.array_equal(np.asarray(ref), np.asarray(bare))
+
+
+def test_counter_uniform_full_range():
+    """Regression: int32 demotion in the murmur mix cleared the sign bit
+    and squeezed the 'uniform' noise into (0, 0.5), truncating the Gumbel
+    right tail — low-logit tokens could never win a sample."""
+    u = np.asarray(dd.counter_uniform(
+        jnp.int32(7), jnp.int32(3), jnp.int32(0), jnp.int32(0), (64, 128)))
+    assert u.min() > 0.0 and u.max() < 1.0
+    assert u.max() > 0.5, f"noise capped at {u.max()} — sign-bit demotion?"
+    assert 0.4 < u.mean() < 0.6

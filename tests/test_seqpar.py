@@ -181,3 +181,21 @@ def test_trainer_with_seq_parallel_matches_single_device():
             jax.tree.flatten_with_path(pa)[0],
             jax.tree.flatten_with_path(pb)[0]):
         np.testing.assert_allclose(a, b, atol=1e-5, rtol=1e-4, err_msg=str(ka))
+
+
+def test_sp_forward_speaker_exact():
+    """Global conditioning through the seq-parallel forward: time-constant
+    offsets need no halo; logits must equal the unsharded forward."""
+    cfg = cfg_(seq_parallel=4, global_classes=3, global_channels=8)
+    mesh = make_mesh(cfg)
+    p = wn.init_params(cfg, jax.random.PRNGKey(0))
+    toks = jax.random.randint(jax.random.PRNGKey(1), (2, 128), 0, 256)
+    spk = jnp.asarray([0, 2], jnp.int32)
+    ref = wn.forward_logits(p, cfg, toks, speaker=spk)
+    got = jax.jit(lambda p, t, s: seqpar.forward_logits_sp(
+        p, cfg, mesh, t, speaker=s))(p, toks, spk)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+    with pytest.raises(ValueError, match="global_classes unset"):
+        seqpar.forward_logits_sp(p, cfg_(seq_parallel=4), mesh, toks,
+                                 speaker=spk)

@@ -96,7 +96,6 @@ class StreamingAudioDataset:
         self._prefetch_depth = prefetch
         self._pf_thread: Optional[threading.Thread] = None
         self._pf_queue: Optional[queue.Queue] = None
-        self._pf_next: Optional[IteratorState] = None
         self._pf_rows: Optional[slice] = None
 
     @classmethod
@@ -231,7 +230,11 @@ class StreamingAudioDataset:
         except queue.Empty:
             return None
         if st != state:                    # resynchronize (e.g. restore)
-            self.start_prefetch(state, self._pf_rows)
+            # the caller assembles `state` inline, so the restarted worker
+            # must begin at state.next() — restarting at `state` would queue
+            # a batch the caller has already consumed and every subsequent
+            # call would mismatch again (prefetch permanently disabled)
+            self.start_prefetch(state.next(), self._pf_rows)
             return None
         return batch
 

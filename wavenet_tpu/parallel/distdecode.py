@@ -32,12 +32,13 @@ zero per-sample dispatch, matching SURVEY.md §7.4.
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Any, Dict, Optional, Tuple
+import functools
+from functools import lru_cache, partial
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from wavenet_tpu.config import WaveNetConfig
 from wavenet_tpu.models import wavenet as wn
@@ -62,12 +63,20 @@ def _mix(h):
 def counter_uniform(seed, t, row0, col0, shape):
     """Uniform (0,1) noise for a [rows, cols] tile whose global origin is
     (row0, col0) — same value for the same global coordinate regardless of
-    how the batch/class axes are sharded."""
-    rows = row0 + jax.lax.broadcasted_iota(jnp.uint32, shape, 0)
-    cols = col0 + jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
+    how the batch/class axes are sharded.
+
+    Everything is cast to uint32 BEFORE the mix: row0/col0 arrive as traced
+    int32 scalars, and int32 + uint32 promotes to int32 under JAX's rules —
+    the murmur shifts then run ARITHMETIC and h ^ (h >> 16) clears the sign
+    bit, which squeezed the output into (0, 0.5) and truncated the Gumbel
+    right tail (low-logit tokens could never win a sample)."""
+    rows = (jnp.asarray(row0).astype(jnp.uint32)
+            + jax.lax.broadcasted_iota(jnp.uint32, shape, 0))
+    cols = (jnp.asarray(col0).astype(jnp.uint32)
+            + jax.lax.broadcasted_iota(jnp.uint32, shape, 1))
     idx = rows * jnp.uint32(65536) + cols
-    h = (jnp.uint32(seed) * jnp.uint32(0x9E3779B9)
-         + jnp.uint32(t) * jnp.uint32(0x7F4A7C15) + idx)
+    h = (jnp.asarray(seed).astype(jnp.uint32) * jnp.uint32(0x9E3779B9)
+         + jnp.asarray(t).astype(jnp.uint32) * jnp.uint32(0x7F4A7C15) + idx)
     bits = _mix(_mix(h) + idx)
     return ((bits >> 8).astype(jnp.int32).astype(jnp.float32)
             * (1.0 / (1 << 24)) + 1e-12)
@@ -200,12 +209,9 @@ def decode_step_sharded(params_local, cfg: WaveNetConfig,
         skip = jax.lax.psum(skip, MODEL_AXIS)           # [B, S] full
     skip = skip + jnp.sum(params_local["b_skip"].astype(jnp.float32), axis=0)
 
-    # head: w1 replicated, w2 column-sharded over Q
-    h = jax.nn.relu(skip)
-    h = jax.nn.relu(wn._dot(h.astype(cdt), params_local["head_w1"].astype(cdt))
-                    + params_local["head_b1"].astype(jnp.float32))
-    logits_local = (wn._dot(h.astype(cdt), params_local["head_w2"].astype(cdt))
-                    + params_local["head_b2"].astype(jnp.float32))
+    # head: w1 replicated, w2 column-sharded over Q — the local slices flow
+    # through the canonical head unchanged (logits come out model-local)
+    logits_local = wn.head_logits(params_local, cfg, skip)
     new_state = wn.DecodeState(queues=new_queues, prev_token=token,
                                t=state.t + 1)
     return new_state, logits_local
@@ -248,6 +254,8 @@ def generate_sharded(params, cfg: WaveNetConfig, mesh: Mesh, seed,
         prime_tokens = jnp.zeros((batch, 0), jnp.int32)
     if cfg.global_classes is not None and speaker is None:
         raise ValueError("cfg.global_classes set but no speaker ids passed")
+    if speaker is not None and cfg.global_classes is None:
+        raise ValueError("speaker ids passed but cfg.global_classes unset")
     has_sp = speaker is not None
     if not has_sp:
         speaker = jnp.zeros((batch,), jnp.int32)     # placeholder operand
@@ -259,8 +267,35 @@ def generate_sharded(params, cfg: WaveNetConfig, mesh: Mesh, seed,
     if not has_cond:
         y = jnp.zeros((batch, 1, 1))                 # placeholder operand
     seed = jnp.asarray(seed, jnp.int32)
+    fn = _sharded_decode_fn(cfg, mesh, num_samples, batch, Pn,
+                            float(temperature), bool(shard_rings_model),
+                            has_sp, has_cond)
+    out = fn(params, prime_tokens, speaker, y, seed)
+    if dp * mp * mesh.shape.get("seq", 1) == 1:
+        return out[0]
+    # model shards produced identical token blocks; keep the first
+    return out.reshape(dp, mp, batch // dp, num_samples)[:, 0].reshape(
+        batch, num_samples)
 
-    def run(params_local, prime, speaker_local, y_local):
+
+@functools.lru_cache(maxsize=64)
+def _sharded_decode_fn(cfg: WaveNetConfig, mesh: Mesh, num_samples: int,
+                       batch: int, Pn: int, temperature: float,
+                       shard_rings_model: bool, has_sp: bool,
+                       has_cond: bool):
+    """One jitted sharded decode program per static signature — a fresh
+    jax.jit wrapper per generate_sharded call would miss jit's
+    function-identity cache and recompile the whole AR scan every time
+    (30-120 s per compile on the remote-compile TPU setup)."""
+    dp = mesh.shape[DATA_AXIS]
+    mp = mesh.shape[MODEL_AXIS]
+    Q = cfg.quantization_channels
+    use_coll = dp * mp * mesh.shape.get("seq", 1) > 1
+    _, sum_d = wn.ring_offsets(cfg)
+    Rq = cfg.residual_channels // (mp if shard_rings_model else 1)
+    total_steps = max(Pn - 1, 0) + num_samples
+
+    def run(params_local, prime, speaker_local, y_local, seed):
         B_loc = batch // dp
         # local gate offsets from the LOCAL v_global column slice — aligns
         # with the model-local z columns by construction (sharding.py)
@@ -325,23 +360,20 @@ def generate_sharded(params, cfg: WaveNetConfig, mesh: Mesh, seed,
         return jnp.moveaxis(samples, 0, 1)[None]        # [1, B_loc, N]
 
     if not use_coll:
-        return run(params, prime_tokens, speaker, y)[0]
+        return jax.jit(run)
 
     pspecs = shd.param_pspecs(cfg)
     sharded = jax.shard_map(
         run, mesh=mesh,
         in_specs=(pspecs, P(DATA_AXIS, None), P(DATA_AXIS),
-                  P(DATA_AXIS, None, None)),
+                  P(DATA_AXIS, None, None), P()),
         out_specs=P((DATA_AXIS, MODEL_AXIS), None, None),
         axis_names=frozenset({DATA_AXIS, MODEL_AXIS}),
         check_vma=False,
     )
     # partial-manual shard_map (axis_names a mesh subset) only dispatches
     # under jit in jax 0.9 — same constraint as parallel/seqpar.py
-    out = jax.jit(sharded)(params, prime_tokens, speaker, y)
-    # model shards produced identical token blocks; keep the first
-    return out.reshape(dp, mp, batch // dp, num_samples)[:, 0].reshape(
-        batch, num_samples)
+    return jax.jit(sharded)
 
 
 def generate_pallas_dp(params, cfg: WaveNetConfig, mesh: Mesh, key,

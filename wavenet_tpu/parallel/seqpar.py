@@ -27,7 +27,7 @@ from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from wavenet_tpu.config import WaveNetConfig
 from wavenet_tpu.models import wavenet as wn
@@ -69,9 +69,12 @@ def check_seq_shardable(cfg: WaveNetConfig, mesh: Mesh, T: int) -> int:
 
 def forward_logits_sp(params: wn.Params, cfg: WaveNetConfig, mesh: Mesh,
                       tokens: jax.Array,
-                      mel: Optional[jax.Array] = None) -> jax.Array:
+                      mel: Optional[jax.Array] = None,
+                      speaker: Optional[jax.Array] = None) -> jax.Array:
     """Sequence-parallel forward: tokens [B, T] sharded (data, seq) ->
-    logits [B, T, Q] sharded the same way."""
+    logits [B, T, Q] sharded the same way.  speaker: [B] int32 class ids
+    (required iff cfg.global_classes is set — time-constant, so the seq
+    shards need no halo treatment for it)."""
     check_seq_shardable(cfg, mesh, tokens.shape[1])
 
     # Upsample conditioning BEFORE sharding time (frame->sample alignment
@@ -80,22 +83,29 @@ def forward_logits_sp(params: wn.Params, cfg: WaveNetConfig, mesh: Mesh,
     if cfg.mel is not None:
         from wavenet_tpu.models.conditioning import upsample_mel
         y = upsample_mel(params["upsampler"], cfg.mel, mel, tokens.shape[1])
+    has_sp = speaker is not None
+    if has_sp and cfg.global_classes is None:
+        raise ValueError("speaker ids passed but cfg.global_classes unset")
 
-    def fwd(params, tokens, y):
+    def fwd(params, tokens, y, speaker):
         return wn.forward_logits(
             params, cfg, tokens,
             prev_tokens=_prev_tokens_sp(tokens),
             halo_fn=_right_halo_fn(cfg.max_dilation),
-            upsampled_cond=y)
+            upsampled_cond=y,
+            speaker=speaker if has_sp else None)
 
     in_specs = (P(), P(DATA_AXIS, SEQ_AXIS),
-                P(DATA_AXIS, SEQ_AXIS, None) if y is not None else P())
+                P(DATA_AXIS, SEQ_AXIS, None) if y is not None else P(),
+                P(DATA_AXIS) if has_sp else P())
     out_specs = P(DATA_AXIS, SEQ_AXIS, None)
+    if not has_sp:
+        speaker = jnp.zeros((tokens.shape[0],), jnp.int32)  # placeholder
     return jax.shard_map(
         fwd, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
         axis_names=frozenset({DATA_AXIS, SEQ_AXIS}),   # `model` stays GSPMD
         check_vma=False,
-    )(params, tokens, y)
+    )(params, tokens, y, speaker)
 
 
 def _loss_sums(logits, targets):
@@ -172,6 +182,9 @@ def loss_fn_sp_fused(params: wn.Params, cfg: WaveNetConfig, mesh: Mesh,
     from wavenet_tpu.ops.pallas import train_stack as ts
     Tl = check_seq_shardable(cfg, mesh, inputs.shape[1])
     TT = ts.pick_tile(cfg, Tl)
+    if not TT:
+        raise ValueError(f"T/seq = {Tl} is not tileable for this config; "
+                         f"gate on sp_fused_supported()")
     H = _halo_tiles(cfg, TT)
     if Tl < H:
         raise ValueError(f"T/seq = {Tl} < warmup {H}; gate on "
