@@ -28,12 +28,21 @@ _tried = False
 
 def _build() -> bool:
     os.makedirs(os.path.dirname(_SO), exist_ok=True)
+    # compile to a process-unique temp path and os.replace into place:
+    # two processes racing a first build would interleave writes into one
+    # .so (corrupt ELF), and the mtime check would then cache the corpse
+    tmp = f"{_SO}.{os.getpid()}.tmp"
     cmd = ["g++", "-O3", "-march=native", "-std=c++17", "-fPIC", "-shared",
-           "-o", _SO, _SRC, "-lpthread"]
+           "-o", tmp, _SRC, "-lpthread"]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        os.replace(tmp, _SO)                     # atomic on POSIX
         return True
     except Exception:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
         return False
 
 
@@ -107,7 +116,18 @@ class WindowGatherer:
         assert lib is not None
         clip_idx = np.ascontiguousarray(clip_idx, np.int32)
         starts = np.ascontiguousarray(starts, np.int64)
+        # the C++ path does no bounds checks: a bad draw would silently
+        # gather the NEXT clip's tokens (bit-valid, wrong training data)
+        if clip_idx.size:
+            if clip_idx.min() < 0 or clip_idx.max() >= len(self.lengths):
+                raise IndexError("clip_idx out of range")
+            if (starts < 0).any() or (
+                    starts + window > self.lengths[clip_idx]).any():
+                raise IndexError("window overruns clip")
         out = np.empty((len(clip_idx), window), np.int32)
+        # thread spawn/join costs more than the memcpy below ~1 MiB total
+        if len(clip_idx) * window * 4 < (1 << 20):
+            num_threads = 1
         lib.gather_windows(self.flat, self.offsets, clip_idx, starts,
                            len(clip_idx), window, out, num_threads)
         return out

@@ -29,6 +29,15 @@ from wavenet_tpu.models import wavenet as wn
 generate_fast = wn.generate
 
 
+def _tpu_backend() -> bool:
+    """The Mosaic kernel path is TPU-only: route known non-TPU backends
+    (cpu, cuda, rocm) to the XLA fallback — `platform != "cpu"` would send
+    a CUDA box into pltpu lowering and crash.  Exclusion rather than
+    `== "tpu"` because the tunneled runtime registers under its plugin
+    name ('axon') and must keep taking the kernel path."""
+    return jax.devices()[0].platform not in ("cpu", "gpu", "cuda", "rocm")
+
+
 def generate_auto(params: wn.Params, cfg: WaveNetConfig, key: jax.Array,
                   num_samples: int, batch: int = 1,
                   prime_tokens: Optional[jax.Array] = None,
@@ -49,7 +58,7 @@ def generate_auto(params: wn.Params, cfg: WaveNetConfig, key: jax.Array,
     from wavenet_tpu.ops.pallas import decode as pdec
     if cond is not None and y is not None:
         raise ValueError("pass either y (features) or cond (projections)")
-    on_tpu = jax.devices()[0].platform != "cpu"
+    on_tpu = _tpu_backend()
     P0 = 0 if prime_tokens is None else prime_tokens.shape[1]
     if on_tpu and cond is None and pdec.fits_vmem(cfg, batch, prime_len=P0):
         return pdec.generate_pallas(params, cfg, key, num_samples,
@@ -84,9 +93,18 @@ def generate_stream(params: wn.Params, cfg: WaveNetConfig, key: jax.Array,
     steps; speaker: [B] int32 ids (cfg.global_classes).
     """
     from wavenet_tpu.ops.pallas import decode as pdec
-    # the kernel only compiles for TPU; on CPU run it emulated so the
-    # streaming API works everywhere (tests, dev boxes)
-    interpret = interpret or jax.devices()[0].platform == "cpu"
+    # the kernel only compiles for TPU; on any other backend run it emulated
+    # so the streaming API works everywhere (tests, dev boxes)
+    interpret = interpret or not _tpu_backend()
+    P0 = 0 if prime_tokens is None else prime_tokens.shape[1]
+    if not pdec.fits_vmem(cfg, batch, prime_len=P0):
+        # unlike generate_auto there is no XLA fallback here (the streaming
+        # contract carries kernel ring state between launches) — fail early
+        # with the workaround instead of a deep setup_decode error
+        raise ValueError(
+            f"(cfg, batch={batch}, prime={P0}) exceeds the decode kernel's "
+            f"VMEM plan even with batch tiling; streaming requires the "
+            f"in-kernel decoder — reduce batch/prime or use generate()")
     rings, carry, seed, g, P, total = pdec.setup_decode(
         params, cfg, key, batch, num_samples, prime_tokens, speaker)
     Bt, TC = pdec.plan_tiles(cfg, batch)
@@ -151,7 +169,10 @@ def generate_naive(params: wn.Params, cfg: WaveNetConfig, key: jax.Array,
         logits = wn.forward_logits(params, cfg, window,
                                    speaker=speaker)[:, -1]       # [B, Q]
         k = jax.random.fold_in(key, i)
-        nxt = jax.random.categorical(k, logits / temperature, axis=-1)
+        if temperature > 0:
+            nxt = jax.random.categorical(k, logits / temperature, axis=-1)
+        else:
+            nxt = jnp.argmax(logits, axis=-1)                    # greedy
         nxt = nxt.astype(jnp.int32)
         window = jnp.concatenate([window[:, 1:], nxt[:, None]], axis=1)
         return window, nxt
@@ -167,17 +188,22 @@ def tokens_to_waveform(tokens: jax.Array, cfg: WaveNetConfig) -> np.ndarray:
 def generate_wav(params: wn.Params, cfg: WaveNetConfig, out_path: str,
                  seconds: float, key: Optional[jax.Array] = None,
                  batch: int = 1, temperature: float = 1.0,
-                 cond: Optional[jax.Array] = None) -> np.ndarray:
-    """Sample `seconds` of audio with the fast decoder and write wav file(s)."""
+                 cond: Optional[jax.Array] = None,
+                 **decode_kw) -> np.ndarray:
+    """Sample `seconds` of audio with the fast decoder and write wav file(s).
+    decode_kw (prime_tokens=, y=, speaker=, ...) pass through to
+    generate_auto so conditioned models have a working wav entry point."""
+    import os
     key = jax.random.PRNGKey(0) if key is None else key
     n = int(seconds * cfg.sample_rate)
     toks = generate_auto(params, cfg, key, num_samples=n, batch=batch,
-                         cond=cond, temperature=temperature)
+                         cond=cond, temperature=temperature, **decode_kw)
     wave = tokens_to_waveform(toks, cfg)
     if batch == 1:
         write_wav(out_path, wave[0], cfg.sample_rate)
     else:
+        root, ext = os.path.splitext(out_path)
+        ext = ext or ".wav"
         for i in range(batch):
-            write_wav(out_path.replace(".wav", f"_{i}.wav"), wave[i],
-                      cfg.sample_rate)
+            write_wav(f"{root}_{i}{ext}", wave[i], cfg.sample_rate)
     return wave

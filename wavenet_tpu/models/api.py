@@ -87,19 +87,12 @@ class WaveNet:
                  key: Optional[jax.Array] = None, prime_tokens=None,
                  mel=None, speaker=None, temperature: float = 1.0):
         from wavenet_tpu.generate.sampler import generate_auto
-        from wavenet_tpu.models.conditioning import upsample_mel
         if num_samples is None:
             if seconds is None:
                 raise ValueError("pass seconds= or num_samples=")
             num_samples = int(seconds * self.cfg.sample_rate)
         key = jax.random.PRNGKey(0) if key is None else key
-        y = None
-        if mel is not None:
-            # conditioning must span the priming steps too (advisor r1 #2):
-            # the decoder consumes features for t in [0, max(P-1,0)+N)
-            P = 0 if prime_tokens is None else prime_tokens.shape[1]
-            y = upsample_mel(self.params["upsampler"], self.cfg.mel, mel,
-                             max(P - 1, 0) + num_samples)
+        y = self._upsampled_cond(mel, prime_tokens, num_samples)
         return generate_auto(self.params, self.cfg, key, num_samples,
                              batch=batch, prime_tokens=prime_tokens,
                              y=y, speaker=speaker, temperature=temperature)
@@ -143,15 +136,10 @@ class WaveNet:
         generate (the decode kernel's RNG is keyed by global step)."""
         from wavenet_tpu.audio import mulaw
         from wavenet_tpu.generate.sampler import generate_stream
-        from wavenet_tpu.models.conditioning import upsample_mel
         import numpy as np
         key = jax.random.PRNGKey(0) if key is None else key
         n = int(seconds * self.cfg.sample_rate)
-        y = None
-        if mel is not None:
-            P = 0 if prime_tokens is None else prime_tokens.shape[1]
-            y = upsample_mel(self.params["upsampler"], self.cfg.mel, mel,
-                             max(P - 1, 0) + n)
+        y = self._upsampled_cond(mel, prime_tokens, n)
         for toks in generate_stream(
                 self.params, self.cfg, key, n,
                 chunk_samples=int(chunk_seconds * self.cfg.sample_rate),
@@ -160,8 +148,29 @@ class WaveNet:
             yield np.asarray(
                 mulaw.decode(toks, self.cfg.quantization_channels))
 
-    def generate_wav(self, path: str, seconds: float, **kw):
+    def _upsampled_cond(self, mel, prime_tokens, num_samples):
+        """Upsampled conditioning covering the priming steps too (advisor
+        r1 #2): the decoder consumes features for t in [0, max(P-1,0)+N).
+        One definition for generate() and stream() so the coverage rule
+        cannot drift between the one-shot and streaming paths."""
+        if mel is None:
+            return None
+        from wavenet_tpu.models.conditioning import upsample_mel
+        P = 0 if prime_tokens is None else prime_tokens.shape[1]
+        return upsample_mel(self.params["upsampler"], self.cfg.mel, mel,
+                            max(P - 1, 0) + num_samples)
+
+    def generate_wav(self, path: str, seconds: float, mel=None,
+                     prime_tokens=None, **kw):
+        """Sample and write wav file(s); supports the same conditioning
+        arguments as generate() (mel=, speaker=, prime_tokens=, ...)."""
         from wavenet_tpu.generate.sampler import generate_wav
+        n = int(seconds * self.cfg.sample_rate)
+        y = self._upsampled_cond(mel, prime_tokens, n)
+        if y is not None:
+            kw["y"] = y
+        if prime_tokens is not None:
+            kw["prime_tokens"] = prime_tokens
         return generate_wav(self.params, self.cfg, path, seconds, **kw)
 
     @property

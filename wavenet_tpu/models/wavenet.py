@@ -546,7 +546,10 @@ def generate(params: Params, cfg: WaveNetConfig, key: jax.Array,
         state, logits = decode_step(params, cfg, state, token, cond_t=cond_t,
                                     gcond=gcond)
         k = jax.random.fold_in(key, i)
-        nxt = jax.random.categorical(k, logits / temperature, axis=-1)
+        if temperature > 0:
+            nxt = jax.random.categorical(k, logits / temperature, axis=-1)
+        else:                       # greedy — matches the Pallas kernel's
+            nxt = jnp.argmax(logits, axis=-1)        # static t==0 branch
         return (state, nxt.astype(jnp.int32)), nxt.astype(jnp.int32)
 
     (_, _), samples = jax.lax.scan(sample_body, (state, first),

@@ -34,9 +34,29 @@ class CheckpointManager:
         self.mgr = ocp.CheckpointManager(self.directory, options=options)
         # config JSON beside the checkpoints (reference parity)
         cfg_path = os.path.join(self.directory, "params.json")
-        if jax.process_index() == 0 and not os.path.exists(cfg_path):
+        if os.path.exists(cfg_path):
+            # a stale ARCHITECTURE config silently mis-restores (orbax
+            # shape errors at best; wrong sample_rate/quantization would
+            # not even crash) — refuse to mix model shapes in one
+            # directory.  Training-schedule fields (lr, ema_decay,
+            # parallelism, batch/window) may legitimately differ across
+            # resumes (e.g. the EMA cross-compat path) and are not checked.
+            with open(cfg_path) as f:
+                existing = WaveNetConfig.from_json(f.read())
+            diff = [k for k in self._ARCH_FIELDS
+                    if getattr(existing, k) != getattr(cfg, k)]
+            if diff:
+                raise ValueError(
+                    f"{cfg_path} was written for a different model "
+                    f"architecture (fields differ: {diff}); use a fresh "
+                    f"checkpoint directory")
+        elif jax.process_index() == 0:
             with open(cfg_path, "w") as f:
                 f.write(cfg.to_json())
+
+    _ARCH_FIELDS = ("num_blocks", "max_dilation", "residual_channels",
+                    "skip_channels", "quantization_channels", "sample_rate",
+                    "mel", "global_classes", "global_channels")
 
     @staticmethod
     def _state_tree(state: Any):
