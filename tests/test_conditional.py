@@ -201,3 +201,26 @@ def test_facade_vocode():
     F = len(wave) // cfg.mel.hop_length
     assert toks.shape == (1, F * cfg.mel.hop_length)
     assert 0 <= int(toks.min()) and int(toks.max()) < cfg.quantization_channels
+
+
+def test_facade_generate_wav_mel(tmp_path):
+    """WaveNet.generate_wav passes mel conditioning through to the decoder
+    (was silently unconditioned) and writes the file."""
+    import os
+    import numpy as np
+    from wavenet_tpu.models.api import WaveNet
+    cfg = cfg_()
+    m = WaveNet(cfg).init()
+    seconds = 24 / cfg.sample_rate                 # 24 samples
+    need_frames = 24 // MEL.hop_length + 2
+    mel = jax.random.normal(jax.random.PRNGKey(2),
+                            (1, need_frames, MEL.num_mels))
+    path = str(tmp_path / "v.wav")
+    wave = m.generate_wav(path, seconds=seconds, mel=mel)
+    assert os.path.exists(path) and wave.shape == (1, 24)
+    # mel actually reaches the decoder: a different mel changes the output
+    mel2 = jax.random.normal(jax.random.PRNGKey(9),
+                             (1, need_frames, MEL.num_mels)) * 3.0
+    wave2 = m.generate_wav(str(tmp_path / "v2.wav"), seconds=seconds,
+                           mel=mel2)
+    assert not np.array_equal(wave, wave2)

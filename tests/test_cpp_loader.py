@@ -83,3 +83,25 @@ def test_dataset_native_path_matches_numpy():
     ds._gatherer = None
     ref, _ = ds.sample_batch(st)
     np.testing.assert_array_equal(fast["tokens"], ref["tokens"])
+
+
+def test_gather_bounds_checked():
+    """The C++ gather does no bounds checks itself; the Python wrapper must
+    reject out-of-range clip indices and windows that overrun their clip
+    (a bad draw would otherwise silently return the NEXT clip's tokens)."""
+    import pytest
+    clips = [np.arange(100, dtype=np.int32), np.arange(50, dtype=np.int32)]
+    g = loader.WindowGatherer(clips)
+    with pytest.raises(IndexError):
+        g.gather(np.array([2], np.int32), np.array([0], np.int64), 16)
+    with pytest.raises(IndexError):
+        g.gather(np.array([-1], np.int32), np.array([0], np.int64), 16)
+    with pytest.raises(IndexError):
+        g.gather(np.array([1], np.int32), np.array([40], np.int64), 16)
+    with pytest.raises(IndexError):
+        g.gather(np.array([0], np.int32), np.array([-1], np.int64), 16)
+    # boundary-legal windows still pass
+    out = g.gather(np.array([1, 0], np.int32), np.array([34, 84], np.int64),
+                   16)
+    np.testing.assert_array_equal(out[0], clips[1][34:50])
+    np.testing.assert_array_equal(out[1], clips[0][84:100])

@@ -93,3 +93,53 @@ def test_decode_state_pytree():
     leaves = jax.tree.leaves(st)
     assert len(leaves) == 3
     assert st.queues.shape == (sum(cfg.dilations), 4, cfg.residual_channels)
+
+
+def test_sampler_trajectory_identical_to_fast():
+    """The naive oracle driver and the cached-queue generate() must produce
+    IDENTICAL free-running trajectories (greedy and sampled-with-same-key):
+    the naive window's warm-up mask and RF+1-wide prev handling reproduce
+    the fast path's empty-ring boundary semantics exactly, so every step's
+    logits — hence every argmax and every categorical draw — coincide."""
+    from wavenet_tpu.generate.sampler import generate_naive
+    cfg = cfg_()
+    p = wn.init_params(cfg, jax.random.PRNGKey(0))
+    N = cfg.receptive_field + 23        # cross warm-up AND window rolling
+
+    # greedy, unprimed: keys deliberately differ (greedy must ignore them)
+    fast = wn.generate(p, cfg, jax.random.PRNGKey(5), N, batch=2,
+                       temperature=0.0)
+    naive = generate_naive(p, cfg, jax.random.PRNGKey(9), N, batch=2,
+                           temperature=0.0)
+    np.testing.assert_array_equal(np.asarray(fast), np.asarray(naive))
+
+    # sampled with the SAME key: identical logits => identical draws
+    fast = wn.generate(p, cfg, jax.random.PRNGKey(7), 40, batch=2)
+    naive = generate_naive(p, cfg, jax.random.PRNGKey(7), 40, batch=2)
+    np.testing.assert_array_equal(np.asarray(fast), np.asarray(naive))
+
+    # primed with P < RF (exercises the masked left-fill boundary)
+    prime = jax.random.randint(jax.random.PRNGKey(2), (2, 13), 0, 256)
+    fast = wn.generate(p, cfg, jax.random.PRNGKey(3), 30, batch=2,
+                       prime_tokens=prime, temperature=0.0)
+    naive = generate_naive(p, cfg, jax.random.PRNGKey(4), 30, batch=2,
+                           prime_tokens=prime, temperature=0.0)
+    np.testing.assert_array_equal(np.asarray(fast), np.asarray(naive))
+
+
+def test_forward_logits_valid_mask_equals_short_sequence():
+    """valid_mask contract: logits at valid positions are bit-identical to
+    running the plain forward on just the valid suffix."""
+    cfg = cfg_()
+    p = wn.init_params(cfg, jax.random.PRNGKey(0))
+    T, S = 40, 17                                   # S = valid suffix length
+    toks = jax.random.randint(jax.random.PRNGKey(1), (3, T), 0, 256)
+    # left-fill of token 0 so the first valid position's prev embeds the
+    # zero-token (the documented caller obligation)
+    full = jnp.concatenate(
+        [jnp.zeros((3, T - S), jnp.int32), toks[:, -S:]], axis=1)
+    mask = (jnp.arange(T)[None, :] >= T - S).astype(jnp.float32)
+    mask = jnp.broadcast_to(mask, (3, T))
+    masked = wn.forward_logits(p, cfg, full, valid_mask=mask)[:, -S:]
+    short = wn.forward_logits(p, cfg, toks[:, -S:])
+    np.testing.assert_array_equal(np.asarray(masked), np.asarray(short))

@@ -88,6 +88,25 @@ def test_config_saved_next_to_checkpoints(tmp_path):
     assert CheckpointManager.load_config(d) == cfg
 
 
+def test_checkpoint_dir_architecture_guard(tmp_path):
+    """Reusing a checkpoint directory with a different model ARCHITECTURE
+    must be refused (a stale params.json silently mis-restores); training-
+    schedule fields may differ across resumes."""
+    import dataclasses
+    import pytest
+    from wavenet_tpu.training.checkpoint import CheckpointManager
+    cfg = micro_cfg()
+    d = str(tmp_path / "ckpt")
+    CheckpointManager(d, cfg)
+    # schedule-only change: fine
+    CheckpointManager(d, dataclasses.replace(cfg, learning_rate=1e-9))
+    # architecture change: refused
+    with pytest.raises(ValueError, match="different model architecture"):
+        CheckpointManager(
+            d, dataclasses.replace(
+                cfg, residual_channels=cfg.residual_channels * 2))
+
+
 def test_evaluate():
     cfg = micro_cfg()
     ds = AudioDataset.synthetic(cfg, num_clips=2)

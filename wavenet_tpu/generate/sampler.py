@@ -148,36 +148,62 @@ def generate_naive(params: wn.Params, cfg: WaveNetConfig, key: jax.Array,
                    temperature: float = 1.0) -> jax.Array:
     """Naive AR sampling: full receptive-field forward per sample.
 
-    The sliding context window is a fixed [B, RF] buffer rolled one step per
-    sample, so the whole loop compiles to one scan with static shapes.
+    This is the slow ORACLE the cached-queue decoder is validated against,
+    so it reproduces the fast path's boundary semantics exactly:
+
+    - The window is RF+1 wide: positions [1:] feed the model, [:-1] are the
+      true previous tokens (logits at t depend on tokens t-RF+1..t via
+      E_cur and t-RF..t-1 via E_prev — RF+1 trailing tokens total), so the
+      oldest model position never sees forward_logits' default zero-token
+      prev once the window has rolled past the sequence start.
+    - While the history is shorter than the window, a validity mask makes
+      the missing positions contribute exactly the zero left-padding the
+      fast path's empty rings see (forward_logits valid_mask docstring),
+      instead of hallucinating a window full of silence tokens.
+
+    The whole loop compiles to one scan with static shapes.
     """
     rf = cfg.receptive_field
+    W = rf + 1
+    Q = cfg.quantization_channels
     if prime_tokens is None:
-        window = jnp.full((batch, rf), cfg.quantization_channels // 2,
-                          jnp.int32)
+        # left-fill with token 0: masked positions are zeroed anyway, and
+        # the first valid position's prev then embeds the zero-token —
+        # matching forward_logits' sequence-start convention
+        window = jnp.zeros((batch, W), jnp.int32).at[:, -1].set(Q // 2)
+        c0 = 1                                 # valid tokens in the window
     else:
         P = prime_tokens.shape[1]
-        if P >= rf:
-            window = prime_tokens[:, -rf:].astype(jnp.int32)
+        if P >= W:
+            window = prime_tokens[:, -W:].astype(jnp.int32)
+            c0 = W
         else:
             window = jnp.concatenate([
-                jnp.full((batch, rf - P), cfg.quantization_channels // 2,
-                         jnp.int32),
+                jnp.zeros((batch, W - P), jnp.int32),
                 prime_tokens.astype(jnp.int32)], axis=1)
+            c0 = P
+    pos = jnp.arange(rf)[None, :]                              # [1, RF]
 
-    def body(window, i):
-        logits = wn.forward_logits(params, cfg, window,
-                                   speaker=speaker)[:, -1]       # [B, Q]
+    def body(carry, i):
+        window, c = carry
+        nvalid = jnp.minimum(c, rf)            # valid MODEL positions
+        mask = (pos >= rf - nvalid).astype(jnp.float32)        # [1, RF]
+        mask = jnp.broadcast_to(mask, (batch, rf))
+        logits = wn.forward_logits(params, cfg, window[:, 1:],
+                                   prev_tokens=window[:, :-1],
+                                   speaker=speaker,
+                                   valid_mask=mask)[:, -1]     # [B, Q]
         k = jax.random.fold_in(key, i)
         if temperature > 0:
             nxt = jax.random.categorical(k, logits / temperature, axis=-1)
         else:
-            nxt = jnp.argmax(logits, axis=-1)                    # greedy
+            nxt = jnp.argmax(logits, axis=-1)                  # greedy
         nxt = nxt.astype(jnp.int32)
         window = jnp.concatenate([window[:, 1:], nxt[:, None]], axis=1)
-        return window, nxt
+        return (window, jnp.minimum(c + 1, W)), nxt
 
-    _, samples = jax.lax.scan(body, window, jnp.arange(num_samples))
+    (_, _), samples = jax.lax.scan(body, (window, jnp.int32(c0)),
+                                   jnp.arange(num_samples))
     return jnp.moveaxis(samples, 0, 1)
 
 

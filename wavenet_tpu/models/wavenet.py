@@ -217,7 +217,8 @@ def forward_logits(params: Params, cfg: WaveNetConfig, tokens: jax.Array,
                    prev_tokens: Optional[jax.Array] = None,
                    halo_fn=None,
                    upsampled_cond: Optional[jax.Array] = None,
-                   speaker: Optional[jax.Array] = None) -> jax.Array:
+                   speaker: Optional[jax.Array] = None,
+                   valid_mask: Optional[jax.Array] = None) -> jax.Array:
     """Logits for next-sample prediction at every position.
 
     Args:
@@ -225,6 +226,16 @@ def forward_logits(params: Params, cfg: WaveNetConfig, tokens: jax.Array,
       mel:    [B, F, M] mel frames when cfg.mel (F*hop >= T), else None.
       speaker: [B] int32 global-conditioning class ids when
         cfg.global_classes, else None.
+      valid_mask: optional [B, T] 0/1 mask marking which positions EXIST.
+        Zeroing the residual stream at masked positions before every layer
+        makes each dilated read of a masked position return exactly the
+        zero left-padding a shorter sequence would have seen — so logits at
+        valid positions are bit-identical to running forward_logits on just
+        the valid suffix.  Used by generate_naive's fixed-width sliding
+        window while its history is still shorter than the window (the
+        window must not hallucinate tokens before the sequence start).
+        Callers must put the zero-token in prev_tokens at the first valid
+        position (a left-fill of token 0 does this).  None => all valid.
       prev_tokens: optional [B, T] tokens at t-1; defaults to tokens shifted
         right with a zero at t=0.  Sequence-parallel callers pass the halo'd
         version (last token of the previous time-shard at position 0).
@@ -275,8 +286,17 @@ def forward_logits(params: Params, cfg: WaveNetConfig, tokens: jax.Array,
             raise ValueError("cfg.global_classes set but no speaker ids passed")
         xs["gcond"] = global_cond_offsets(params, cfg, speaker)  # [L, B, 2, R]
 
+    vmask = None
+    if valid_mask is not None:
+        vmask = valid_mask.astype(cdt)[:, :, None]            # [B, T, 1]
+
     def body(carry, per_layer):
         x, skip = carry
+        # masking the CARRY (not just the embed) re-zeroes masked positions
+        # after each residual update, so every layer's dilated reads see the
+        # zero padding of the equivalent shorter sequence
+        if vmask is not None:
+            x = x * vmask
         ctx = zeros_ctx if halo_fn is None else halo_fn(x)
         x, skip = _layer_step(cfg, x, skip, per_layer["lp"], per_layer["d"],
                               ctx, per_layer.get("cond"),
