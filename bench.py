@@ -17,6 +17,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import sys
 import time
 
 BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -43,13 +44,38 @@ def bench_training(steps: int = 30, windows: int = 10,
 
     cfg = small()
     ds = AudioDataset.synthetic(cfg, num_clips=4, clip_seconds=2.0)
+    # Staged kernel fallback: the first window compiles the fused stack with
+    # the auto-picked multi-row layout.  If that fails (a libtpu bump can
+    # reject a variant that interpret mode accepts), retry on the
+    # longest-hardware-proven nb=(1,1) layout, then with the fused kernel
+    # off entirely — a degraded headline number beats no number.
+    fallback = None
     tr = Trainer(cfg, ds)
-    rates = []
-    best = None
+    try:
+        first = tr.run(num_steps=steps, log_every=0)
+    except Exception as e:
+        sys.stderr.write(f"bench: fused multi-row path failed ({e!r}); "
+                         f"retrying at WAVENET_TPU_NB=1,1\n")
+        os.environ["WAVENET_TPU_NB"] = "1,1"
+        fallback = "nb=1,1"
+        tr = Trainer(cfg, ds)
+        try:
+            first = tr.run(num_steps=steps, log_every=0)
+        except Exception as e2:
+            sys.stderr.write(f"bench: fused path failed at nb=1,1 "
+                             f"({e2!r}); retrying with fused_stack off\n")
+            import dataclasses
+            fallback = "unfused"
+            tr = Trainer(dataclasses.replace(cfg, fused_stack=False), ds)
+            first = tr.run(num_steps=steps, log_every=0)
+    rates = [first["audio_seconds_per_sec"]]
+    best = first
     t_end = time.monotonic() + time_budget_s
     # `target` is PER-CHIP (bench_baseline.json); window rates are aggregate
     n_dev = len(jax.devices())
-    for i in range(windows):
+    for i in range(1, windows):
+        if target and best["audio_seconds_per_sec"] / n_dev >= target:
+            break                 # the first (compile) window already hit it
         m = tr.run(num_steps=steps, log_every=0)
         rates.append(m["audio_seconds_per_sec"])
         if best is None or m["audio_seconds_per_sec"] > best["audio_seconds_per_sec"]:
@@ -80,6 +106,7 @@ def bench_training(steps: int = 30, windows: int = 10,
         "train_throttle_detected": bool(best_rate >= 1.3 * median),
         "train_steps_per_sec": best["steps_per_sec"],
         "train_loss": best["loss"],
+        **({"train_kernel_fallback": fallback} if fallback else {}),
     }
 
 

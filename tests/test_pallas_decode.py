@@ -330,3 +330,50 @@ def test_generate_stream_with_mel_matches_one_shot_interpret():
     assert len(chunks) > 1
     np.testing.assert_array_equal(
         np.asarray(jnp.concatenate(chunks, axis=1)), np.asarray(one))
+
+
+def test_generate_stream_xla_fallback(monkeypatch):
+    """Configs past the kernel's VMEM plan must still stream (chunked
+    decode_step scans), emitting exactly what the one-shot XLA generate()
+    would — streaming is total, not kernel-gated."""
+    from wavenet_tpu.generate import sampler
+    cfg = cfg_(global_classes=3, global_channels=8)
+    params = wn.init_params(cfg, jax.random.PRNGKey(0))
+    B, N = 2, 40
+    key = jax.random.PRNGKey(9)
+    sp = jnp.asarray([1, 2], jnp.int32)
+    prime = jax.random.randint(jax.random.PRNGKey(4), (B, 7), 0, 256)
+
+    monkeypatch.setattr(pdec, "fits_vmem",
+                        lambda *a, **k: False)       # force the fallback
+    chunks = list(sampler.generate_stream(params, cfg, key, N,
+                                          chunk_samples=16, batch=B,
+                                          prime_tokens=prime, speaker=sp))
+    assert len(chunks) == 3 and sum(c.shape[1] for c in chunks) == N
+    got = jnp.concatenate(chunks, axis=1)
+    one = wn.generate(params, cfg, key, N, batch=B, prime_tokens=prime,
+                      speaker=sp)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(one))
+
+
+def test_generate_stream_xla_fallback_mel(monkeypatch):
+    """Mel-conditioned fallback streaming: y features are projected once and
+    consumed chunk by chunk via the state's step counter."""
+    from wavenet_tpu.config import MelConfig
+    from wavenet_tpu.generate import sampler
+    from wavenet_tpu.models.conditioning import project_cond
+    mel_cfg = MelConfig(num_mels=8, hop_length=16, win_length=64,
+                        upsample_factors=(4, 4))
+    cfg = cfg_(mel=mel_cfg)
+    params = wn.init_params(cfg, jax.random.PRNGKey(0))
+    B, N = 2, 32
+    key = jax.random.PRNGKey(5)
+    y = jax.random.normal(jax.random.PRNGKey(6), (B, N, mel_cfg.num_mels))
+
+    monkeypatch.setattr(pdec, "fits_vmem", lambda *a, **k: False)
+    chunks = list(sampler.generate_stream(params, cfg, key, N,
+                                          chunk_samples=10, batch=B, y=y))
+    got = jnp.concatenate(chunks, axis=1)
+    one = wn.generate(params, cfg, key, N, batch=B,
+                      cond=project_cond(params, y))
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(one))

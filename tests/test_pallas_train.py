@@ -276,6 +276,18 @@ def test_pick_nb_planner():
     assert len(ts.group_plan(f, TTf, nbf)) <= 8
 
 
+def test_pick_nb_env_override(monkeypatch):
+    """WAVENET_TPU_NB forces the layout (bench.py's compile-failure escape
+    hatch); an infeasible forced pair still auto-downgrades to (1, 1) in
+    forward_skip_fused's auto_nb path."""
+    from wavenet_tpu.config import small
+    c = small()
+    monkeypatch.setenv("WAVENET_TPU_NB", "1,1")
+    assert ts.pick_nb(c, c.train_window, c.batch_size) == (1, 1)
+    monkeypatch.setenv("WAVENET_TPU_NB", "2,1")
+    assert ts.pick_nb(c, c.train_window, c.batch_size) == (2, 1)
+
+
 def test_planner_fuzz():
     """Planner invariants over a random config sweep (the round-1 advisor
     crash was a planner edge: max_dilation < 8 produced a negative ring

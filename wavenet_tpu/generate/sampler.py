@@ -98,13 +98,13 @@ def generate_stream(params: wn.Params, cfg: WaveNetConfig, key: jax.Array,
     interpret = interpret or not _tpu_backend()
     P0 = 0 if prime_tokens is None else prime_tokens.shape[1]
     if not pdec.fits_vmem(cfg, batch, prime_len=P0):
-        # unlike generate_auto there is no XLA fallback here (the streaming
-        # contract carries kernel ring state between launches) — fail early
-        # with the workaround instead of a deep setup_decode error
-        raise ValueError(
-            f"(cfg, batch={batch}, prime={P0}) exceeds the decode kernel's "
-            f"VMEM plan even with batch tiling; streaming requires the "
-            f"in-kernel decoder — reduce batch/prime or use generate()")
+        # configs past the kernel's VMEM plan stream through the XLA scan
+        # instead (chunked decode_step; tokens match what generate_auto's
+        # one-shot XLA path would emit) — streaming stays total
+        yield from _stream_scan(params, cfg, key, num_samples,
+                                chunk_samples, batch, prime_tokens, y,
+                                speaker, temperature)
+        return
     rings, carry, seed, g, P, total = pdec.setup_decode(
         params, cfg, key, batch, num_samples, prime_tokens, speaker)
     Bt, TC = pdec.plan_tiles(cfg, batch)
@@ -138,6 +138,40 @@ def generate_stream(params: wn.Params, cfg: WaveNetConfig, key: jax.Array,
             out, skip = out[:, drop:], skip - drop
         if out.shape[1]:
             yield out
+        t0 += n
+
+
+def _stream_scan(params: wn.Params, cfg: WaveNetConfig, key: jax.Array,
+                 num_samples: int, chunk_samples: int, batch: int,
+                 prime_tokens, y, speaker, temperature: float):
+    """XLA streaming fallback: chunked decode_step scans with the DecodeState
+    carried between chunks.  Built on the same decode_prime +
+    decode_sample_chunk primitives as wn.generate, with absolute-index
+    per-step RNG — so the concatenated chunks are bit-identical to the
+    one-shot XLA generate() (tested in tests/test_streaming.py)."""
+    import functools
+    cond = None
+    if y is not None:
+        from wavenet_tpu.models.conditioning import project_cond
+        P0 = 0 if prime_tokens is None else prime_tokens.shape[1]
+        if y.shape[1] < max(P0 - 1, 0) + num_samples:
+            raise ValueError(f"y covers {y.shape[1]} < "
+                             f"{max(P0 - 1, 0) + num_samples} steps "
+                             f"(priming included)")
+        cond = project_cond(params, y)
+    state, first, gcond = wn.decode_prime(params, cfg, batch, prime_tokens,
+                                          cond=cond, speaker=speaker,
+                                          num_samples=num_samples)
+    chunk_fn = jax.jit(functools.partial(wn.decode_sample_chunk, cfg=cfg,
+                                         cond=cond, gcond=gcond,
+                                         temperature=temperature),
+                       static_argnames=("n",))
+    t0 = 0
+    while t0 < num_samples:
+        n = min(chunk_samples, num_samples - t0)
+        state, first, toks = chunk_fn(params, state=state, first=first,
+                                      key=key, i0=jnp.int32(t0), n=n)
+        yield toks
         t0 += n
 
 

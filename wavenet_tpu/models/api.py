@@ -133,7 +133,9 @@ class WaveNet:
         """Yield float waveform chunks ([B, <=chunk] in [-1, 1]) as they are
         generated — the serving entry point for long-form synthesis.
         Bounded memory; the emitted audio is bit-identical to a one-shot
-        generate (the decode kernel's RNG is keyed by global step)."""
+        generate on the same path: the in-kernel decoder's RNG is keyed by
+        global step, and configs past its VMEM plan stream through chunked
+        XLA decode_step scans matching the one-shot XLA generate."""
         from wavenet_tpu.audio import mulaw
         from wavenet_tpu.generate.sampler import generate_stream
         import numpy as np

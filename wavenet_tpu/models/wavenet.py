@@ -531,6 +531,27 @@ def generate(params: Params, cfg: WaveNetConfig, key: jax.Array,
     Returns:
       [B, num_samples] int32 sampled tokens.
     """
+    state, first, gcond = decode_prime(params, cfg, batch, prime_tokens,
+                                       cond=cond, speaker=speaker,
+                                       num_samples=num_samples)
+    _, _, samples = decode_sample_chunk(params, cfg, state, first, key, 0,
+                                        num_samples, cond=cond, gcond=gcond,
+                                        temperature=temperature)
+    return samples                                           # [B, num_samples]
+
+
+def decode_prime(params: Params, cfg: WaveNetConfig, batch: int,
+                 prime_tokens: Optional[jax.Array],
+                 cond: Optional[jax.Array] = None,
+                 speaker: Optional[jax.Array] = None,
+                 num_samples: int = 0):
+    """Build the decode state ready to free-run: teacher-force all but the
+    last priming token (the last one seeds sampling), or seed with the
+    mid-scale silence token.  Returns (state, seed_token [B], gcond).
+
+    `generate` == decode_prime + one decode_sample_chunk; the streaming
+    fallback (generate/sampler.py) calls decode_sample_chunk repeatedly —
+    the shared primitive is what makes chunked == one-shot exact."""
     state = decode_init(cfg, batch)
     gcond = None
     if cfg.global_classes is not None:
@@ -559,6 +580,20 @@ def generate(params: Params, cfg: WaveNetConfig, key: jax.Array,
         first = prime_tokens[:, -1]
     else:
         first = jnp.zeros((batch,), jnp.int32) + cfg.quantization_channels // 2
+    return state, first, gcond
+
+
+def decode_sample_chunk(params: Params, cfg: WaveNetConfig,
+                        state: "DecodeState", first: jax.Array,
+                        key: jax.Array, i0: int, n: int,
+                        cond: Optional[jax.Array] = None,
+                        gcond: Optional[jax.Array] = None,
+                        temperature: float = 1.0):
+    """Scan `n` free-running sampling steps whose ABSOLUTE sample indices are
+    i0..i0+n-1 (the per-step RNG is fold_in(key, absolute_i), so splitting a
+    run into chunks cannot change the sample path).  cond is indexed by the
+    state's own step counter and must span the full timeline.
+    Returns (state, next_seed_token, samples [B, n])."""
 
     def sample_body(carry, i):
         state, token = carry
@@ -572,6 +607,6 @@ def generate(params: Params, cfg: WaveNetConfig, key: jax.Array,
             nxt = jnp.argmax(logits, axis=-1)        # static t==0 branch
         return (state, nxt.astype(jnp.int32)), nxt.astype(jnp.int32)
 
-    (_, _), samples = jax.lax.scan(sample_body, (state, first),
-                                   jnp.arange(num_samples))
-    return jnp.moveaxis(samples, 0, 1)                       # [B, num_samples]
+    (state, nxt), samples = jax.lax.scan(sample_body, (state, first),
+                                         i0 + jnp.arange(n))
+    return state, nxt, jnp.moveaxis(samples, 0, 1)           # [B, n]

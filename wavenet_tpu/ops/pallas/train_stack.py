@@ -216,7 +216,16 @@ def pick_nb_dils(cfg: WaveNetConfig, dils, T: int, B: int,
                  TT: int = 0) -> Tuple[int, int]:
     """pick_nb over an arbitrary dilation slice (a pipeline stage's layers);
     B is the batch the kernels actually see (a microbatch under pipeline
-    parallelism, the per-shard batch under dp shard_map)."""
+    parallelism, the per-shard batch under dp shard_map).
+
+    WAVENET_TPU_NB=nf,nbw overrides the cost model (escape hatch: bench.py
+    uses 1,1 — the longest-hardware-proven layout — if an auto-picked
+    multi-row variant fails to compile on a new libtpu)."""
+    import os
+    forced = os.environ.get("WAVENET_TPU_NB")
+    if forced:
+        nf, nbw = (int(v) for v in forced.split(","))
+        return (nf, nbw)
     TT = TT or pick_tile(cfg, T)
     if not TT or T % TT:
         return (1, 1)
