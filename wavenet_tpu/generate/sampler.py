@@ -148,29 +148,36 @@ def _stream_scan(params: wn.Params, cfg: WaveNetConfig, key: jax.Array,
     carried between chunks.  Built on the same decode_prime +
     decode_sample_chunk primitives as wn.generate, with absolute-index
     per-step RNG — so the concatenated chunks are bit-identical to the
-    one-shot XLA generate() (tested in tests/test_streaming.py)."""
+    one-shot XLA generate() (tested in tests/test_pallas_decode.py's
+    fallback cases).  Conditioning features are projected PER CHUNK (cond is
+    [.., L, 2, R] — projecting the whole timeline up front would be ~L*2*R/M
+    times the size of y and defeat streaming's bounded-memory contract)."""
     import functools
-    cond = None
+    P0 = 0 if prime_tokens is None else prime_tokens.shape[1]
+    skip = max(P0 - 1, 0)                        # priming decode steps
+    project = None
     if y is not None:
         from wavenet_tpu.models.conditioning import project_cond
-        P0 = 0 if prime_tokens is None else prime_tokens.shape[1]
-        if y.shape[1] < max(P0 - 1, 0) + num_samples:
+        if y.shape[1] < skip + num_samples:
             raise ValueError(f"y covers {y.shape[1]} < "
-                             f"{max(P0 - 1, 0) + num_samples} steps "
-                             f"(priming included)")
-        cond = project_cond(params, y)
+                             f"{skip + num_samples} steps (priming included)")
+        project = functools.partial(project_cond, params)
+    cond_prime = project(y[:, :skip]) if (project and skip) else None
     state, first, gcond = wn.decode_prime(params, cfg, batch, prime_tokens,
-                                          cond=cond, speaker=speaker,
-                                          num_samples=num_samples)
+                                          cond=cond_prime, speaker=speaker,
+                                          num_samples=0)
     chunk_fn = jax.jit(functools.partial(wn.decode_sample_chunk, cfg=cfg,
-                                         cond=cond, gcond=gcond,
+                                         gcond=gcond,
                                          temperature=temperature),
                        static_argnames=("n",))
     t0 = 0
     while t0 < num_samples:
         n = min(chunk_samples, num_samples - t0)
+        cond_c = project(y[:, skip + t0:skip + t0 + n]) if project else None
         state, first, toks = chunk_fn(params, state=state, first=first,
-                                      key=key, i0=jnp.int32(t0), n=n)
+                                      key=key, i0=jnp.int32(t0), n=n,
+                                      cond=cond_c,
+                                      cond_t0=jnp.int32(skip + t0))
         yield toks
         t0 += n
 
@@ -228,10 +235,11 @@ def generate_naive(params: wn.Params, cfg: WaveNetConfig, key: jax.Array,
                                    speaker=speaker,
                                    valid_mask=mask)[:, -1]     # [B, Q]
         k = jax.random.fold_in(key, i)
-        if temperature > 0:
-            nxt = jax.random.categorical(k, logits / temperature, axis=-1)
-        else:
+        # static-0 => greedy; traced temperatures keep the division path
+        if isinstance(temperature, (int, float)) and temperature <= 0:
             nxt = jnp.argmax(logits, axis=-1)                  # greedy
+        else:
+            nxt = jax.random.categorical(k, logits / temperature, axis=-1)
         nxt = nxt.astype(jnp.int32)
         window = jnp.concatenate([window[:, 1:], nxt[:, None]], axis=1)
         return (window, jnp.minimum(c + 1, W)), nxt

@@ -588,23 +588,29 @@ def decode_sample_chunk(params: Params, cfg: WaveNetConfig,
                         key: jax.Array, i0: int, n: int,
                         cond: Optional[jax.Array] = None,
                         gcond: Optional[jax.Array] = None,
-                        temperature: float = 1.0):
+                        temperature: float = 1.0,
+                        cond_t0=0):
     """Scan `n` free-running sampling steps whose ABSOLUTE sample indices are
     i0..i0+n-1 (the per-step RNG is fold_in(key, absolute_i), so splitting a
     run into chunks cannot change the sample path).  cond is indexed by the
-    state's own step counter and must span the full timeline.
+    state's own step counter minus cond_t0 — a chunked caller passes just
+    this chunk's cond slice with cond_t0 = the absolute decode step of its
+    first row, keeping streaming memory bounded by one chunk.
     Returns (state, next_seed_token, samples [B, n])."""
 
     def sample_body(carry, i):
         state, token = carry
-        cond_t = None if cond is None else cond[:, state.t]
+        cond_t = None if cond is None else cond[:, state.t - cond_t0]
         state, logits = decode_step(params, cfg, state, token, cond_t=cond_t,
                                     gcond=gcond)
         k = jax.random.fold_in(key, i)
-        if temperature > 0:
+        # greedy only for a STATIC temperature == 0: a traced temperature
+        # (e.g. jitted sweep argument) must keep taking the division path
+        # Python control flow cannot branch on
+        if isinstance(temperature, (int, float)) and temperature <= 0:
+            nxt = jnp.argmax(logits, axis=-1)    # greedy — matches the
+        else:                                    # Pallas kernel's t==0 branch
             nxt = jax.random.categorical(k, logits / temperature, axis=-1)
-        else:                       # greedy — matches the Pallas kernel's
-            nxt = jnp.argmax(logits, axis=-1)        # static t==0 branch
         return (state, nxt.astype(jnp.int32)), nxt.astype(jnp.int32)
 
     (state, nxt), samples = jax.lax.scan(sample_body, (state, first),

@@ -51,11 +51,21 @@ class CheckpointManager:
                     f"architecture (fields differ: {diff}); use a fresh "
                     f"checkpoint directory")
         elif jax.process_index() == 0:
-            with open(cfg_path, "w") as f:
+            # atomic write: other processes may construct their
+            # CheckpointManager concurrently and read this file — they must
+            # see nothing (skip validation) or the complete JSON, never a
+            # truncated prefix
+            tmp = f"{cfg_path}.{os.getpid()}.tmp"
+            with open(tmp, "w") as f:
                 f.write(cfg.to_json())
+            os.replace(tmp, cfg_path)
 
-    _ARCH_FIELDS = ("num_blocks", "max_dilation", "residual_channels",
-                    "skip_channels", "quantization_channels", "sample_rate",
+    # every field that changes the parameter tree's SHAPES or the meaning
+    # of the stored values (param_dtype changes stored dtypes; sample_rate/
+    # quantization change what the numbers mean even where shapes agree)
+    _ARCH_FIELDS = ("num_blocks", "max_dilation", "kernel_size",
+                    "residual_channels", "skip_channels", "causal_channels",
+                    "quantization_channels", "sample_rate", "param_dtype",
                     "mel", "global_classes", "global_channels")
 
     @staticmethod
