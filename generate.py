@@ -46,6 +46,14 @@ def parse_args(argv=None):
     p.add_argument("--no-ema", action="store_true",
                    help="sample from the raw training weights even when the "
                         "checkpoint kept Polyak-averaged (EMA) weights")
+    p.add_argument("--data-parallel", type=int, default=1, metavar="N",
+                   help="decode across N devices on the data (batch) mesh "
+                        "axis (distributed AR generation)")
+    p.add_argument("--model-parallel", type=int, default=1, metavar="N",
+                   help="shard the conv stack's channels across N devices "
+                        "and decode with per-layer collective state "
+                        "exchange; tokens are identical to single-device "
+                        "at the same --seed for any mesh layout")
     return p.parse_args(argv)
 
 
@@ -102,6 +110,39 @@ def main(argv=None):
 
     key = jax.random.PRNGKey(args.seed)
     t0 = time.perf_counter()
+    if args.data_parallel * args.model_parallel > 1:
+        if args.stream is not None or args.naive:
+            sys.exit("--data-parallel/--model-parallel use the distributed "
+                     "fast decoder; drop --stream/--naive")
+        import dataclasses
+
+        from wavenet_tpu.generate.sampler import generate_distributed
+        from wavenet_tpu.parallel.mesh import make_mesh
+        mesh_cfg = dataclasses.replace(cfg,
+                                       data_parallel=args.data_parallel,
+                                       model_parallel=args.model_parallel,
+                                       seq_parallel=1)
+        mesh = make_mesh(mesh_cfg)
+        toks = generate_distributed(params, cfg, mesh, args.seed,
+                                    num_samples=n, batch=args.batch,
+                                    prime_tokens=prime_tokens, y=y,
+                                    speaker=speaker,
+                                    temperature=args.temperature)
+        jax.block_until_ready(toks)
+        dt = time.perf_counter() - t0
+        print(f"{n} samples x{args.batch} in {dt:.2f}s = "
+              f"{n * args.batch / dt:.0f} samples/s (distributed "
+              f"dp={args.data_parallel} mp={args.model_parallel})",
+              file=sys.stderr)
+        wave = tokens_to_waveform(toks, cfg)
+        if args.batch == 1:
+            write_wav(args.out, wave[0], cfg.sample_rate)
+        else:
+            for i in range(args.batch):
+                write_wav(args.out.replace(".wav", f"_{i}.wav"), wave[i],
+                          cfg.sample_rate)
+        print(f"wrote {args.out}", file=sys.stderr)
+        return toks
     if args.stream is not None:
         if args.naive:
             sys.exit("--stream uses the fast decoder; drop --naive")

@@ -141,6 +141,42 @@ def generate_stream(params: wn.Params, cfg: WaveNetConfig, key: jax.Array,
         t0 += n
 
 
+def generate_distributed(params: wn.Params, cfg: WaveNetConfig, mesh,
+                         seed: int, num_samples: int, batch: int,
+                         prime_tokens: Optional[jax.Array] = None,
+                         y: Optional[jax.Array] = None,
+                         speaker: Optional[jax.Array] = None,
+                         temperature: float = 1.0) -> jax.Array:
+    """Multi-chip AR generation over a (data, model) mesh (SURVEY.md P3).
+
+    Routing: an unconditioned data-parallel-only request whose per-chip
+    batch fits the decode kernel's VMEM plan fans the whole-loop Pallas
+    kernel out per chip (parallel/distdecode.generate_pallas_dp);
+    everything else runs the collective decode loop (generate_sharded:
+    per-layer psum conv-state exchange, token broadcast).
+
+    seed: int — generate_sharded's counter RNG makes tokens identical for
+    ANY mesh layout at the same seed (tests/test_distributed_decode.py),
+    so results are reproducible across pod shapes.
+    """
+    from wavenet_tpu.ops.pallas import decode as pdec
+    from wavenet_tpu.parallel import distdecode
+    dp = mesh.shape.get(distdecode.DATA_AXIS, 1)
+    mp = mesh.shape.get(distdecode.MODEL_AXIS, 1)
+    plain = (y is None and speaker is None and prime_tokens is None
+             and cfg.global_classes is None)
+    if (mp == 1 and plain and _tpu_backend() and dp > 1
+            and batch % dp == 0 and pdec.fits_vmem(cfg, batch // dp)):
+        key = jax.random.PRNGKey(seed)
+        return distdecode.generate_pallas_dp(params, cfg, mesh, key,
+                                             num_samples, batch,
+                                             temperature=temperature)
+    return distdecode.generate_sharded(params, cfg, mesh, seed, num_samples,
+                                       batch, prime_tokens=prime_tokens,
+                                       speaker=speaker, y=y,
+                                       temperature=temperature)
+
+
 def _stream_scan(params: wn.Params, cfg: WaveNetConfig, key: jax.Array,
                  num_samples: int, chunk_samples: int, batch: int,
                  prime_tokens, y, speaker, temperature: float):

@@ -85,14 +85,26 @@ class WaveNet:
     def generate(self, seconds: Optional[float] = None,
                  num_samples: Optional[int] = None, batch: int = 1,
                  key: Optional[jax.Array] = None, prime_tokens=None,
-                 mel=None, speaker=None, temperature: float = 1.0):
-        from wavenet_tpu.generate.sampler import generate_auto
+                 mel=None, speaker=None, temperature: float = 1.0,
+                 mesh=None, seed: int = 0):
+        """Sample audio tokens.  mesh: optional jax.sharding.Mesh with
+        (data, model) axes — routes through the distributed decoder
+        (multi-chip AR generation, SURVEY.md P3); `seed` drives its
+        layout-independent counter RNG (key is ignored on that path)."""
+        from wavenet_tpu.generate.sampler import (generate_auto,
+                                                  generate_distributed)
         if num_samples is None:
             if seconds is None:
                 raise ValueError("pass seconds= or num_samples=")
             num_samples = int(seconds * self.cfg.sample_rate)
-        key = jax.random.PRNGKey(0) if key is None else key
         y = self._upsampled_cond(mel, prime_tokens, num_samples)
+        if mesh is not None:
+            return generate_distributed(self.params, self.cfg, mesh, seed,
+                                        num_samples, batch=batch,
+                                        prime_tokens=prime_tokens, y=y,
+                                        speaker=speaker,
+                                        temperature=temperature)
+        key = jax.random.PRNGKey(0) if key is None else key
         return generate_auto(self.params, self.cfg, key, num_samples,
                              batch=batch, prime_tokens=prime_tokens,
                              y=y, speaker=speaker, temperature=temperature)

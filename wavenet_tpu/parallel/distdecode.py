@@ -38,7 +38,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, PartitionSpec as P
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from wavenet_tpu.config import WaveNetConfig
 from wavenet_tpu.models import wavenet as wn
@@ -270,6 +270,10 @@ def generate_sharded(params, cfg: WaveNetConfig, mesh: Mesh, seed,
     fn = _sharded_decode_fn(cfg, mesh, num_samples, batch, Pn,
                             float(temperature), bool(shard_rings_model),
                             has_sp, has_cond)
+    # params restored from a checkpoint arrive COMMITTED to one device;
+    # a jit over the mesh rejects mixed placements — re-place replicated
+    # (no-op for fresh/uncommitted params, e.g. in tests)
+    params = jax.device_put(params, NamedSharding(mesh, P()))
     out = fn(params, prime_tokens, speaker, y, seed)
     if dp * mp * mesh.shape.get("seq", 1) == 1:
         return out[0]
@@ -404,6 +408,9 @@ def generate_pallas_dp(params, cfg: WaveNetConfig, mesh: Mesh, key,
 
     # per-shard keys so utterances draw independent noise
     keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(jnp.arange(dp))
+    # checkpoint-restored params are committed to one device (see
+    # generate_sharded) — re-place replicated on the mesh
+    params = jax.device_put(params, NamedSharding(mesh, P()))
     sharded = jax.shard_map(
         run, mesh=mesh,
         in_specs=(P(), P(DATA_AXIS)),
