@@ -271,6 +271,23 @@ def main():
     init_done.set()
 
     details = {}
+    # hardware-vs-interpret kernel attestation rides along with the bench
+    # (tools/tpu_verify.py --quick subset) so the recorded numbers carry
+    # their own correctness evidence; opt out with
+    # WAVENET_TPU_BENCH_NO_VERIFY=1.  Failures are RECORDED, not fatal —
+    # the headline number still gets measured and the flag tells the
+    # reader how much to trust it.
+    if (jax.devices()[0].platform != "cpu"
+            and not os.environ.get("WAVENET_TPU_BENCH_NO_VERIFY")):
+        sys.path.insert(0, os.path.join(os.path.dirname(
+            os.path.abspath(__file__)), "tools"))
+        try:
+            import tpu_verify
+            fails = tpu_verify.run_quick()
+            details["kernel_verify"] = "bit-exact" if not fails else (
+                "FAIL: " + ", ".join(fails))
+        except Exception as e:
+            details["kernel_verify"] = f"error: {e!r}"
     details.update(bench_training(args.train_steps, target=target))
     details.update(bench_decode(args.decode_samples))
     details.update(bench_decode_pallas())

@@ -266,9 +266,26 @@ def check_decode(name, cfg, batch, num_steps, y=None, prime=None,
     report(name, ok, d)
 
 
+def run_quick():
+    """The fastest high-value subset, callable in-process (bench.py runs it
+    so BENCH_DETAILS doubles as a hardware-correctness attestation): the
+    multi-row fused train path at the planner's ACTUAL pick (fwd + grads —
+    the surface a libtpu bump is most likely to break) plus the batch-tiled
+    decode kernel.  Returns the list of failing check names (empty = all
+    bit-exact/banded)."""
+    FAILURES.clear()
+    check_train_multirow()
+    cfg = _decode_cfg()
+    check_decode("decode batch-tiled", cfg, batch=8, num_steps=256,
+                 force_tiles=(2, 64))
+    return list(FAILURES)
+
+
 def main():
     assert jax.devices()[0].platform != "cpu", \
         "tpu_verify must run on the TPU backend"
+    if "--quick" in sys.argv:
+        sys.exit(1 if run_quick() else 0)
     check_train_forward()
     check_train_grads()
     check_train_multirow()
