@@ -242,3 +242,40 @@ def test_ema_checkpoint_cross_compat(tmp_path):
     assert tr2.state.ema is None
     np.testing.assert_array_equal(np.asarray(tr2.state.params["w_cur"]),
                                   np.asarray(tr1.state.params["w_cur"]))
+
+
+def test_restore_across_mesh_shapes(tmp_path):
+    """Elastic recovery: a checkpoint saved on one mesh shape restores into
+    a trainer built over a DIFFERENT mesh (orbax re-shards to the target's
+    NamedShardings) and training continues with identical params."""
+    import dataclasses
+    ds_cfg = micro_cfg()
+    ds = AudioDataset.synthetic(ds_cfg, num_clips=2)
+    d = str(tmp_path / "ckpt")
+
+    tr = Trainer(ds_cfg, ds, checkpoint_dir=d)         # single-device
+    tr.run(num_steps=3, log_every=0)
+    tr.save()
+    tr.ckpt.wait()
+    ref = jax.device_get(tr.state.params)
+
+    # resume over a (2, 1, 2) dp x sp x mp mesh
+    cfg2 = dataclasses.replace(ds_cfg, data_parallel=2, model_parallel=2)
+    tr2 = Trainer(cfg2, ds, checkpoint_dir=d)
+    tr2.restore()
+    got = jax.device_get(tr2.state.params)
+    for a, b in zip(jax.tree.leaves(ref), jax.tree.leaves(got)):
+        np.testing.assert_array_equal(a, b)
+    m = tr2.run(num_steps=2, log_every=0)
+    assert np.isfinite(m["loss"])
+
+    # and back DOWN: the sharded trainer's save restores on a single device
+    tr2.save()
+    tr2.ckpt.wait()
+    tr3 = Trainer(ds_cfg, ds, checkpoint_dir=d)
+    tr3.restore()
+    assert int(jax.device_get(tr3.state.step)) == 5
+    got3 = jax.device_get(tr3.state.params)
+    for a, b in zip(jax.tree.leaves(jax.device_get(tr2.state.params)),
+                    jax.tree.leaves(got3)):
+        np.testing.assert_array_equal(a, b)
