@@ -57,6 +57,16 @@ def parse_args(argv=None):
     return p.parse_args(argv)
 
 
+def batch_paths(out: str, batch: int):
+    """out.wav -> [out_0.wav, ...]; robust to extensionless paths."""
+    if batch == 1:
+        return [out]
+    import os
+    root, ext = os.path.splitext(out)
+    ext = ext or ".wav"
+    return [f"{root}_{i}{ext}" for i in range(batch)]
+
+
 def main(argv=None):
     args = parse_args(argv)
 
@@ -135,12 +145,8 @@ def main(argv=None):
               f"dp={args.data_parallel} mp={args.model_parallel})",
               file=sys.stderr)
         wave = tokens_to_waveform(toks, cfg)
-        if args.batch == 1:
-            write_wav(args.out, wave[0], cfg.sample_rate)
-        else:
-            for i in range(args.batch):
-                write_wav(args.out.replace(".wav", f"_{i}.wav"), wave[i],
-                          cfg.sample_rate)
+        for i, path in enumerate(batch_paths(args.out, args.batch)):
+            write_wav(path, wave[i], cfg.sample_rate)
         print(f"wrote {args.out}", file=sys.stderr)
         return toks
     if args.stream is not None:
@@ -152,9 +158,7 @@ def main(argv=None):
         from wavenet_tpu.generate.sampler import generate_stream
         speaker_t = speaker
         writers = []
-        paths = ([args.out] if args.batch == 1 else
-                 [args.out.replace(".wav", f"_{i}.wav")
-                  for i in range(args.batch)])
+        paths = batch_paths(args.out, args.batch)
         for path in paths:
             w = wave_mod.open(path, "wb")
             w.setnchannels(1)
@@ -200,12 +204,8 @@ def main(argv=None):
           f"({'naive' if args.naive else 'fast'})", file=sys.stderr)
 
     wave = tokens_to_waveform(toks, cfg)
-    if args.batch == 1:
-        write_wav(args.out, wave[0], cfg.sample_rate)
-    else:
-        for i in range(args.batch):
-            write_wav(args.out.replace(".wav", f"_{i}.wav"), wave[i],
-                      cfg.sample_rate)
+    for i, path in enumerate(batch_paths(args.out, args.batch)):
+        write_wav(path, wave[i], cfg.sample_rate)
     print(f"wrote {args.out}", file=sys.stderr)
     return toks
 
