@@ -377,3 +377,45 @@ def test_generate_stream_xla_fallback_mel(monkeypatch):
     one = wn.generate(params, cfg, key, N, batch=B,
                       cond=project_cond(params, y))
     np.testing.assert_array_equal(np.asarray(got), np.asarray(one))
+
+
+def test_decode_planner_fuzz(monkeypatch):
+    """Planner invariants over random configs (the decode twin of
+    test_pallas_train.py::test_planner_fuzz): every plan respects the VMEM
+    model, tile divisibility, and the Mosaic time-block constraint, across
+    budgets — a config edge must degrade to (0, 0), never to an infeasible
+    or misaligned plan."""
+    from wavenet_tpu.config import MelConfig
+    rng = np.random.RandomState(11)
+    for _ in range(60):
+        kw = dict(
+            num_blocks=int(rng.randint(1, 5)),
+            max_dilation=int(2 ** rng.randint(3, 10)),
+            residual_channels=int(2 ** rng.randint(3, 8)),
+            skip_channels=int(2 ** rng.randint(3, 8)),
+        )
+        if rng.rand() < 0.3:
+            kw["mel"] = MelConfig(num_mels=int(rng.choice([8, 80])),
+                                  hop_length=64, win_length=256,
+                                  upsample_factors=(8, 8))
+        if rng.rand() < 0.3:
+            kw["global_classes"] = int(rng.randint(2, 9))
+        cfg = WaveNetConfig(**kw)
+        batch = int(rng.choice([1, 2, 3, 8, 24, 64, 96, 256]))
+        budget = int(rng.choice([1, 4, 12, 64])) * 1024 * 1024
+        monkeypatch.setattr(pdec, "VMEM_BUDGET", budget)
+        bt, tc = pdec.plan_tiles(cfg, batch)
+        if bt == 0:
+            assert tc == 0
+            assert not pdec.fits_vmem(cfg, batch)
+            continue
+        assert batch % bt == 0
+        assert tc % 8 == 0 and tc >= 8
+        assert pdec._tile_bytes(cfg, bt, tc) <= budget
+        assert pdec.fits_vmem(cfg, batch)
+        # a prime block can only shrink feasibility, never crash
+        assert pdec.fits_vmem(cfg, batch, prime_len=10 ** 9) in (False, True)
+        # shrink_tc keeps the Mosaic constraint and never grows
+        for want in (1, 7, 8, 100, tc, 4 * tc):
+            s = pdec.shrink_tc(tc, want)
+            assert s % 8 == 0 and 8 <= s <= max(tc, 8)
