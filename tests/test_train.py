@@ -279,3 +279,50 @@ def test_restore_across_mesh_shapes(tmp_path):
     for a, b in zip(jax.tree.leaves(jax.device_get(tr2.state.params)),
                     jax.tree.leaves(got3)):
         np.testing.assert_array_equal(a, b)
+
+
+def test_score_cli_exact_chunking(tmp_path):
+    """score.py: chunked scoring with RF left-context overlap equals one
+    full-clip score_fn pass; directory input and --json work."""
+    import json
+    import dataclasses
+    import jax.numpy as jnp
+    from wavenet_tpu.audio import mulaw
+    from wavenet_tpu.audio.io import write_wav, read_wav
+    from wavenet_tpu.models import wavenet as wn
+    from wavenet_tpu.models.api import WaveNet
+    import score as score_cli
+
+    cfg = micro_cfg()
+    ds = AudioDataset.synthetic(cfg, num_clips=2)
+    d = str(tmp_path / "ckpt")
+    tr = Trainer(cfg, ds, checkpoint_dir=d)
+    tr.run(num_steps=2, log_every=0)
+    tr.save()
+    tr.ckpt.wait()
+
+    rng = np.random.default_rng(3)
+    wavdir = tmp_path / "eval"
+    wavdir.mkdir()
+    t = np.arange(900) / cfg.sample_rate
+    for i, f in enumerate((220.0, 440.0)):
+        write_wav(str(wavdir / f"c{i}.wav"),
+                  (0.3 * np.sin(2 * np.pi * f * t)).astype(np.float32),
+                  cfg.sample_rate)
+
+    # tiny chunk forces several overlapped passes
+    agg = score_cli.main(["--ckpt", d, str(wavdir), "--chunk", "150"])
+
+    m = WaveNet.from_checkpoint(d)
+    bits, n = [], []
+    for i in range(2):
+        w, _ = read_wav(str(wavdir / f"c{i}.wav"), cfg.sample_rate)
+        toks = jnp.asarray(mulaw.encode_np(
+            w, cfg.quantization_channels))[None]
+        bits.append(float(wn.score_fn(m.params, cfg, toks)[0]))
+        n.append(toks.shape[1] - 1)
+    expect = float(np.average(bits, weights=n))
+    assert abs(agg - expect) < 1e-3
+
+    out = score_cli.main(["--ckpt", d, str(wavdir / "c0.wav"), "--json"])
+    assert abs(out - bits[0]) < 1e-3
