@@ -20,6 +20,8 @@ import os
 import sys
 import time
 
+DETAILS_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "BENCH_DETAILS.json")
 BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "bench_baseline.json")
 
@@ -241,9 +243,7 @@ def _arm_device_watchdog(timeout_s: float):
                          f"{timeout_s:.0f}s (relay down?)",
             }
             try:  # point the reader at the last SUCCESSFUL measurement
-                with open(os.path.join(os.path.dirname(
-                        os.path.abspath(__file__)),
-                        "BENCH_DETAILS.json")) as f:
+                with open(DETAILS_FILE) as f:
                     rec["last_known_value"] = json.load(f)[
                         "train_audio_seconds_per_sec_per_chip"]
             except Exception:
@@ -320,7 +320,7 @@ def main():
     key = "train_audio_seconds_per_sec_per_chip"
     vs = details[key] / baseline[key] if baseline.get(key) else 1.0
 
-    with open("BENCH_DETAILS.json", "w") as f:
+    with open(DETAILS_FILE, "w") as f:
         json.dump(details, f, indent=2)
 
     print(json.dumps({

@@ -57,16 +57,6 @@ def parse_args(argv=None):
     return p.parse_args(argv)
 
 
-def batch_paths(out: str, batch: int):
-    """out.wav -> [out_0.wav, ...]; robust to extensionless paths."""
-    if batch == 1:
-        return [out]
-    import os
-    root, ext = os.path.splitext(out)
-    ext = ext or ".wav"
-    return [f"{root}_{i}{ext}" for i in range(batch)]
-
-
 def main(argv=None):
     args = parse_args(argv)
 
@@ -75,7 +65,8 @@ def main(argv=None):
 
     from wavenet_tpu.audio import mulaw
     from wavenet_tpu.audio.io import read_wav, write_wav
-    from wavenet_tpu.generate.sampler import (generate_auto, generate_naive,
+    from wavenet_tpu.generate.sampler import (batch_paths, generate_auto,
+                                              generate_naive,
                                               tokens_to_waveform)
     from wavenet_tpu.models.api import WaveNet
 

@@ -54,37 +54,62 @@ def iter_wavs(paths):
 
 def score_clip(model, tokens, chunk, mel_self, speaker):
     """Mean bits/sample of `tokens` [T+1], exactly (chunked with RF
-    left-context overlap), plus the token count scored."""
+    left-context overlap), plus the token count scored.
+
+    Every chunk runs at ONE fixed shape [1, RF + chunk] (missing left
+    context zero-filled under forward_logits' valid_mask, tail right-padded
+    and discarded) — one XLA compile per clip set instead of one per
+    distinct tail length, which matters on remote-compile TPU setups."""
     import jax
     import jax.numpy as jnp
     import numpy as np
     from wavenet_tpu.models import wavenet as wn
 
+    if chunk <= 0:
+        raise ValueError(f"chunk must be positive, got {chunk}")
     cfg = model.cfg
     rf = cfg.receptive_field
     T = tokens.shape[0] - 1                      # target count
+    W = rf + chunk                               # fixed window shape
     y = None
     if mel_self is not None:
         # upsampled features aligned with the MODEL INPUTS (positions 0..T)
         from wavenet_tpu.models.conditioning import upsample_mel
         y = upsample_mel(model.params["upsampler"], cfg.mel, mel_self, T)
+        y = jnp.pad(y, ((0, 0), (rf, W), (0, 0)))    # window index = t + rf
     sp = None
     if speaker is not None:
         sp = jnp.asarray([speaker], jnp.int32)
+    # pad the token timeline once: absolute position a lives at
+    # padded[a + rf + 1] (one extra left slot so every window position has
+    # a true prev-token row — prev of the clip's first sample is the zero
+    # token, forward_logits' sequence-start convention)
+    padded = np.pad(tokens, (rf + 1, W))
+    pos = np.arange(W)
+
+    @jax.jit
+    def chunk_nll(inp, prev, tgt, mask, yc):
+        logits = wn.forward_logits(model.params, cfg, inp,
+                                   prev_tokens=prev,
+                                   upsampled_cond=yc, speaker=sp,
+                                   valid_mask=mask)
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        return -jnp.take_along_axis(logp, tgt[..., None], -1)[..., 0]
 
     total_bits, total_n = 0.0, 0
     s = 0
     while s < T:
         e = min(s + chunk, T)
-        lo = max(0, s - rf)                      # left context for exactness
-        inp = jnp.asarray(tokens[lo:e])[None]    # inputs tokens[lo..e)
-        tgt = jnp.asarray(tokens[lo + 1:e + 1])[None]
-        yc = None if y is None else y[:, lo:e]
-        logits = wn.forward_logits(model.params, cfg, inp,
-                                   upsampled_cond=yc, speaker=sp)
-        logp = jax.nn.log_softmax(logits, axis=-1)
-        nll = -jnp.take_along_axis(logp, tgt[..., None], -1)[..., 0]
-        keep = nll[0, s - lo:]                   # drop warm-up positions
+        # window = absolute positions [s - rf, s + chunk)
+        inp = jnp.asarray(padded[s + 1:s + 1 + W])[None]
+        prev = jnp.asarray(padded[s:s + W])[None]        # true prevs
+        tgt = jnp.asarray(padded[s + 2:s + 2 + W])[None]
+        # positions before the clip start are ABSENT (abs index < 0):
+        # valid_mask zero-fills them exactly like a shorter sequence
+        mask = jnp.asarray((pos + (s - rf) >= 0).astype(np.float32))[None]
+        yc = None if y is None else y[:, s:s + W]
+        nll = chunk_nll(inp, prev, tgt, mask, yc)
+        keep = nll[0, rf:rf + (e - s)]           # this chunk's targets only
         total_bits += float(jnp.sum(keep)) / float(np.log(2.0))
         total_n += int(keep.shape[0])
         s = e
@@ -105,6 +130,9 @@ def main(argv=None):
     cfg = model.cfg
     if args.mel == "self" and cfg.mel is None:
         sys.exit("--mel self requires a mel-conditional checkpoint")
+    if args.mel is None and cfg.mel is not None:
+        sys.exit("checkpoint is mel-conditional; pass --mel self to score "
+                 "each clip under its own features")
     if args.speaker is not None and cfg.global_classes is None:
         sys.exit("--speaker requires a global_classes checkpoint")
     if args.speaker is None and cfg.global_classes is not None:

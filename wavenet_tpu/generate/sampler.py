@@ -149,15 +149,17 @@ def generate_distributed(params: wn.Params, cfg: WaveNetConfig, mesh,
                          temperature: float = 1.0) -> jax.Array:
     """Multi-chip AR generation over a (data, model) mesh (SURVEY.md P3).
 
-    Routing: an unconditioned data-parallel-only request whose per-chip
-    batch fits the decode kernel's VMEM plan fans the whole-loop Pallas
-    kernel out per chip (parallel/distdecode.generate_pallas_dp);
-    everything else runs the collective decode loop (generate_sharded:
-    per-layer psum conv-state exchange, token broadcast).
-
-    seed: int — generate_sharded's counter RNG makes tokens identical for
-    ANY mesh layout at the same seed (tests/test_distributed_decode.py),
-    so results are reproducible across pod shapes.
+    seed: int — tokens are identical for ANY mesh layout at the same seed
+    (tests/test_distributed_decode.py), so results are reproducible across
+    pod shapes.  That contract constrains the routing: the per-chip Pallas
+    kernel fan-out (distdecode.generate_pallas_dp) keys its sampling noise
+    per shard, so it is only taken when NO noise is drawn — greedy
+    (temperature==0), unconditioned, data-parallel-only, per-chip batch
+    within the kernel's VMEM plan.  Sampled decode always runs the
+    collective loop (generate_sharded: per-layer psum conv-state exchange,
+    token broadcast, global counter RNG).  Callers who want the kernel
+    fan-out for SAMPLED dp decode and accept layout-dependent draws can
+    call generate_pallas_dp directly.
     """
     from wavenet_tpu.ops.pallas import decode as pdec
     from wavenet_tpu.parallel import distdecode
@@ -165,7 +167,8 @@ def generate_distributed(params: wn.Params, cfg: WaveNetConfig, mesh,
     mp = mesh.shape.get(distdecode.MODEL_AXIS, 1)
     plain = (y is None and speaker is None and prime_tokens is None
              and cfg.global_classes is None)
-    if (mp == 1 and plain and _tpu_backend() and dp > 1
+    greedy = isinstance(temperature, (int, float)) and temperature <= 0
+    if (mp == 1 and plain and greedy and _tpu_backend() and dp > 1
             and batch % dp == 0 and pdec.fits_vmem(cfg, batch // dp)):
         key = jax.random.PRNGKey(seed)
         return distdecode.generate_pallas_dp(params, cfg, mesh, key,
@@ -289,6 +292,18 @@ def tokens_to_waveform(tokens: jax.Array, cfg: WaveNetConfig) -> np.ndarray:
     return np.asarray(mulaw.decode(tokens, cfg.quantization_channels))
 
 
+def batch_paths(out_path: str, batch: int):
+    """out.wav -> [out_0.wav, ...] for batch > 1; robust to extensionless
+    paths.  THE naming rule for batched wav output — the CLI and the
+    library facade both use it so their filenames cannot diverge."""
+    if batch == 1:
+        return [out_path]
+    import os
+    root, ext = os.path.splitext(out_path)
+    ext = ext or ".wav"
+    return [f"{root}_{i}{ext}" for i in range(batch)]
+
+
 def generate_wav(params: wn.Params, cfg: WaveNetConfig, out_path: str,
                  seconds: float, key: Optional[jax.Array] = None,
                  batch: int = 1, temperature: float = 1.0,
@@ -297,17 +312,11 @@ def generate_wav(params: wn.Params, cfg: WaveNetConfig, out_path: str,
     """Sample `seconds` of audio with the fast decoder and write wav file(s).
     decode_kw (prime_tokens=, y=, speaker=, ...) pass through to
     generate_auto so conditioned models have a working wav entry point."""
-    import os
     key = jax.random.PRNGKey(0) if key is None else key
     n = int(seconds * cfg.sample_rate)
     toks = generate_auto(params, cfg, key, num_samples=n, batch=batch,
                          cond=cond, temperature=temperature, **decode_kw)
     wave = tokens_to_waveform(toks, cfg)
-    if batch == 1:
-        write_wav(out_path, wave[0], cfg.sample_rate)
-    else:
-        root, ext = os.path.splitext(out_path)
-        ext = ext or ".wav"
-        for i in range(batch):
-            write_wav(f"{root}_{i}{ext}", wave[i], cfg.sample_rate)
+    for i, path in enumerate(batch_paths(out_path, batch)):
+        write_wav(path, wave[i], cfg.sample_rate)
     return wave

@@ -271,9 +271,15 @@ def generate_sharded(params, cfg: WaveNetConfig, mesh: Mesh, seed,
                             float(temperature), bool(shard_rings_model),
                             has_sp, has_cond)
     # params restored from a checkpoint arrive COMMITTED to one device;
-    # a jit over the mesh rejects mixed placements — re-place replicated
-    # (no-op for fresh/uncommitted params, e.g. in tests)
-    params = jax.device_put(params, NamedSharding(mesh, P()))
+    # a jit over the mesh rejects mixed placements.  Re-place to the
+    # shard_map's ACTUAL input specs (Megatron column/row sharding) — a
+    # replicated put would materialize the full model per chip, defeating
+    # the memory scaling model parallelism exists for.  No-op when params
+    # are already placed per the specs.
+    from wavenet_tpu.parallel import sharding as shd
+    params = jax.device_put(params, jax.tree.map(
+        lambda s: NamedSharding(mesh, s), shd.param_pspecs(cfg),
+        is_leaf=lambda s: isinstance(s, P)))
     out = fn(params, prime_tokens, speaker, y, seed)
     if dp * mp * mesh.shape.get("seq", 1) == 1:
         return out[0]
