@@ -326,3 +326,27 @@ def test_score_cli_exact_chunking(tmp_path):
 
     out = score_cli.main(["--ckpt", d, str(wavdir / "c0.wav"), "--json"])
     assert abs(out - bits[0]) < 1e-3
+
+
+def test_train_cli_eval_every(tmp_path):
+    """train.py --eval-every logs eval_* metrics (stderr + JSONL), with
+    --eval-data pointing at a held-out directory, alongside --sample-every
+    (gcd-chunked loop)."""
+    import json as json_mod
+    from wavenet_tpu.audio.io import write_wav
+    import train as train_cli
+
+    hold = tmp_path / "hold"
+    hold.mkdir()
+    t = np.arange(2000) / 16000.0
+    write_wav(str(hold / "h.wav"),
+              (0.3 * np.sin(2 * np.pi * 300 * t)).astype(np.float32), 16000)
+    mfile = str(tmp_path / "m.jsonl")
+    metrics = train_cli.main([
+        "--preset", "tiny", "--synthetic", "--steps", "4", "--log-every",
+        "0", "--eval-every", "2", "--eval-data", str(hold),
+        "--metrics-file", mfile, "--override", "train_window=512"])
+    assert "eval_loss" in metrics and np.isfinite(metrics["eval_loss"])
+    rows = [json_mod.loads(l) for l in open(mfile)]
+    eval_steps = [r["step"] for r in rows if "eval_loss" in r]
+    assert eval_steps == [2, 4]

@@ -38,6 +38,13 @@ def parse_args(argv=None):
                         "checkpoints (ear-validation, reference README "
                         "workflow)")
     p.add_argument("--sample-seconds", type=float, default=1.0)
+    p.add_argument("--eval-every", type=int, default=0,
+                   help="run the held-out evaluation loop every N steps and "
+                        "log eval_* metrics (stderr + --metrics-file)")
+    p.add_argument("--eval-data", default=None,
+                   help="directory of held-out .wav files for --eval-every "
+                        "(defaults to deterministic batches from the "
+                        "training set)")
     p.add_argument("--metrics-file", default=None,
                    help="append JSONL metrics here")
     p.add_argument("--override", action="append", default=[],
@@ -104,22 +111,41 @@ def main(argv=None):
         return m
 
     import jax
+    eval_ds = None
+    if args.eval_data:
+        eval_ds = AudioDataset.from_dir(args.eval_data, cfg)
+
+    def run_eval():
+        em = tr.evaluate(eval_ds)
+        step = int(jax.device_get(tr.state.step))
+        print("step %d  %s" % (step, "  ".join(
+            f"{k} {v:.4f}" for k, v in sorted(em.items()))), file=sys.stderr)
+        if mlog:
+            mlog.log(step, em)
+        return em
+
+    sample_every = args.sample_every if args.ckpt else 0
     if args.profile_dir:
         from wavenet_tpu.utils.profiling import profiled_steps
         with profiled_steps(tr, args.profile_dir, start=10, stop=15):
             metrics = run_chunk(args.steps)
-    elif args.sample_every and args.ckpt:
+    elif sample_every or args.eval_every:
+        import math
         from wavenet_tpu.generate.sampler import generate_wav
+        chunk = math.gcd(sample_every, args.eval_every)
         done = 0
         metrics = {}
         while done < args.steps:
-            n = min(args.sample_every, args.steps - done)
+            n = min(chunk, args.steps - done)
             metrics = run_chunk(n)
             done += n
             step = int(jax.device_get(tr.state.step))
-            out = f"{args.ckpt}/sample_step{step}.wav"
-            generate_wav(tr.state.params, cfg, out, args.sample_seconds)
-            print(f"wrote {out}", file=sys.stderr)
+            if sample_every and done % sample_every == 0:
+                out = f"{args.ckpt}/sample_step{step}.wav"
+                generate_wav(tr.state.params, cfg, out, args.sample_seconds)
+                print(f"wrote {out}", file=sys.stderr)
+            if args.eval_every and done % args.eval_every == 0:
+                metrics.update(run_eval())
     else:
         metrics = run_chunk(args.steps)
     if args.ckpt:
