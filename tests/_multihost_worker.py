@@ -21,6 +21,32 @@ def main():
     from wavenet_tpu.training.trainer import Trainer
 
     mode = os.environ.get("WAVENET_MH_MODE", "dp")
+    if mode == "decode":
+        # distributed AR generation across a REAL process group: the
+        # per-layer conv-state psum and the token exchange compile and run
+        # cross-host; the counter RNG makes tokens identical to any
+        # single-process layout at the same seed
+        from wavenet_tpu.config import WaveNetConfig
+        from wavenet_tpu.models import wavenet as wn
+        from wavenet_tpu.parallel import distdecode
+        from wavenet_tpu.parallel.mesh import make_mesh
+        cfg = WaveNetConfig(num_blocks=1, max_dilation=8,
+                            residual_channels=16, skip_channels=16,
+                            compute_dtype="float32",
+                            data_parallel=2, model_parallel=2)
+        params = wn.init_params(cfg, jax.random.PRNGKey(0))
+        mesh = make_mesh(cfg)
+        toks = distdecode.generate_sharded(params, cfg, mesh, 5,
+                                           num_samples=40, batch=2)
+        import jax.experimental.multihost_utils as mh
+        toks = mh.process_allgather(toks, tiled=True)   # [B, N] global
+        if distributed.is_primary():
+            np.savez(os.path.join(out_dir, "result.npz"),
+                     tokens=np.asarray(toks, np.int32))
+        mh.sync_global_devices("done")
+        print("worker ok", jax.process_index(), flush=True)
+        return
+
     if mode == "tp":
         # Megatron channel sharding under a real process group: dp rows map
         # one-per-process (each host feeds its local_batch_slice), the model

@@ -46,12 +46,8 @@ def test_local_batch_slices_partition(monkeypatch):
     assert rows == [0, 1, 2, 3]
 
 
-@pytest.mark.slow
-@pytest.mark.parametrize("mode", ["dp", "tp"])
-def test_two_process_training_matches_single(tmp_path, mode):
-    """mode=dp: pure data parallelism (VERDICT r1 #5).  mode=tp: Megatron
-    channel sharding with the model axis inside a 2-process group — the
-    cross-host compile of the per-layer and grad psums."""
+def _run_workers(tmp_path, mode):
+    """Spawn the 2-process CPU pod and return the primary's result.npz."""
     port = free_port()
     env_base = {k: v for k, v in os.environ.items()
                 if k not in ("PALLAS_AXON_POOL_IPS", "JAX_PLATFORMS",
@@ -86,8 +82,16 @@ def test_two_process_training_matches_single(tmp_path, mode):
         outs.append(out)
     for p, out in zip(procs, outs):
         assert p.returncode == 0, f"worker failed:\n{out[-3000:]}"
+    return np.load(tmp_path / "result.npz")
 
-    got = np.load(tmp_path / "result.npz")
+
+@pytest.mark.slow
+@pytest.mark.parametrize("mode", ["dp", "tp"])
+def test_two_process_training_matches_single(tmp_path, mode):
+    """mode=dp: pure data parallelism (VERDICT r1 #5).  mode=tp: Megatron
+    channel sharding with the model axis inside a 2-process group — the
+    cross-host compile of the per-layer and grad psums."""
+    got = _run_workers(tmp_path, mode)
 
     # single-process reference: same cfg on 4 virtual devices (this test
     # process already runs with 8 forced CPU devices; use the first 4)
@@ -113,3 +117,26 @@ def test_two_process_training_matches_single(tmp_path, mode):
     np.testing.assert_allclose(got["head_w2"],
                                np.asarray(ref["head_w2"], np.float32),
                                rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.slow
+def test_two_process_distributed_decode_matches_single(tmp_path):
+    """Distributed AR generation across a REAL 2-process group (P3
+    cross-host): per-layer conv-state psums and the token exchange run over
+    the process boundary, and the counter RNG reproduces the single-process
+    tokens at the same seed."""
+    got = _run_workers(tmp_path, "decode")
+
+    import jax
+    from wavenet_tpu.config import WaveNetConfig
+    from wavenet_tpu.models import wavenet as wn
+    from wavenet_tpu.parallel import distdecode
+    from wavenet_tpu.parallel.mesh import make_mesh
+    cfg = WaveNetConfig(num_blocks=1, max_dilation=8, residual_channels=16,
+                        skip_channels=16, compute_dtype="float32",
+                        data_parallel=1, model_parallel=1)
+    params = wn.init_params(cfg, jax.random.PRNGKey(0))
+    mesh1 = make_mesh(cfg, devices=jax.devices()[:1])
+    ref = distdecode.generate_sharded(params, cfg, mesh1, 5, num_samples=40,
+                                      batch=2)
+    np.testing.assert_array_equal(got["tokens"], np.asarray(ref))
