@@ -179,3 +179,29 @@ def test_facade_save_roundtrip(tmp_path):
             jax.tree_util.tree_flatten_with_path(m2.params)[0]):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
                                       err_msg=str(ka))
+
+
+def test_npz_export_import_roundtrip(tmp_path):
+    """export_npz -> from_npz reproduces config and every param leaf
+    bit-exactly (incl. nested subtrees), and the loaded model scores
+    identically."""
+    import dataclasses
+    import jax
+    import numpy as np
+    from wavenet_tpu.config import MelConfig
+    from wavenet_tpu.models.api import WaveNet
+
+    cfg = dataclasses.replace(
+        small_cfg(), mel=MelConfig(num_mels=8, hop_length=16, win_length=64,
+                              upsample_factors=(4, 4)), global_classes=3)
+    m = WaveNet(cfg).init(jax.random.PRNGKey(1))
+    path = str(tmp_path / "model.npz")
+    m.export_npz(path)
+
+    m2 = WaveNet.from_npz(path)
+    assert m2.cfg == cfg
+    leaves1 = jax.tree_util.tree_flatten_with_path(m.params)[0]
+    leaves2 = jax.tree_util.tree_flatten_with_path(m2.params)[0]
+    assert [k for k, _ in leaves1] == [k for k, _ in leaves2]
+    for (_, a), (_, b) in zip(leaves1, leaves2):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

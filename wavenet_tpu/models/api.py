@@ -72,6 +72,46 @@ class WaveNet:
         ckpt.save(step, state, IteratorState(seed=self.cfg.seed, step=0),
                   wait=True)
 
+    def export_npz(self, path: str) -> None:
+        """Write the weights as ONE portable .npz (keys '/'-joined for
+        nested subtrees, config JSON under '__config__') — the
+        single-file interchange artifact the reference's HDF5 weight files
+        were; orbax checkpoints stay the training format."""
+        import numpy as np
+        if self.params is None:
+            raise ValueError("no params; call init() or load a checkpoint")
+        flat = {}
+
+        def walk(tree, prefix=""):
+            for k, v in tree.items():
+                if isinstance(v, dict):
+                    walk(v, f"{prefix}{k}/")
+                else:
+                    flat[prefix + k] = np.asarray(v)
+        walk(self.params)
+        flat["__config__"] = np.frombuffer(
+            self.cfg.to_json().encode(), dtype=np.uint8)
+        np.savez(path, **flat)
+
+    @classmethod
+    def from_npz(cls, path: str) -> "WaveNet":
+        """Load a model exported with export_npz (config travels inside)."""
+        import numpy as np
+        from wavenet_tpu.config import WaveNetConfig
+        with np.load(path) as z:
+            cfg = WaveNetConfig.from_json(
+                bytes(z["__config__"]).decode())
+            params: dict = {}
+            for key in z.files:
+                if key == "__config__":
+                    continue
+                node = params
+                *parents, leaf = key.split("/")
+                for p in parents:
+                    node = node.setdefault(p, {})
+                node[leaf] = jnp.asarray(z[key])
+        return cls(cfg, params)
+
     # ---- model surface ----
 
     def logits(self, tokens, mel=None, speaker=None):
