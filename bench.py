@@ -125,8 +125,7 @@ def bench_decode(num_samples: int = 3072, batch: int = 64):
     gen = jax.jit(lambda p, k: wn.generate(p, cfg, k, num_samples=num_samples,
                                            batch=batch))
     jax.block_until_ready(gen(params, key))          # compile
-    dt = min(_timed(lambda: jax.block_until_ready(gen(params, key)))
-             for _ in range(3))
+    dt = _timed_best(lambda: jax.block_until_ready(gen(params, key)))
     return {
         "decode_samples_per_sec": num_samples * batch / dt,
         "decode_steps_per_sec": num_samples / dt,
@@ -139,6 +138,18 @@ def _timed(f):
     t0 = time.perf_counter()
     f()
     return time.perf_counter() - t0
+
+
+def _timed_best(f, repeats: int = 3, pause_s: float = 10.0):
+    """Best-of-two separated windows: the shared chip's transient throttle
+    bursts last seconds-to-minutes, so two best-of-`repeats` rounds with a
+    pause between are far more likely to catch ONE clean window than a
+    single consecutive-run burst (the train bench has full windows +
+    throttle detection; decode runs are sub-second, so this costs ~10 s)."""
+    ts = [_timed(f) for _ in range(repeats)]
+    time.sleep(pause_s)
+    ts += [_timed(f) for _ in range(repeats)]
+    return min(ts)
 
 
 def bench_decode_pallas(num_samples: int = 4096, batch: int = 64):
@@ -156,9 +167,8 @@ def bench_decode_pallas(num_samples: int = 4096, batch: int = 64):
     key = jax.random.PRNGKey(1)
     out = pdec.generate_pallas(params, cfg, key, num_samples, batch=batch)
     jax.block_until_ready(out)                       # compile
-    dt = min(_timed(lambda: jax.block_until_ready(
+    dt = _timed_best(lambda: jax.block_until_ready(
         pdec.generate_pallas(params, cfg, key, num_samples, batch=batch)))
-        for _ in range(3))
     bt, tc = pdec.plan_tiles(cfg, batch)
     return {
         "pallas_decode_samples_per_sec": num_samples * batch / dt,
@@ -194,7 +204,7 @@ def bench_decode_conditional(num_samples: int = 4096, batch: int = 8):
                                     batch=batch, y=y)
 
     jax.block_until_ready(run())                     # compile
-    dt = min(_timed(lambda: jax.block_until_ready(run())) for _ in range(3))
+    dt = _timed_best(lambda: jax.block_until_ready(run()))
     return {
         "cond_decode_samples_per_sec": num_samples * batch / dt,
         "cond_decode_steps_per_sec": num_samples / dt,
