@@ -419,3 +419,27 @@ def test_decode_planner_fuzz(monkeypatch):
         for want in (1, 7, 8, 100, tc, 4 * tc):
             s = pdec.shrink_tc(tc, want)
             assert s % 8 == 0 and 8 <= s <= max(tc, 8)
+
+
+def test_generate_stream_mel_plus_speaker_interpret():
+    """Streaming with BOTH local (mel) and global (speaker) conditioning in
+    one model: chunks concatenate to exactly the one-shot kernel tokens."""
+    from wavenet_tpu.config import MelConfig
+    from wavenet_tpu.generate.sampler import generate_stream
+    mel_cfg = MelConfig(num_mels=8, hop_length=16, win_length=64,
+                        upsample_factors=(4, 4))
+    cfg = cfg_(mel=mel_cfg, global_classes=3, global_channels=8)
+    params = wn.init_params(cfg, jax.random.PRNGKey(0))
+    B, N = 2, 48
+    key = jax.random.PRNGKey(7)
+    sp = jnp.asarray([0, 2], jnp.int32)
+    from wavenet_tpu.models.conditioning import upsample_mel
+    mel = jax.random.normal(jax.random.PRNGKey(2), (B, 4, 8))
+    y = upsample_mel(params["upsampler"], mel_cfg, mel, N)
+
+    one = pdec.generate_pallas(params, cfg, key, N, batch=B, y=y,
+                               speaker=sp, interpret=True)
+    chunks = list(generate_stream(params, cfg, key, N, chunk_samples=16,
+                                  batch=B, y=y, speaker=sp, interpret=True))
+    got = jnp.concatenate(chunks, axis=1)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(one))
