@@ -1,0 +1,293 @@
+"""Serving layer (wavenet_tpu/serving): AOT decode artifacts + the
+microbatching synthesis server.
+
+The reference deploys by shipping HDF5 weights + model code rebuilt per
+process (SURVEY.md §3.4); the TPU-native counterparts are a frozen
+jax.export artifact and an engine that keeps one compiled decoder hot and
+microbatches concurrent requests into it.  Covered:
+
+  * AOT artifact round-trip: exported decode == live wn.generate, for
+    unconditional and speaker-conditioned models; waveform() expands mu-law.
+  * Server reproducibility contract: a microbatch with seeds [s0..sk] is
+    bit-identical to WaveNet.stream with key = fold_in-chain of the seeds.
+  * Request padding/trimming: mixed lengths in one bucket each come back at
+    their exact requested length; pad rows counted in stats.
+  * Speaker routing, mel singleton path, and server-side error surfacing.
+"""
+
+import threading
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from wavenet_tpu.audio import mulaw
+from wavenet_tpu.config import MelConfig, WaveNetConfig
+from wavenet_tpu.models import wavenet as wn
+from wavenet_tpu.models.api import WaveNet
+from wavenet_tpu.serving import (WaveNetServer, export_decoder,
+                                 load_decoder)
+
+
+def cfg_(**kw):
+    base = dict(num_blocks=1, max_dilation=8, residual_channels=16,
+                skip_channels=16, compute_dtype="bfloat16",
+                sample_rate=8000)
+    base.update(kw)
+    return WaveNetConfig(**base)
+
+
+# ---------------------------------------------------------------- AOT
+
+def test_aot_roundtrip_unconditional(tmp_path):
+    cfg = cfg_()
+    params = wn.init_params(cfg, jax.random.PRNGKey(0))
+    path = str(tmp_path / "uncond.wnx")
+    export_decoder(params, cfg, path, num_samples=32, batch=2)
+
+    dec = load_decoder(path)
+    assert dec.num_samples == 32 and dec.batch == 2
+    key = jax.random.PRNGKey(5)
+    got = np.asarray(dec.generate(key=key))
+    want = np.asarray(wn.generate(params, cfg, key, 32, batch=2))
+    np.testing.assert_array_equal(got, want)
+
+    wav = dec.waveform(key=key)
+    np.testing.assert_allclose(
+        wav, mulaw.decode_np(want, cfg.quantization_channels))
+    with pytest.raises(ValueError, match="speaker"):
+        dec.generate(speaker=np.zeros((2,), np.int32))
+
+
+def test_aot_roundtrip_speaker(tmp_path):
+    cfg = cfg_(global_classes=3, global_channels=8)
+    params = wn.init_params(cfg, jax.random.PRNGKey(1))
+    path = str(tmp_path / "spk.wnx")
+    export_decoder(params, cfg, path, num_samples=24, batch=2)
+
+    dec = load_decoder(path)
+    assert dec.with_speaker
+    key = jax.random.PRNGKey(3)
+    sp = np.asarray([0, 2], np.int32)
+    got = np.asarray(dec.generate(key=key, speaker=sp))
+    want = np.asarray(wn.generate(params, cfg, key, 24, batch=2,
+                                  speaker=jnp.asarray(sp)))
+    np.testing.assert_array_equal(got, want)
+    # default speaker is id 0
+    d0 = np.asarray(dec.generate(key=key))
+    w0 = np.asarray(wn.generate(params, cfg, key, 24, batch=2,
+                                speaker=jnp.zeros((2,), jnp.int32)))
+    np.testing.assert_array_equal(d0, w0)
+
+
+# ---------------------------------------------------------------- server
+
+def model_():
+    cfg = cfg_()
+    return WaveNet(cfg, wn.init_params(cfg, jax.random.PRNGKey(0)))
+
+
+def fold_key(seeds):
+    key = jax.random.PRNGKey(0)
+    for s in seeds:
+        key = jax.random.fold_in(key, s)
+    return key
+
+
+def test_server_single_request_matches_stream():
+    m = model_()
+    with WaveNetServer(m, max_batch=1, max_wait_ms=1,
+                       chunk_seconds=16 / 8000,
+                       length_quantum_seconds=8 / 8000) as srv:
+        wav = srv.synthesize(num_samples=40, seed=11)
+    want = np.concatenate(
+        [c[0] for c in m.stream(num_samples=40, chunk_samples=16,
+                                batch=1, key=fold_key([11]))])
+    assert wav.shape == (40,)
+    np.testing.assert_array_equal(wav, want)
+
+
+def test_server_microbatch_reproducible_and_trimmed():
+    """Two requests with different lengths in the same bucket decode as ONE
+    batch reproducible via the documented fold_in-chain key; each comes
+    back trimmed to its own length."""
+    m = model_()
+    srv = WaveNetServer(m, max_batch=2, max_wait_ms=2000,
+                        chunk_seconds=16 / 8000,
+                        length_quantum_seconds=48 / 8000)
+    try:
+        h1 = srv.submit(num_samples=40, seed=1)
+        h2 = srv.submit(num_samples=48, seed=2)
+        w1, w2 = h1.waveform(), h2.waveform()
+    finally:
+        srv.close()
+    assert w1.shape == (40,) and w2.shape == (48,)
+    assert srv.stats["batches"] == 1 and srv.stats["padded_rows"] == 0
+
+    ref = np.concatenate(
+        [np.asarray(c) for c in m.stream(num_samples=48, chunk_samples=16,
+                                         batch=2, key=fold_key([1, 2]))],
+        axis=1)
+    np.testing.assert_array_equal(w1, ref[0, :40])
+    np.testing.assert_array_equal(w2, ref[1, :48])
+
+
+def test_server_pads_to_batch_bucket():
+    """Three concurrent requests pad to a 4-row batch; outputs of the pad
+    row are dropped and stats record it."""
+    m = model_()
+    srv = WaveNetServer(m, max_batch=4, max_wait_ms=2000,
+                        chunk_seconds=16 / 8000,
+                        length_quantum_seconds=32 / 8000)
+    try:
+        hs = [srv.submit(num_samples=32, seed=i) for i in range(3)]
+        wavs = [h.waveform() for h in hs]
+    finally:
+        srv.close()
+    assert all(w.shape == (32,) for w in wavs)
+    assert srv.stats == {**srv.stats, "batches": 1, "padded_rows": 1,
+                         "requests": 3, "samples_out": 96}
+
+
+def test_server_speaker_rows_routed():
+    cfg = cfg_(global_classes=3, global_channels=8)
+    m = WaveNet(cfg, wn.init_params(cfg, jax.random.PRNGKey(2)))
+    srv = WaveNetServer(m, max_batch=2, max_wait_ms=2000,
+                        chunk_seconds=16 / 8000,
+                        length_quantum_seconds=32 / 8000)
+    try:
+        h1 = srv.submit(num_samples=32, seed=0, speaker=1)
+        h2 = srv.submit(num_samples=32, seed=0, speaker=2)
+        w1, w2 = h1.waveform(), h2.waveform()
+    finally:
+        srv.close()
+    ref = np.concatenate(
+        [np.asarray(c) for c in m.stream(
+            num_samples=32, chunk_samples=16, batch=2,
+            key=fold_key([0, 0]),
+            speaker=np.asarray([1, 2], np.int32))], axis=1)
+    np.testing.assert_array_equal(w1, ref[0])
+    np.testing.assert_array_equal(w2, ref[1])
+
+
+def test_server_mel_singleton_and_error_surfacing():
+    mel_cfg = MelConfig(num_mels=8, hop_length=16, win_length=64,
+                        fmax=4000.0, upsample_factors=(4, 4))
+    cfg = cfg_(mel=mel_cfg)
+    m = WaveNet(cfg, wn.init_params(cfg, jax.random.PRNGKey(3)))
+    frames = 3
+    mel = np.random.default_rng(0).normal(
+        size=(frames, mel_cfg.num_mels)).astype(np.float32)
+    with WaveNetServer(m, max_batch=2, max_wait_ms=1,
+                       chunk_seconds=16 / 8000) as srv:
+        wav = srv.synthesize(num_samples=frames * mel_cfg.hop_length,
+                             mel=mel, seed=4)
+        assert wav.shape == (frames * mel_cfg.hop_length,)
+        # num_samples beyond the mel coverage is a per-request error
+        h = srv.submit(num_samples=frames * mel_cfg.hop_length + 1,
+                       mel=mel)
+        with pytest.raises(ValueError, match="mel frames"):
+            h.waveform()
+        # the server survives the failed request
+        assert srv.synthesize(num_samples=16, mel=mel).shape == (16,)
+
+
+def test_server_rejects_bad_submissions():
+    m = model_()
+    with WaveNetServer(m, max_wait_ms=1) as srv:
+        with pytest.raises(ValueError, match="speaker"):
+            srv.submit(num_samples=8, speaker=1)
+        with pytest.raises(ValueError, match="mel"):
+            srv.submit(num_samples=8, mel=np.zeros((2, 8), np.float32))
+        with pytest.raises(ValueError, match="seconds"):
+            srv.submit()
+        with pytest.raises(ValueError, match="positive"):
+            srv.submit(num_samples=0)
+    with pytest.raises(RuntimeError, match="closed"):
+        srv.submit(num_samples=8)
+
+
+def test_http_front_end():
+    """stdlib HTTP wrapper: /healthz, /info, /synthesize (wav + chunked
+    PCM stream + error mapping) against a live ephemeral-port server."""
+    import io as io_mod
+    import json
+    import urllib.error
+    import urllib.request
+    import wave as wave_mod
+
+    from wavenet_tpu.serving.http import make_server
+
+    m = model_()
+    engine = WaveNetServer(m, max_batch=2, max_wait_ms=5,
+                           chunk_seconds=16 / 8000,
+                           length_quantum_seconds=32 / 8000)
+    server = make_server(engine, port=0)
+    host, port = server.server_address[:2]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    base = f"http://{host}:{port}"
+    try:
+        with urllib.request.urlopen(base + "/healthz") as r:
+            assert json.loads(r.read()) == {"ok": True}
+        with urllib.request.urlopen(base + "/info") as r:
+            info = json.loads(r.read())
+        assert info["sample_rate"] == 8000 and info["mel"] is False
+
+        body = json.dumps({"num_samples": 32, "seed": 3}).encode()
+        with urllib.request.urlopen(
+                urllib.request.Request(base + "/synthesize", data=body)) as r:
+            assert r.headers["Content-Type"] == "audio/wav"
+            with wave_mod.open(io_mod.BytesIO(r.read())) as w:
+                assert w.getframerate() == 8000
+                assert w.getnframes() == 32
+                pcm = np.frombuffer(w.readframes(32), "<i2")
+
+        body = json.dumps({"num_samples": 32, "seed": 3,
+                           "stream": True}).encode()
+        with urllib.request.urlopen(
+                urllib.request.Request(base + "/synthesize", data=body)) as r:
+            assert r.headers["Content-Type"] == "audio/L16"
+            assert int(r.headers["X-Sample-Rate"]) == 8000
+            streamed = np.frombuffer(r.read(), "<i2")
+        # same seed through the same engine: PCM identical across modes
+        np.testing.assert_array_equal(streamed, pcm)
+
+        bad = json.dumps({"num_samples": 8, "speaker": 1}).encode()
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(
+                urllib.request.Request(base + "/synthesize", data=bad))
+        assert ei.value.code == 400
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(base + "/nope")
+        assert ei.value.code == 404
+    finally:
+        server.shutdown()
+        engine.close(wait=False)
+
+
+def test_server_concurrent_consumers():
+    """Chunks stream to consumers on other threads while the worker is
+    still decoding; close(wait=True) drains everything submitted."""
+    m = model_()
+    srv = WaveNetServer(m, max_batch=2, max_wait_ms=50,
+                        chunk_seconds=16 / 8000,
+                        length_quantum_seconds=32 / 8000)
+    out = {}
+
+    def consume(name, h):
+        out[name] = h.waveform()
+
+    threads = []
+    handles = [(f"r{i}", srv.submit(num_samples=32, seed=i))
+               for i in range(4)]
+    for name, h in handles:
+        t = threading.Thread(target=consume, args=(name, h))
+        t.start()
+        threads.append(t)
+    srv.close(wait=True)
+    for t in threads:
+        t.join(timeout=30)
+    assert all(out[f"r{i}"].shape == (32,) for i in range(4))
+    assert srv.stats["requests"] == 4

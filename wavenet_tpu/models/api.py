@@ -178,10 +178,13 @@ class WaveNet:
         return wn.score_fn(self.params, self.cfg, jnp.asarray(tokens),
                            mel=mel, speaker=speaker)
 
-    def stream(self, seconds: float, chunk_seconds: float = 1.0,
+    def stream(self, seconds: Optional[float] = None,
+               chunk_seconds: float = 1.0,
                batch: int = 1, key: Optional[jax.Array] = None,
                prime_tokens=None, mel=None, speaker=None,
-               temperature: float = 1.0):
+               temperature: float = 1.0,
+               num_samples: Optional[int] = None,
+               chunk_samples: Optional[int] = None):
         """Yield float waveform chunks ([B, <=chunk] in [-1, 1]) as they are
         generated — the serving entry point for long-form synthesis.
         Bounded memory; the emitted audio is bit-identical to a one-shot
@@ -192,11 +195,17 @@ class WaveNet:
         from wavenet_tpu.generate.sampler import generate_stream
         import numpy as np
         key = jax.random.PRNGKey(0) if key is None else key
-        n = int(seconds * self.cfg.sample_rate)
+        if num_samples is None:
+            if seconds is None:
+                raise ValueError("pass seconds= or num_samples=")
+            num_samples = int(seconds * self.cfg.sample_rate)
+        n = num_samples
+        if chunk_samples is None:
+            chunk_samples = int(chunk_seconds * self.cfg.sample_rate)
         y = self._upsampled_cond(mel, prime_tokens, n)
         for toks in generate_stream(
                 self.params, self.cfg, key, n,
-                chunk_samples=int(chunk_seconds * self.cfg.sample_rate),
+                chunk_samples=chunk_samples,
                 batch=batch, prime_tokens=prime_tokens, y=y,
                 speaker=speaker, temperature=temperature):
             yield np.asarray(

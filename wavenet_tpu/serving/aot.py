@@ -1,0 +1,156 @@
+"""Ahead-of-time compiled decoder artifacts (jax.export).
+
+The reference deploys by shipping HDF5 weights plus the Chainer model code
+that rebuilds the graph at load time (SURVEY.md §1 "Generation driver" /
+§3.4).  The TPU-native serving equivalent is an AOT artifact: the whole
+autoregressive decode loop — already ONE compiled `lax.scan` — is lowered
+and serialized ONCE via `jax.export` (StableHLO), so a serving host needs
+only this loader and the artifact file: no model-construction code runs at
+boot, no Python retrace, only XLA's final backend pass on first call.
+
+Artifact layout (one .zip, conventionally *.wnx):
+  exported.jaxir   jax.export blob: fn(params, key[, speaker]) -> tokens
+  weights.npz      flat '/'-joined parameter arrays
+  config.json      WaveNetConfig JSON (arch validation + mu-law decode)
+  meta.json        {num_samples, batch, temperature, with_speaker, platforms}
+
+Scope: the exported computation is the XLA scan decoder (`wn.generate`) —
+platform-portable and shape-static.  The Pallas whole-loop kernel stays a
+JIT-time specialization (its Mosaic payload is libtpu-version-bound, the
+wrong thing to freeze into a deployment artifact); mel-conditioned serving
+(dynamic frame counts) goes through the live facade/server instead.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import zipfile
+from typing import Optional
+
+import numpy as np
+
+from wavenet_tpu.config import WaveNetConfig
+
+_EXPORTED = "exported.jaxir"
+_WEIGHTS = "weights.npz"
+_CONFIG = "config.json"
+_META = "meta.json"
+
+
+def _flatten(tree, prefix=""):
+    flat = {}
+    for k, v in tree.items():
+        if isinstance(v, dict):
+            flat.update(_flatten(v, f"{prefix}{k}/"))
+        else:
+            flat[prefix + k] = np.asarray(v)
+    return flat
+
+
+def _unflatten(flat):
+    tree: dict = {}
+    for key, v in flat.items():
+        node = tree
+        *parents, leaf = key.split("/")
+        for p in parents:
+            node = node.setdefault(p, {})
+        node[leaf] = v
+    return tree
+
+
+def export_decoder(params, cfg: WaveNetConfig, path: str, *,
+                   num_samples: int, batch: int = 1,
+                   temperature: float = 1.0,
+                   platforms: Optional[tuple] = None) -> None:
+    """Serialize an AOT decode artifact to `path`.
+
+    num_samples/batch/temperature are baked into the traced computation
+    (static shapes — the XLA contract); the PRNG key (and the speaker id
+    when cfg.global_classes is set) stay runtime inputs.  `platforms`
+    optionally cross-lowers for several backends (e.g. ("cpu", "tpu"));
+    default is the current backend only.
+    """
+    import jax
+    from jax import export as jexport
+
+    from wavenet_tpu.models import wavenet as wn
+
+    with_speaker = cfg.global_classes is not None
+
+    if with_speaker:
+        def fn(p, key, speaker):
+            return wn.generate(p, cfg, key, num_samples, batch=batch,
+                               speaker=speaker, temperature=temperature)
+        example = (params, jax.random.PRNGKey(0),
+                   np.zeros((batch,), np.int32))
+    else:
+        def fn(p, key):
+            return wn.generate(p, cfg, key, num_samples, batch=batch,
+                               temperature=temperature)
+        example = (params, jax.random.PRNGKey(0))
+
+    kw = {} if platforms is None else {"platforms": tuple(platforms)}
+    exported = jexport.export(jax.jit(fn), **kw)(*example)
+
+    wbuf = io.BytesIO()
+    np.savez(wbuf, **_flatten(params))
+    meta = {"num_samples": num_samples, "batch": batch,
+            "temperature": temperature, "with_speaker": with_speaker,
+            "platforms": list(exported.platforms)}
+    with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as z:
+        z.writestr(_EXPORTED, exported.serialize())
+        z.writestr(_WEIGHTS, wbuf.getvalue())
+        z.writestr(_CONFIG, cfg.to_json())
+        z.writestr(_META, json.dumps(meta))
+
+
+class AotDecoder:
+    """A loaded artifact: weights + the serialized decode computation.
+
+    generate(seed=..., speaker=...) -> [batch, num_samples] int32 tokens;
+    waveform(...) -> float32 audio in [-1, 1] (mu-law expanded).
+    """
+
+    def __init__(self, cfg: WaveNetConfig, params, exported, meta: dict):
+        self.cfg = cfg
+        self.params = params
+        self._exported = exported
+        self.num_samples = int(meta["num_samples"])
+        self.batch = int(meta["batch"])
+        self.temperature = float(meta["temperature"])
+        self.with_speaker = bool(meta["with_speaker"])
+        self.platforms = tuple(meta.get("platforms", ()))
+
+    def generate(self, seed: int = 0, key=None, speaker=None):
+        import jax
+        if key is None:
+            key = jax.random.PRNGKey(seed)
+        if self.with_speaker:
+            if speaker is None:
+                speaker = np.zeros((self.batch,), np.int32)
+            speaker = np.asarray(speaker, np.int32).reshape(self.batch)
+            return self._exported.call(self.params, key, speaker)
+        if speaker is not None:
+            raise ValueError("artifact was exported without global "
+                             "conditioning; speaker= is not an input")
+        return self._exported.call(self.params, key)
+
+    def waveform(self, seed: int = 0, key=None, speaker=None) -> np.ndarray:
+        from wavenet_tpu.audio import mulaw
+        toks = np.asarray(self.generate(seed=seed, key=key, speaker=speaker))
+        return mulaw.decode_np(toks, self.cfg.quantization_channels)
+
+
+def load_decoder(path: str) -> AotDecoder:
+    """Load an artifact written by export_decoder."""
+    import jax.numpy as jnp
+    from jax import export as jexport
+
+    with zipfile.ZipFile(path) as z:
+        exported = jexport.deserialize(z.read(_EXPORTED))
+        cfg = WaveNetConfig.from_json(z.read(_CONFIG).decode())
+        meta = json.loads(z.read(_META).decode())
+        with np.load(io.BytesIO(z.read(_WEIGHTS))) as w:
+            params = _unflatten({k: jnp.asarray(w[k]) for k in w.files})
+    return AotDecoder(cfg, params, exported, meta)

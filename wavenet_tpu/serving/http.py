@@ -1,0 +1,143 @@
+"""HTTP front-end over the microbatching server (stdlib-only).
+
+The reference had no serving surface at all — synthesis meant running
+generate.py by hand per utterance (SURVEY.md §3.2).  This module turns the
+WaveNetServer engine into a network service with nothing beyond the
+standard library: a ThreadingHTTPServer where every connection thread
+submits into the SAME engine, so concurrent HTTP requests are what feeds
+the microbatcher its batches.
+
+Endpoints:
+  GET  /healthz       -> {"ok": true}
+  GET  /info          -> config + engine stats JSON
+  POST /synthesize    -> audio.  JSON body:
+       {"seconds": 1.0 | "num_samples": 16000, "seed": 0,
+        "temperature": 1.0, "speaker": 3, "stream": false}
+       stream=false: complete 16-bit PCM WAV (Content-Type audio/wav).
+       stream=true:  chunked raw int16 PCM (audio/L16; headers carry
+       X-Sample-Rate / X-Num-Samples) — bytes flush as the model decodes,
+       time-to-first-byte is one engine chunk, not the whole utterance.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import struct
+import wave as wave_mod
+
+import numpy as np
+
+
+def _pcm16(x: np.ndarray) -> bytes:
+    return (np.clip(np.asarray(x, np.float32), -1.0, 1.0)
+            * 32767.0).astype("<i2").tobytes()
+
+
+def _wav_bytes(x: np.ndarray, rate: int) -> bytes:
+    buf = io.BytesIO()
+    with wave_mod.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(_pcm16(x))
+    return buf.getvalue()
+
+
+def make_server(engine, host: str = "127.0.0.1", port: int = 8000):
+    """Build (not start) a ThreadingHTTPServer bound to `engine`
+    (a WaveNetServer).  Call .serve_forever() / .shutdown() on the result;
+    the bound port is server.server_address[1] (use port=0 for ephemeral).
+    """
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    cfg = engine.cfg
+
+    class Handler(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+
+        def log_message(self, *a):  # quiet by default; stats via /info
+            pass
+
+        def _json(self, code: int, obj) -> None:
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._json(200, {"ok": True})
+            elif self.path == "/info":
+                self._json(200, {
+                    "sample_rate": cfg.sample_rate,
+                    "quantization_channels": cfg.quantization_channels,
+                    "receptive_field": cfg.receptive_field,
+                    "global_classes": cfg.global_classes,
+                    "mel": cfg.mel is not None,
+                    "stats": dict(engine.stats),
+                })
+            else:
+                self._json(404, {"error": "unknown path"})
+
+        def do_POST(self):
+            if self.path != "/synthesize":
+                self._json(404, {"error": "unknown path"})
+                return
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                req = json.loads(self.rfile.read(n) or b"{}")
+                handle = engine.submit(
+                    seconds=req.get("seconds"),
+                    num_samples=req.get("num_samples"),
+                    seed=int(req.get("seed", 0)),
+                    temperature=float(req.get("temperature", 1.0)),
+                    speaker=req.get("speaker"))
+            except (ValueError, KeyError, json.JSONDecodeError) as e:
+                self._json(400, {"error": str(e)})
+                return
+            try:
+                if req.get("stream"):
+                    self._stream(handle)
+                else:
+                    wav = _wav_bytes(handle.waveform(), cfg.sample_rate)
+                    self.send_response(200)
+                    self.send_header("Content-Type", "audio/wav")
+                    self.send_header("Content-Length", str(len(wav)))
+                    self.end_headers()
+                    self.wfile.write(wav)
+            except ValueError as e:   # engine-side request failure
+                self._json(400, {"error": str(e)})
+            except Exception as e:    # unexpected decode-side failure
+                self._json(500, {"error": f"{type(e).__name__}: {e}"})
+
+        def _stream(self, handle):
+            chunks = iter(handle)
+            try:
+                first = next(chunks)
+            except StopIteration:
+                first = None
+            # pull the first chunk BEFORE committing the status line so a
+            # decode failure can still return a clean 400
+            self.send_response(200)
+            self.send_header("Content-Type", "audio/L16")
+            self.send_header("X-Sample-Rate", str(cfg.sample_rate))
+            self.send_header("Transfer-Encoding", "chunked")
+            self.end_headers()
+
+            def emit(data: bytes):
+                self.wfile.write(f"{len(data):x}\r\n".encode())
+                self.wfile.write(data + b"\r\n")
+                self.wfile.flush()
+
+            if first is not None:
+                emit(_pcm16(first))
+            for c in chunks:
+                emit(_pcm16(c))
+            self.wfile.write(b"0\r\n\r\n")
+
+    server = ThreadingHTTPServer((host, port), Handler)
+    server.daemon_threads = True
+    return server

@@ -1,0 +1,272 @@
+"""In-process synthesis server: request microbatching over streaming decode.
+
+The reference "serves" by running generate.py per utterance — one process,
+one request, O(RF) python per sample (SURVEY.md §3.2).  The TPU-native
+equivalent is an engine that keeps ONE compiled decoder hot and feeds it
+batches: concurrent requests are grouped into fixed-shape microbatches
+(length/temperature buckets, rows padded to a bucketed batch size so the
+jit cache stays bounded), the whole batch decodes in one streaming scan,
+and each request receives its own waveform chunks as they are produced.
+
+Design points:
+  * Batch composition is DETERMINISTIC given the rows: the decode key is
+    PRNGKey(0) folded with each request's seed in row order, so a test (or
+    a replaying client) can reproduce a batch bit-exactly with
+    WaveNet.stream + the same key.
+  * Shapes are static per (length-bucket, batch-bucket, temperature)
+    group — each group compiles once, then every future batch with that
+    signature reuses the executable.  Padding rows are dummy speaker-0
+    requests whose outputs are dropped; per-request lengths are trimmed
+    from the bucketed scan length on the way out.
+  * Mel-conditioned requests carry request-specific frame counts (dynamic
+    shapes); they run as singleton batches through the same worker rather
+    than forcing a recompile per grouping.
+  * Chunks flow through per-request queues (unbounded: one second of
+    16 kHz float32 audio is 64 KB, so a lagging consumer costs memory
+    proportional to its own utterance, never stalls the TPU loop).
+"""
+
+from __future__ import annotations
+
+import itertools
+import queue
+import threading
+from dataclasses import dataclass, field
+from typing import Iterator, Optional
+
+import numpy as np
+
+
+def _bucket(n: int, quantum: int) -> int:
+    """Round n up to a multiple of quantum (compile-cache bounding)."""
+    return max(quantum, ((n + quantum - 1) // quantum) * quantum)
+
+
+def _batch_bucket(n: int, max_batch: int) -> int:
+    """Next power of two >= n, capped at max_batch."""
+    b = 1
+    while b < n and b < max_batch:
+        b *= 2
+    return min(b, max_batch)
+
+
+@dataclass
+class _Request:
+    num_samples: int
+    seed: int
+    temperature: float
+    speaker: Optional[int]
+    mel: Optional[np.ndarray]
+    chunks: "queue.Queue" = field(default_factory=queue.Queue)
+    error: Optional[BaseException] = None
+
+
+_DONE = object()
+
+
+class ResponseStream:
+    """Handle returned by submit(): iterate waveform chunks, or collect all.
+
+    Iterating yields float32 [n] arrays in [-1, 1]; waveform() concatenates
+    them.  Raises the server-side exception (if any) at the point of
+    consumption.
+    """
+
+    def __init__(self, req: _Request, rate: int):
+        self._req = req
+        self.sample_rate = rate
+
+    def __iter__(self) -> Iterator[np.ndarray]:
+        while True:
+            item = self._req.chunks.get()
+            if item is _DONE:
+                if self._req.error is not None:
+                    raise self._req.error
+                return
+            yield item
+
+    def waveform(self) -> np.ndarray:
+        parts = list(self)
+        return (np.concatenate(parts) if parts
+                else np.zeros((0,), np.float32))
+
+
+class WaveNetServer:
+    """Microbatching synthesis engine around a WaveNet facade.
+
+    server = WaveNetServer(model, max_batch=8)
+    h = server.submit(seconds=1.0, speaker=3, seed=17)
+    audio = h.waveform()          # or: for chunk in h: play(chunk)
+    server.close()
+
+    max_wait_ms bounds the batching latency: the worker collects requests
+    for up to that long (or until max_batch are waiting), then launches.
+    """
+
+    def __init__(self, model, max_batch: int = 8, max_wait_ms: float = 10.0,
+                 chunk_seconds: float = 0.5,
+                 length_quantum_seconds: float = 0.5):
+        self.model = model
+        self.cfg = model.cfg
+        self.max_batch = int(max_batch)
+        self.max_wait_s = float(max_wait_ms) / 1e3
+        self.chunk_samples = max(1, int(chunk_seconds * self.cfg.sample_rate))
+        self.length_quantum = max(
+            1, int(length_quantum_seconds * self.cfg.sample_rate))
+        self.stats = {"requests": 0, "batches": 0, "padded_rows": 0,
+                      "samples_out": 0}
+        self._inbox: "queue.Queue" = queue.Queue()
+        self._closed = False
+        self._worker = threading.Thread(target=self._run, daemon=True)
+        self._worker.start()
+
+    # ---- client surface ----
+
+    def submit(self, seconds: Optional[float] = None,
+               num_samples: Optional[int] = None, seed: int = 0,
+               temperature: float = 1.0, speaker: Optional[int] = None,
+               mel: Optional[np.ndarray] = None) -> ResponseStream:
+        """Enqueue one utterance; returns immediately with a ResponseStream."""
+        if self._closed:
+            raise RuntimeError("server is closed")
+        if num_samples is None:
+            if seconds is None:
+                raise ValueError("pass seconds= or num_samples=")
+            num_samples = int(seconds * self.cfg.sample_rate)
+        if num_samples <= 0:
+            raise ValueError("num_samples must be positive")
+        if speaker is not None and self.cfg.global_classes is None:
+            raise ValueError("model has no global conditioning; speaker= "
+                             "is not an input")
+        if mel is not None and self.cfg.mel is None:
+            raise ValueError("model is unconditional; mel= is not an input")
+        req = _Request(int(num_samples), int(seed), float(temperature),
+                       None if speaker is None else int(speaker),
+                       None if mel is None else np.asarray(mel, np.float32))
+        self.stats["requests"] += 1
+        self._inbox.put(req)
+        return ResponseStream(req, self.cfg.sample_rate)
+
+    def synthesize(self, **kw) -> np.ndarray:
+        """Blocking convenience: submit() + waveform()."""
+        return self.submit(**kw).waveform()
+
+    def close(self, wait: bool = True) -> None:
+        """Stop accepting requests; optionally drain in-flight work."""
+        if self._closed:
+            return
+        self._closed = True
+        self._inbox.put(_DONE)
+        if wait:
+            self._worker.join()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    # ---- worker ----
+
+    def _collect(self):
+        """Gather one microbatch group: first request fixes the group
+        signature; compatible requests arriving within max_wait_s join."""
+        first = self._inbox.get()
+        if first is _DONE:
+            return None
+        if first.mel is not None:
+            return [first]  # dynamic-shape conditioning: singleton batch
+        group = [first]
+        sig = (_bucket(first.num_samples, self.length_quantum),
+               first.temperature)
+        deadline = _monotonic() + self.max_wait_s
+        leftovers, saw_done = [], False
+        while len(group) < self.max_batch:
+            remaining = deadline - _monotonic()
+            if remaining <= 0:
+                break
+            try:
+                nxt = self._inbox.get(timeout=remaining)
+            except queue.Empty:
+                break
+            if nxt is _DONE:
+                saw_done = True
+                break
+            if (nxt.mel is None
+                    and (_bucket(nxt.num_samples, self.length_quantum),
+                         nxt.temperature) == sig):
+                group.append(nxt)
+            else:
+                leftovers.append(nxt)
+        for r in leftovers:  # keep deferred requests ahead of shutdown
+            self._inbox.put(r)
+        if saw_done:
+            self._inbox.put(_DONE)  # re-arm shutdown after the drain
+        return group
+
+    def _run(self):
+        while True:
+            group = self._collect()
+            if group is None:
+                return
+            try:
+                self._decode_group(group)
+            except BaseException as e:  # surface to every waiting client
+                for r in group:
+                    r.error = e
+            finally:
+                for r in group:
+                    r.chunks.put(_DONE)
+
+    def _decode_group(self, group):
+        import jax
+
+        n_real = len(group)
+        scan_len = _bucket(max(r.num_samples for r in group),
+                           self.length_quantum)
+        B = _batch_bucket(n_real, self.max_batch)
+        self.stats["batches"] += 1
+        self.stats["padded_rows"] += B - n_real
+
+        key = jax.random.PRNGKey(0)
+        for r in group:
+            key = jax.random.fold_in(key, r.seed)
+
+        speaker = None
+        if self.cfg.global_classes is not None:
+            ids = [0 if r.speaker is None else r.speaker for r in group]
+            speaker = np.asarray(ids + [0] * (B - n_real), np.int32)
+
+        mel = None
+        if group[0].mel is not None:
+            mel = group[0].mel[None] if group[0].mel.ndim == 2 \
+                else group[0].mel
+            # mel requests run singly at their exact length (dynamic frame
+            # counts make bucketing moot: the cond shape recompiles anyway)
+            cap = mel.shape[1] * self.cfg.mel.hop_length
+            if group[0].num_samples > cap:
+                raise ValueError(
+                    f"num_samples={group[0].num_samples} exceeds the "
+                    f"{cap} samples covered by {mel.shape[1]} mel frames")
+            scan_len = group[0].num_samples
+
+        emitted = [0] * n_real
+        for chunk in self.model.stream(
+                num_samples=scan_len, chunk_samples=self.chunk_samples,
+                batch=B, key=key, mel=mel, speaker=speaker,
+                temperature=group[0].temperature):
+            chunk = np.asarray(chunk, np.float32)
+            for i, r in enumerate(group):
+                take = min(chunk.shape[1], r.num_samples - emitted[i])
+                if take > 0:
+                    r.chunks.put(chunk[i, :take])
+                    emitted[i] += take
+                    self.stats["samples_out"] += take
+            if all(emitted[i] >= group[i].num_samples
+                   for i in range(n_real)):
+                break  # bucket tail serves nobody; stop the scan early
+
+
+def _monotonic() -> float:
+    import time
+    return time.monotonic()
