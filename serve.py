@@ -41,8 +41,10 @@ def parse_args(argv=None):
                    help="requested lengths round up to this quantum "
                         "(bounds the compile cache)")
     p.add_argument("--warmup-seconds", type=float, default=0.0,
-                   help="synthesize this much audio per batch bucket at "
-                        "boot so the first real request hits a warm jit")
+                   help="synthesize this much audio through EVERY batch "
+                        "bucket (1, 2, 4, ... max-batch) at boot so the "
+                        "first real requests hit warm jits regardless of "
+                        "how they group")
     return p.parse_args(argv)
 
 
@@ -62,8 +64,19 @@ def main(argv=None) -> int:
                            chunk_seconds=args.chunk_seconds,
                            length_quantum_seconds=args.length_quantum_seconds)
     if args.warmup_seconds > 0:
-        engine.synthesize(seconds=args.warmup_seconds, seed=0)
-        print(f"warmup: {args.warmup_seconds}s synthesized")
+        import time
+        b = 1
+        while True:
+            t0 = time.time()
+            handles = [engine.submit(seconds=args.warmup_seconds, seed=i)
+                       for i in range(b)]
+            for h in handles:
+                h.waveform()
+            print(f"warmup: batch bucket {b} compiled+ran "
+                  f"in {time.time() - t0:.1f}s")
+            if b >= args.max_batch:
+                break
+            b = min(b * 2, args.max_batch)
 
     server = make_server(engine, host=args.host, port=args.port)
     host, port = server.server_address[:2]

@@ -208,6 +208,39 @@ def test_server_rejects_bad_submissions():
         srv.submit(num_samples=8)
 
 
+def test_server_rejects_out_of_range_speaker():
+    """XLA gathers clamp out-of-range ids silently; the server must reject
+    them instead of synthesizing the wrong speaker."""
+    cfg = cfg_(global_classes=3, global_channels=8)
+    m = WaveNet(cfg, wn.init_params(cfg, jax.random.PRNGKey(0)))
+    with WaveNetServer(m, max_wait_ms=1) as srv:
+        with pytest.raises(ValueError, match="out of range"):
+            srv.submit(num_samples=8, speaker=3)
+        with pytest.raises(ValueError, match="out of range"):
+            srv.submit(num_samples=8, speaker=-1)
+        assert srv.synthesize(num_samples=8, speaker=2).shape == (8,)
+
+
+def test_response_stream_one_shot_and_composable():
+    """Partial consumption composes (first chunk + waveform() rest); an
+    exhausted stream never blocks — repeat reads yield nothing."""
+    m = model_()
+    with WaveNetServer(m, max_batch=1, max_wait_ms=1,
+                       chunk_seconds=16 / 8000,
+                       length_quantum_seconds=8 / 8000) as srv:
+        h = srv.submit(num_samples=40, seed=11)
+        it = iter(h)
+        first = next(it)
+        rest = h.waveform()
+        assert first.shape == (16,) and rest.shape == (24,)
+        # exhausted: no hang, empty results
+        assert list(h) == []
+        assert h.waveform().shape == (0,)
+
+        want = srv.synthesize(num_samples=40, seed=11)
+    np.testing.assert_array_equal(np.concatenate([first, rest]), want)
+
+
 def test_http_front_end():
     """stdlib HTTP wrapper: /healthz, /info, /synthesize (wav + chunked
     PCM stream + error mapping) against a live ephemeral-port server."""
@@ -250,18 +283,39 @@ def test_http_front_end():
                 urllib.request.Request(base + "/synthesize", data=body)) as r:
             assert r.headers["Content-Type"] == "audio/L16"
             assert int(r.headers["X-Sample-Rate"]) == 8000
+            assert int(r.headers["X-Num-Samples"]) == 32
             streamed = np.frombuffer(r.read(), "<i2")
         # same seed through the same engine: PCM identical across modes
         np.testing.assert_array_equal(streamed, pcm)
 
-        bad = json.dumps({"num_samples": 8, "speaker": 1}).encode()
-        with pytest.raises(urllib.error.HTTPError) as ei:
-            urllib.request.urlopen(
-                urllib.request.Request(base + "/synthesize", data=bad))
-        assert ei.value.code == 400
+        # bad requests map to 400, not dropped connections
+        for bad in ({"num_samples": 8, "speaker": 1},       # no global cond
+                    {"num_samples": [8]},                   # wrong type
+                    {"temperature": None, "seconds": 0.1},  # wrong type
+                    "not an object"):
+            data = json.dumps(bad).encode()
+            with pytest.raises(urllib.error.HTTPError) as ei:
+                urllib.request.urlopen(
+                    urllib.request.Request(base + "/synthesize", data=data))
+            assert ei.value.code == 400, bad
         with pytest.raises(urllib.error.HTTPError) as ei:
             urllib.request.urlopen(base + "/nope")
         assert ei.value.code == 404
+
+        # keep-alive stays usable after an error response with a body:
+        # the handler must drain unread POST bodies (HTTP/1.1 framing)
+        import http.client
+        conn = http.client.HTTPConnection(host, port, timeout=30)
+        conn.request("POST", "/wrongpath",
+                     body=json.dumps({"seconds": 1.0}).encode())
+        r1 = conn.getresponse()
+        assert r1.status == 404
+        r1.read()
+        conn.request("POST", "/synthesize",
+                     body=json.dumps({"num_samples": 16}).encode())
+        r2 = conn.getresponse()
+        assert r2.status == 200 and len(r2.read()) > 44
+        conn.close()
     finally:
         server.shutdown()
         engine.close(wait=False)

@@ -78,17 +78,10 @@ class WaveNet:
         single-file interchange artifact the reference's HDF5 weight files
         were; orbax checkpoints stay the training format."""
         import numpy as np
+        from wavenet_tpu.utils.pytree_io import flatten_tree
         if self.params is None:
             raise ValueError("no params; call init() or load a checkpoint")
-        flat = {}
-
-        def walk(tree, prefix=""):
-            for k, v in tree.items():
-                if isinstance(v, dict):
-                    walk(v, f"{prefix}{k}/")
-                else:
-                    flat[prefix + k] = np.asarray(v)
-        walk(self.params)
+        flat = flatten_tree(self.params)
         flat["__config__"] = np.frombuffer(
             self.cfg.to_json().encode(), dtype=np.uint8)
         np.savez(path, **flat)
@@ -98,18 +91,13 @@ class WaveNet:
         """Load a model exported with export_npz (config travels inside)."""
         import numpy as np
         from wavenet_tpu.config import WaveNetConfig
+        from wavenet_tpu.utils.pytree_io import unflatten_tree
         with np.load(path) as z:
             cfg = WaveNetConfig.from_json(
                 bytes(z["__config__"]).decode())
-            params: dict = {}
-            for key in z.files:
-                if key == "__config__":
-                    continue
-                node = params
-                *parents, leaf = key.split("/")
-                for p in parents:
-                    node = node.setdefault(p, {})
-                node[leaf] = jnp.asarray(z[key])
+            params = unflatten_tree(
+                {k: jnp.asarray(z[k]) for k in z.files
+                 if k != "__config__"})
         return cls(cfg, params)
 
     # ---- model surface ----

@@ -31,32 +31,12 @@ from typing import Optional
 import numpy as np
 
 from wavenet_tpu.config import WaveNetConfig
+from wavenet_tpu.utils.pytree_io import flatten_tree, unflatten_tree
 
 _EXPORTED = "exported.jaxir"
 _WEIGHTS = "weights.npz"
 _CONFIG = "config.json"
 _META = "meta.json"
-
-
-def _flatten(tree, prefix=""):
-    flat = {}
-    for k, v in tree.items():
-        if isinstance(v, dict):
-            flat.update(_flatten(v, f"{prefix}{k}/"))
-        else:
-            flat[prefix + k] = np.asarray(v)
-    return flat
-
-
-def _unflatten(flat):
-    tree: dict = {}
-    for key, v in flat.items():
-        node = tree
-        *parents, leaf = key.split("/")
-        for p in parents:
-            node = node.setdefault(p, {})
-        node[leaf] = v
-    return tree
 
 
 def export_decoder(params, cfg: WaveNetConfig, path: str, *,
@@ -94,7 +74,7 @@ def export_decoder(params, cfg: WaveNetConfig, path: str, *,
     exported = jexport.export(jax.jit(fn), **kw)(*example)
 
     wbuf = io.BytesIO()
-    np.savez(wbuf, **_flatten(params))
+    np.savez(wbuf, **flatten_tree(params))
     meta = {"num_samples": num_samples, "batch": batch,
             "temperature": temperature, "with_speaker": with_speaker,
             "platforms": list(exported.platforms)}
@@ -152,5 +132,5 @@ def load_decoder(path: str) -> AotDecoder:
         cfg = WaveNetConfig.from_json(z.read(_CONFIG).decode())
         meta = json.loads(z.read(_META).decode())
         with np.load(io.BytesIO(z.read(_WEIGHTS))) as w:
-            params = _unflatten({k: jnp.asarray(w[k]) for k in w.files})
+            params = unflatten_tree({k: jnp.asarray(w[k]) for k in w.files})
     return AotDecoder(cfg, params, exported, meta)

@@ -29,6 +29,10 @@ import wave as wave_mod
 import numpy as np
 
 
+def _opt_int(v):
+    return None if v is None else int(v)
+
+
 def _pcm16(x: np.ndarray) -> bytes:
     return (np.clip(np.asarray(x, np.float32), -1.0, 1.0)
             * 32767.0).astype("<i2").tobytes()
@@ -82,22 +86,33 @@ def make_server(engine, host: str = "127.0.0.1", port: int = 8000):
             else:
                 self._json(404, {"error": "unknown path"})
 
+        def _read_body(self) -> bytes:
+            # always drain the body, even on error paths: unread bytes on a
+            # keep-alive connection would be parsed as the next request line
+            n = int(self.headers.get("Content-Length", 0))
+            return self.rfile.read(n) if n else b""
+
         def do_POST(self):
+            body = self._read_body()
             if self.path != "/synthesize":
                 self._json(404, {"error": "unknown path"})
                 return
             try:
-                n = int(self.headers.get("Content-Length", 0))
-                req = json.loads(self.rfile.read(n) or b"{}")
+                req = json.loads(body or b"{}")
+                if not isinstance(req, dict):
+                    raise ValueError("request body must be a JSON object")
+                seconds = req.get("seconds")
                 handle = engine.submit(
-                    seconds=req.get("seconds"),
-                    num_samples=req.get("num_samples"),
+                    seconds=None if seconds is None else float(seconds),
+                    num_samples=_opt_int(req.get("num_samples")),
                     seed=int(req.get("seed", 0)),
                     temperature=float(req.get("temperature", 1.0)),
-                    speaker=req.get("speaker"))
-            except (ValueError, KeyError, json.JSONDecodeError) as e:
+                    speaker=_opt_int(req.get("speaker")))
+            except (ValueError, KeyError, TypeError,
+                    json.JSONDecodeError) as e:
                 self._json(400, {"error": str(e)})
                 return
+            self._committed = False
             try:
                 if req.get("stream"):
                     self._stream(handle)
@@ -107,23 +122,34 @@ def make_server(engine, host: str = "127.0.0.1", port: int = 8000):
                     self.send_header("Content-Type", "audio/wav")
                     self.send_header("Content-Length", str(len(wav)))
                     self.end_headers()
+                    self._committed = True
                     self.wfile.write(wav)
-            except ValueError as e:   # engine-side request failure
-                self._json(400, {"error": str(e)})
-            except Exception as e:    # unexpected decode-side failure
-                self._json(500, {"error": f"{type(e).__name__}: {e}"})
+            except Exception as e:
+                if self._committed:
+                    # a response is already on the wire: a second status
+                    # line would corrupt the chunked framing — drop the
+                    # connection so the client sees a hard truncation
+                    self.close_connection = True
+                    return
+                if isinstance(e, ValueError):
+                    self._json(400, {"error": str(e)})
+                else:
+                    self._json(500, {"error": f"{type(e).__name__}: {e}"})
 
-        def _stream(self, handle):
+        def _stream(self, handle) -> None:
+            """Chunked PCM response; sets self._committed once the 200
+            status line is on the wire (the first chunk is pulled
+            beforehand so decode failures still map to a clean 400/500)."""
             chunks = iter(handle)
             try:
                 first = next(chunks)
             except StopIteration:
                 first = None
-            # pull the first chunk BEFORE committing the status line so a
-            # decode failure can still return a clean 400
+            self._committed = True
             self.send_response(200)
             self.send_header("Content-Type", "audio/L16")
             self.send_header("X-Sample-Rate", str(cfg.sample_rate))
+            self.send_header("X-Num-Samples", str(handle.num_samples))
             self.send_header("Transfer-Encoding", "chunked")
             self.end_headers()
 

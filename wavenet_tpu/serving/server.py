@@ -68,18 +68,24 @@ class ResponseStream:
     """Handle returned by submit(): iterate waveform chunks, or collect all.
 
     Iterating yields float32 [n] arrays in [-1, 1]; waveform() concatenates
-    them.  Raises the server-side exception (if any) at the point of
+    whatever has not been consumed yet (so `first = next(iter(h))` then
+    `rest = h.waveform()` composes).  The stream is one-shot: once
+    exhausted, further iteration yields nothing and waveform() returns an
+    empty array.  Raises the server-side exception (if any) at the point of
     consumption.
     """
 
     def __init__(self, req: _Request, rate: int):
         self._req = req
+        self._exhausted = False
         self.sample_rate = rate
+        self.num_samples = req.num_samples
 
     def __iter__(self) -> Iterator[np.ndarray]:
-        while True:
+        while not self._exhausted:
             item = self._req.chunks.get()
             if item is _DONE:
+                self._exhausted = True
                 if self._req.error is not None:
                     raise self._req.error
                 return
@@ -115,10 +121,18 @@ class WaveNetServer:
             1, int(length_quantum_seconds * self.cfg.sample_rate))
         self.stats = {"requests": 0, "batches": 0, "padded_rows": 0,
                       "samples_out": 0}
+        self._stats_lock = threading.Lock()
         self._inbox: "queue.Queue" = queue.Queue()
+        # guards the closed-check + enqueue pair in submit() against a
+        # concurrent close(): nothing may enter the inbox after _DONE
+        self._submit_lock = threading.Lock()
         self._closed = False
         self._worker = threading.Thread(target=self._run, daemon=True)
         self._worker.start()
+
+    def _bump(self, key: str, n: int = 1) -> None:
+        with self._stats_lock:
+            self.stats[key] += n
 
     # ---- client surface ----
 
@@ -127,24 +141,32 @@ class WaveNetServer:
                temperature: float = 1.0, speaker: Optional[int] = None,
                mel: Optional[np.ndarray] = None) -> ResponseStream:
         """Enqueue one utterance; returns immediately with a ResponseStream."""
-        if self._closed:
-            raise RuntimeError("server is closed")
         if num_samples is None:
             if seconds is None:
                 raise ValueError("pass seconds= or num_samples=")
             num_samples = int(seconds * self.cfg.sample_rate)
         if num_samples <= 0:
             raise ValueError("num_samples must be positive")
-        if speaker is not None and self.cfg.global_classes is None:
-            raise ValueError("model has no global conditioning; speaker= "
-                             "is not an input")
+        if speaker is not None:
+            if self.cfg.global_classes is None:
+                raise ValueError("model has no global conditioning; "
+                                 "speaker= is not an input")
+            if not 0 <= int(speaker) < self.cfg.global_classes:
+                # XLA's gather clamps out-of-range ids silently — reject
+                # here instead of synthesizing the wrong speaker
+                raise ValueError(
+                    f"speaker={speaker} out of range "
+                    f"[0, {self.cfg.global_classes})")
         if mel is not None and self.cfg.mel is None:
             raise ValueError("model is unconditional; mel= is not an input")
         req = _Request(int(num_samples), int(seed), float(temperature),
                        None if speaker is None else int(speaker),
                        None if mel is None else np.asarray(mel, np.float32))
-        self.stats["requests"] += 1
-        self._inbox.put(req)
+        with self._submit_lock:
+            if self._closed:
+                raise RuntimeError("server is closed")
+            self._bump("requests")
+            self._inbox.put(req)
         return ResponseStream(req, self.cfg.sample_rate)
 
     def synthesize(self, **kw) -> np.ndarray:
@@ -153,10 +175,11 @@ class WaveNetServer:
 
     def close(self, wait: bool = True) -> None:
         """Stop accepting requests; optionally drain in-flight work."""
-        if self._closed:
-            return
-        self._closed = True
-        self._inbox.put(_DONE)
+        with self._submit_lock:
+            if self._closed:
+                return
+            self._closed = True
+            self._inbox.put(_DONE)
         if wait:
             self._worker.join()
 
@@ -225,8 +248,8 @@ class WaveNetServer:
         scan_len = _bucket(max(r.num_samples for r in group),
                            self.length_quantum)
         B = _batch_bucket(n_real, self.max_batch)
-        self.stats["batches"] += 1
-        self.stats["padded_rows"] += B - n_real
+        self._bump("batches")
+        self._bump("padded_rows", B - n_real)
 
         key = jax.random.PRNGKey(0)
         for r in group:
@@ -261,7 +284,7 @@ class WaveNetServer:
                 if take > 0:
                     r.chunks.put(chunk[i, :take])
                     emitted[i] += take
-                    self.stats["samples_out"] += take
+                    self._bump("samples_out", take)
             if all(emitted[i] >= group[i].num_samples
                    for i in range(n_real)):
                 break  # bucket tail serves nobody; stop the scan early
