@@ -46,6 +46,12 @@ def parse_args(argv=None):
     p.add_argument("--no-ema", action="store_true",
                    help="sample from the raw training weights even when the "
                         "checkpoint kept Polyak-averaged (EMA) weights")
+    p.add_argument("--export-aot", default=None, metavar="FILE.wnx",
+                   help="instead of sampling, freeze the decode computation "
+                        "for (--seconds, --batch, --temperature) via "
+                        "jax.export into one deployment artifact "
+                        "(wavenet_tpu.serving.load_decoder loads it without "
+                        "model code)")
     p.add_argument("--data-parallel", type=int, default=1, metavar="N",
                    help="decode across N devices on the data (batch) mesh "
                         "axis (distributed AR generation)")
@@ -73,6 +79,19 @@ def main(argv=None):
     model = WaveNet.from_checkpoint(args.ckpt, step=args.step,
                                     use_ema=not args.no_ema)
     cfg, params = model.cfg, model.params
+
+    if args.export_aot:
+        if args.prime or args.mel_from or args.stream or args.naive:
+            sys.exit("--export-aot freezes the plain decode scan; drop "
+                     "--prime/--mel-from/--stream/--naive")
+        from wavenet_tpu.serving import export_decoder
+        export_decoder(params, cfg, args.export_aot,
+                       num_samples=int(args.seconds * cfg.sample_rate),
+                       batch=args.batch, temperature=args.temperature)
+        print(f"wrote {args.export_aot} "
+              f"({args.seconds}s x batch {args.batch}"
+              f"{', speaker input' if cfg.global_classes else ''})")
+        return 0
 
     prime_tokens = None
     if args.prime:
