@@ -193,6 +193,27 @@ def test_server_mel_singleton_and_error_surfacing():
         assert srv.synthesize(num_samples=16, mel=mel).shape == (16,)
 
 
+def test_server_primed_request():
+    """Priming runs as a singleton batch and matches WaveNet.stream with
+    the same mu-law-encoded prime and fold-in key."""
+    from wavenet_tpu.audio import mulaw
+    m = model_()
+    t = np.arange(24) / 8000.0
+    prime_wave = (0.3 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+    with WaveNetServer(m, max_batch=4, max_wait_ms=1,
+                       chunk_seconds=16 / 8000,
+                       length_quantum_seconds=32 / 8000) as srv:
+        wav = srv.synthesize(num_samples=40, seed=5, prime=prime_wave)
+    assert wav.shape == (40,)
+
+    pt = mulaw.encode_np(prime_wave, m.cfg.quantization_channels)[None]
+    ref = np.concatenate(
+        [np.asarray(c) for c in m.stream(num_samples=40, chunk_samples=16,
+                                         batch=1, key=fold_key([5]),
+                                         prime_tokens=pt)], axis=1)
+    np.testing.assert_array_equal(wav, ref[0])
+
+
 def test_server_rejects_bad_submissions():
     m = model_()
     with WaveNetServer(m, max_wait_ms=1) as srv:

@@ -18,9 +18,9 @@ Design points:
     signature reuses the executable.  Padding rows are dummy speaker-0
     requests whose outputs are dropped; per-request lengths are trimmed
     from the bucketed scan length on the way out.
-  * Mel-conditioned requests carry request-specific frame counts (dynamic
-    shapes); they run as singleton batches through the same worker rather
-    than forcing a recompile per grouping.
+  * Mel-conditioned and primed (voice-continuation) requests carry
+    request-specific shapes; they run as singleton batches through the
+    same worker rather than forcing a recompile per grouping.
   * Chunks flow through per-request queues (unbounded: one second of
     16 kHz float32 audio is 64 KB, so a lagging consumer costs memory
     proportional to its own utterance, never stalls the TPU loop).
@@ -57,6 +57,7 @@ class _Request:
     temperature: float
     speaker: Optional[int]
     mel: Optional[np.ndarray]
+    prime: Optional[np.ndarray] = None
     chunks: "queue.Queue" = field(default_factory=queue.Queue)
     error: Optional[BaseException] = None
 
@@ -139,8 +140,15 @@ class WaveNetServer:
     def submit(self, seconds: Optional[float] = None,
                num_samples: Optional[int] = None, seed: int = 0,
                temperature: float = 1.0, speaker: Optional[int] = None,
-               mel: Optional[np.ndarray] = None) -> ResponseStream:
-        """Enqueue one utterance; returns immediately with a ResponseStream."""
+               mel: Optional[np.ndarray] = None,
+               prime: Optional[np.ndarray] = None) -> ResponseStream:
+        """Enqueue one utterance; returns immediately with a ResponseStream.
+
+        prime: optional [P] float waveform in [-1, 1] to continue from
+        (mu-law encoded here; the emitted audio excludes the prime).  Like
+        mel, priming carries request-specific shapes, so primed requests
+        decode as singleton batches.
+        """
         if num_samples is None:
             if seconds is None:
                 raise ValueError("pass seconds= or num_samples=")
@@ -159,9 +167,14 @@ class WaveNetServer:
                     f"[0, {self.cfg.global_classes})")
         if mel is not None and self.cfg.mel is None:
             raise ValueError("model is unconditional; mel= is not an input")
+        if prime is not None:
+            prime = np.asarray(prime, np.float32).reshape(-1)
+            if prime.size == 0:
+                prime = None
         req = _Request(int(num_samples), int(seed), float(temperature),
                        None if speaker is None else int(speaker),
-                       None if mel is None else np.asarray(mel, np.float32))
+                       None if mel is None else np.asarray(mel, np.float32),
+                       prime)
         with self._submit_lock:
             if self._closed:
                 raise RuntimeError("server is closed")
@@ -197,8 +210,8 @@ class WaveNetServer:
         first = self._inbox.get()
         if first is _DONE:
             return None
-        if first.mel is not None:
-            return [first]  # dynamic-shape conditioning: singleton batch
+        if first.mel is not None or first.prime is not None:
+            return [first]  # dynamic-shape request: singleton batch
         group = [first]
         sig = (_bucket(first.num_samples, self.length_quantum),
                first.temperature)
@@ -215,7 +228,7 @@ class WaveNetServer:
             if nxt is _DONE:
                 saw_done = True
                 break
-            if (nxt.mel is None
+            if (nxt.mel is None and nxt.prime is None
                     and (_bucket(nxt.num_samples, self.length_quantum),
                          nxt.temperature) == sig):
                 group.append(nxt)
@@ -273,10 +286,18 @@ class WaveNetServer:
                     f"{cap} samples covered by {mel.shape[1]} mel frames")
             scan_len = group[0].num_samples
 
+        prime_tokens = None
+        if group[0].prime is not None:
+            from wavenet_tpu.audio import mulaw
+            prime_tokens = mulaw.encode_np(
+                group[0].prime, self.cfg.quantization_channels)[None]
+            scan_len = group[0].num_samples  # singleton: exact length
+
         emitted = [0] * n_real
         for chunk in self.model.stream(
                 num_samples=scan_len, chunk_samples=self.chunk_samples,
                 batch=B, key=key, mel=mel, speaker=speaker,
+                prime_tokens=prime_tokens,
                 temperature=group[0].temperature):
             chunk = np.asarray(chunk, np.float32)
             for i, r in enumerate(group):
