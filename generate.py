@@ -52,6 +52,9 @@ def parse_args(argv=None):
                         "jax.export into one deployment artifact "
                         "(wavenet_tpu.serving.load_decoder loads it without "
                         "model code)")
+    p.add_argument("--export-platforms", default="cpu,tpu",
+                   help="comma-separated lowering targets baked into the "
+                        "--export-aot artifact (default: portable cpu,tpu)")
     p.add_argument("--data-parallel", type=int, default=1, metavar="N",
                    help="decode across N devices on the data (batch) mesh "
                         "axis (distributed AR generation)")
@@ -85,11 +88,15 @@ def main(argv=None):
             sys.exit("--export-aot freezes the plain decode scan; drop "
                      "--prime/--mel-from/--stream/--naive")
         from wavenet_tpu.serving import export_decoder
+        platforms = tuple(
+            s.strip() for s in args.export_platforms.split(",") if s.strip())
         export_decoder(params, cfg, args.export_aot,
                        num_samples=int(args.seconds * cfg.sample_rate),
-                       batch=args.batch, temperature=args.temperature)
+                       batch=args.batch, temperature=args.temperature,
+                       platforms=platforms or None)
         print(f"wrote {args.export_aot} "
-              f"({args.seconds}s x batch {args.batch}"
+              f"({args.seconds}s x batch {args.batch}, "
+              f"platforms {','.join(platforms) or 'native'}"
               f"{', speaker input' if cfg.global_classes else ''})")
         return 0
 

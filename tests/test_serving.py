@@ -60,6 +60,21 @@ def test_aot_roundtrip_unconditional(tmp_path):
         dec.generate(speaker=np.zeros((2,), np.int32))
 
 
+def test_aot_multi_platform_export(tmp_path):
+    """platforms=("cpu","tpu") cross-lowers once; the artifact still runs
+    on the CPU backend and records both targets."""
+    cfg = cfg_()
+    params = wn.init_params(cfg, jax.random.PRNGKey(0))
+    path = str(tmp_path / "multi.wnx")
+    export_decoder(params, cfg, path, num_samples=16, batch=1,
+                   platforms=("cpu", "tpu"))
+    dec = load_decoder(path)
+    assert dec.platforms == ("cpu", "tpu")
+    want = np.asarray(wn.generate(params, cfg, jax.random.PRNGKey(0), 16,
+                                  batch=1))
+    np.testing.assert_array_equal(np.asarray(dec.generate(seed=0)), want)
+
+
 def test_aot_roundtrip_speaker(tmp_path):
     cfg = cfg_(global_classes=3, global_channels=8)
     params = wn.init_params(cfg, jax.random.PRNGKey(1))
