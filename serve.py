@@ -40,6 +40,13 @@ def parse_args(argv=None):
     p.add_argument("--length-quantum-seconds", type=float, default=0.5,
                    help="requested lengths round up to this quantum "
                         "(bounds the compile cache)")
+    p.add_argument("--data-parallel", type=int, default=1, metavar="N",
+                   help="decode each microbatch across N devices on the "
+                        "data (batch) mesh axis (distributed AR serving; "
+                        "responses arrive one-shot, not chunked)")
+    p.add_argument("--model-parallel", type=int, default=1, metavar="N",
+                   help="shard the conv stack's channels across N devices "
+                        "with per-layer collective state exchange")
     p.add_argument("--warmup-seconds", type=float, default=0.0,
                    help="synthesize this much audio through EVERY batch "
                         "bucket (1, 2, 4, ... max-batch) at boot so the "
@@ -59,10 +66,20 @@ def main(argv=None) -> int:
     else:
         model = WaveNet.from_checkpoint(args.ckpt, step=args.step,
                                         use_ema=not args.no_ema)
+    mesh = None
+    if args.data_parallel * args.model_parallel > 1:
+        import dataclasses
+        from wavenet_tpu.parallel.mesh import make_mesh
+        mesh = make_mesh(dataclasses.replace(
+            model.cfg, data_parallel=args.data_parallel,
+            model_parallel=args.model_parallel, seq_parallel=1))
+        print(f"distributed serving over mesh "
+              f"data={args.data_parallel} model={args.model_parallel}")
     engine = WaveNetServer(model, max_batch=args.max_batch,
                            max_wait_ms=args.max_wait_ms,
                            chunk_seconds=args.chunk_seconds,
-                           length_quantum_seconds=args.length_quantum_seconds)
+                           length_quantum_seconds=args.length_quantum_seconds,
+                           mesh=mesh)
     if args.warmup_seconds > 0:
         import time
         b = 1

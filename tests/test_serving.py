@@ -357,6 +357,38 @@ def test_http_front_end():
         engine.close(wait=False)
 
 
+def test_server_mesh_mode_matches_distributed_generate():
+    """mesh= routes microbatches through the distributed AR decoder
+    (SURVEY.md P3); rows pad to a dp multiple and outputs replay via the
+    documented _mix_seeds contract on the virtual CPU mesh."""
+    from wavenet_tpu.audio import mulaw
+    from wavenet_tpu.parallel.mesh import make_mesh
+    from wavenet_tpu.serving.server import _mix_seeds
+
+    cfg = cfg_(data_parallel=2, model_parallel=2)
+    m = WaveNet(cfg).init()
+    mesh = make_mesh(cfg)
+    srv = WaveNetServer(m, max_batch=4, max_wait_ms=2000,
+                        length_quantum_seconds=32 / 8000, mesh=mesh)
+    try:
+        h1 = srv.submit(num_samples=32, seed=4)
+        h2 = srv.submit(num_samples=24, seed=9)
+        h3 = srv.submit(num_samples=32, seed=2)
+        w = [h.waveform() for h in (h1, h2, h3)]
+    finally:
+        srv.close()
+    assert [x.shape for x in w] == [(32,), (24,), (32,)]
+    # 3 requests pad to the 4-row bucket (already a dp=2 multiple)
+    assert srv.stats["batches"] == 1 and srv.stats["padded_rows"] == 1
+
+    toks = m.generate(num_samples=32, batch=4, mesh=mesh,
+                      seed=_mix_seeds([4, 9, 2]))
+    ref = mulaw.decode_np(np.asarray(toks), cfg.quantization_channels)
+    np.testing.assert_array_equal(w[0], ref[0].astype(np.float32))
+    np.testing.assert_array_equal(w[1], ref[1, :24].astype(np.float32))
+    np.testing.assert_array_equal(w[2], ref[2].astype(np.float32))
+
+
 def test_server_concurrent_consumers():
     """Chunks stream to consumers on other threads while the worker is
     still decoding; close(wait=True) drains everything submitted."""

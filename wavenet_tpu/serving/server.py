@@ -50,6 +50,15 @@ def _batch_bucket(n: int, max_batch: int) -> int:
     return min(b, max_batch)
 
 
+def _mix_seeds(seeds) -> int:
+    """Deterministic int31 from the row seeds, in row order (the mesh
+    decode path needs ONE integer seed; documented replay contract)."""
+    h = 0
+    for s in seeds:
+        h = (h * 1000003 + int(s) + 0x9E3779B9) % (1 << 31)
+    return h
+
+
 @dataclass
 class _Request:
     num_samples: int
@@ -108,12 +117,23 @@ class WaveNetServer:
 
     max_wait_ms bounds the batching latency: the worker collects requests
     for up to that long (or until max_batch are waiting), then launches.
+
+    mesh: optional jax.sharding.Mesh with (data, model) axes — each
+    microbatch then decodes through the DISTRIBUTED AR generator
+    (multi-chip cached-state + token exchange via collectives, SURVEY.md
+    P3) instead of the single-chip streamer.  One-shot per batch: each
+    request's audio arrives as a single chunk.  Batch buckets round up to
+    a multiple of the mesh's data-axis size so rows shard evenly.  The
+    batch seed derives from the row seeds (_mix_seeds), and the
+    distributed decoder's tokens are layout-independent at a given seed,
+    so results remain replayable across pod shapes.
     """
 
     def __init__(self, model, max_batch: int = 8, max_wait_ms: float = 10.0,
                  chunk_seconds: float = 0.5,
-                 length_quantum_seconds: float = 0.5):
+                 length_quantum_seconds: float = 0.5, mesh=None):
         self.model = model
+        self.mesh = mesh
         self.cfg = model.cfg
         self.max_batch = int(max_batch)
         self.max_wait_s = float(max_wait_ms) / 1e3
@@ -261,6 +281,12 @@ class WaveNetServer:
         scan_len = _bucket(max(r.num_samples for r in group),
                            self.length_quantum)
         B = _batch_bucket(n_real, self.max_batch)
+        if self.mesh is not None:
+            # rows shard over the data axis: bucket to a multiple of dp
+            from wavenet_tpu.parallel.mesh import DATA_AXIS
+            dp = self.mesh.shape.get(DATA_AXIS, 1)
+            B = max(B, dp)
+            B = ((B + dp - 1) // dp) * dp
         self._bump("batches")
         self._bump("padded_rows", B - n_real)
 
@@ -293,6 +319,11 @@ class WaveNetServer:
                 group[0].prime, self.cfg.quantization_channels)[None]
             scan_len = group[0].num_samples  # singleton: exact length
 
+        if self.mesh is not None:
+            self._decode_mesh(group, B, scan_len, speaker, mel,
+                              prime_tokens)
+            return
+
         emitted = [0] * n_real
         for chunk in self.model.stream(
                 num_samples=scan_len, chunk_samples=self.chunk_samples,
@@ -309,6 +340,26 @@ class WaveNetServer:
             if all(emitted[i] >= group[i].num_samples
                    for i in range(n_real)):
                 break  # bucket tail serves nobody; stop the scan early
+
+    def _decode_mesh(self, group, B, scan_len, speaker, mel, prime_tokens):
+        """One-shot distributed decode of the whole microbatch over the
+        mesh; each request receives its trimmed row as a single chunk."""
+        from wavenet_tpu.audio import mulaw
+        if prime_tokens is not None and prime_tokens.shape[0] != B:
+            prime_tokens = np.tile(np.asarray(prime_tokens), (B, 1))
+        if mel is not None and mel.shape[0] != B:
+            mel = np.tile(np.asarray(mel), (B, 1, 1))
+        toks = self.model.generate(
+            num_samples=scan_len, batch=B, mesh=self.mesh,
+            seed=_mix_seeds(r.seed for r in group),
+            speaker=None if speaker is None else np.asarray(speaker),
+            mel=mel, prime_tokens=prime_tokens,
+            temperature=group[0].temperature)
+        wav = mulaw.decode_np(np.asarray(toks),
+                              self.cfg.quantization_channels)
+        for i, r in enumerate(group):
+            r.chunks.put(wav[i, :r.num_samples].astype(np.float32))
+            self._bump("samples_out", r.num_samples)
 
 
 def _monotonic() -> float:
