@@ -81,19 +81,7 @@ def main(argv=None) -> int:
                            length_quantum_seconds=args.length_quantum_seconds,
                            mesh=mesh)
     if args.warmup_seconds > 0:
-        import time
-        b = 1
-        while True:
-            t0 = time.time()
-            handles = [engine.submit(seconds=args.warmup_seconds, seed=i)
-                       for i in range(b)]
-            for h in handles:
-                h.waveform()
-            print(f"warmup: batch bucket {b} compiled+ran "
-                  f"in {time.time() - t0:.1f}s")
-            if b >= args.max_batch:
-                break
-            b = min(b * 2, args.max_batch)
+        engine.warmup(seconds=args.warmup_seconds, verbose=True)
 
     server = make_server(engine, host=args.host, port=args.port)
     host, port = server.server_address[:2]

@@ -208,6 +208,20 @@ def test_server_mel_singleton_and_error_surfacing():
         assert srv.synthesize(num_samples=16, mel=mel).shape == (16,)
 
 
+def test_server_warmup_covers_buckets():
+    m = model_()
+    with WaveNetServer(m, max_batch=4, max_wait_ms=1,
+                       chunk_seconds=16 / 8000,
+                       length_quantum_seconds=16 / 8000) as srv:
+        srv.warmup(seconds=16 / 8000)
+        # buckets 1, 2, 4 -> 3 batches, no padding (direct groups,
+        # not queued requests)
+        assert srv.stats["batches"] == 3
+        assert srv.stats["padded_rows"] == 0
+        # the engine still serves normally afterwards
+        assert srv.synthesize(num_samples=16, seed=1).shape == (16,)
+
+
 def test_server_primed_request():
     """Priming runs as a singleton batch and matches WaveNet.stream with
     the same mu-law-encoded prime and fold-in key."""

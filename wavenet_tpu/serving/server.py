@@ -206,6 +206,26 @@ class WaveNetServer:
         """Blocking convenience: submit() + waveform()."""
         return self.submit(**kw).waveform()
 
+    def warmup(self, seconds: float = 1.0, verbose: bool = False) -> None:
+        """Compile every batch bucket (1, 2, 4, ..., max_batch) by pushing
+        `seconds` of synthesis through each, so the first real requests
+        hit warm executables regardless of how they group.  Runs the
+        decode groups directly on the calling thread (deterministic bucket
+        coverage, independent of batching-window timing)."""
+        import time
+        n = max(1, int(seconds * self.cfg.sample_rate))
+        b = 1
+        while True:
+            group = [_Request(n, i, 1.0, None, None) for i in range(b)]
+            t0 = time.monotonic()
+            self._decode_group(group)
+            if verbose:
+                print(f"warmup: batch bucket {b} compiled+ran "
+                      f"in {time.monotonic() - t0:.1f}s", flush=True)
+            if b >= self.max_batch:
+                return
+            b = min(b * 2, self.max_batch)
+
     def close(self, wait: bool = True) -> None:
         """Stop accepting requests; optionally drain in-flight work."""
         with self._submit_lock:
