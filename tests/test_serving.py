@@ -317,6 +317,7 @@ def test_http_front_end():
         with urllib.request.urlopen(base + "/info") as r:
             info = json.loads(r.read())
         assert info["sample_rate"] == 8000 and info["mel"] is False
+        assert "realtime_factor" in info and "decode_seconds" in info["stats"]
 
         body = json.dumps({"num_samples": 32, "seed": 3}).encode()
         with urllib.request.urlopen(

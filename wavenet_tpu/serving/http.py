@@ -82,6 +82,7 @@ def make_server(engine, host: str = "127.0.0.1", port: int = 8000):
                     "global_classes": cfg.global_classes,
                     "mel": cfg.mel is not None,
                     "stats": dict(engine.stats),
+                    "realtime_factor": round(engine.realtime_factor, 3),
                 })
             else:
                 self._json(404, {"error": "unknown path"})

@@ -141,7 +141,7 @@ class WaveNetServer:
         self.length_quantum = max(
             1, int(length_quantum_seconds * self.cfg.sample_rate))
         self.stats = {"requests": 0, "batches": 0, "padded_rows": 0,
-                      "samples_out": 0}
+                      "samples_out": 0, "decode_seconds": 0.0}
         self._stats_lock = threading.Lock()
         self._inbox: "queue.Queue" = queue.Queue()
         # guards the closed-check + enqueue pair in submit() against a
@@ -285,14 +285,25 @@ class WaveNetServer:
             group = self._collect()
             if group is None:
                 return
+            t0 = _monotonic()
             try:
                 self._decode_group(group)
             except BaseException as e:  # surface to every waiting client
                 for r in group:
                     r.error = e
             finally:
+                self._bump("decode_seconds", _monotonic() - t0)
                 for r in group:
                     r.chunks.put(_DONE)
+
+    @property
+    def realtime_factor(self) -> float:
+        """Aggregate generated-audio seconds per wall second of decode
+        (microbatching efficiency in one number; >1 keeps up with demand)."""
+        with self._stats_lock:
+            dt = self.stats["decode_seconds"]
+            return (self.stats["samples_out"] / self.cfg.sample_rate / dt
+                    if dt > 0 else 0.0)
 
     def _decode_group(self, group):
         import jax
