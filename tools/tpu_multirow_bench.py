@@ -1,10 +1,16 @@
 """Hardware sweep of the multi-row fused-kernel grid (nb = batch rows per
-grid step) — calibrates train_stack.pick_nb's cost model.
+grid step).
+
+The 2026-08-18 v5e sweep found NO nb > 1 win (pick_nb_dils docstring has
+the numbers), so pick_nb now ships (1, 1) unconditionally; this tool is the
+recalibration path — rerun it on a new chip generation or libtpu and, if a
+variant wins, flip pick_nb back to cost-model scoring.
 
 For each preset and each VMEM-feasible (nb_fwd, nb_bwd) candidate, times a
 jitted value_and_grad of the fused loss (the step's dominant cost; the
 optimizer update is nb-independent) and prints ms/step next to the model's
-estimate and the auto-pick.
+estimate and the auto-pick.  nb > 1 compiles need the raised scoped-VMEM
+limit (train_stack.multirow_compiler_options), applied below.
 
     python -u tools/tpu_multirow_bench.py [preset ...]
 """
@@ -77,8 +83,12 @@ def sweep(name):
     for nb, ng in ts.nb_candidates(cfg, cfg.dilations, TT, B):
         est = ts._est_cost_us(cfg, TT, nT, B, nb[0], nb[1], ng) / 1e3
         try:
+            # nb > 1 kernel stacks exceed the default 16 MiB scoped-VMEM
+            # compile limit; raise it so the sweep measures, not crashes
+            opts = ts.multirow_compiler_options(nb) or None
             fn = jax.jit(jax.value_and_grad(
-                lambda p: fused_loss(p, cfg, toks, nb, **kw)))
+                lambda p: fused_loss(p, cfg, toks, nb, **kw)),
+                compiler_options=opts)
             ms = time_step(fn, p) * 1e3
             mark = " <== auto" if nb == pick else ""
             print(f"  nb={nb} groups={ng}: {ms:8.3f} ms/step "

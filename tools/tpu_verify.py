@@ -45,6 +45,15 @@ def report(name, ok, detail=""):
         FAILURES.append(name)
 
 
+def hw_jit(fn, nb=(1, 1)):
+    """jit for the hardware side of a comparison.  Explicit multi-row
+    variants (nb > 1) need the raised scoped-VMEM compile limit
+    (train_stack.multirow_compiler_options) — without it the kernel stack
+    exceeds the compiler's default 16 MiB and compilation fails outright."""
+    opts = ts.multirow_compiler_options(nb) or None
+    return jax.jit(fn, compiler_options=opts)
+
+
 def same(a, b):
     a, b = np.asarray(a), np.asarray(b)
     if np.array_equal(a, b):
@@ -120,7 +129,8 @@ def check_train_multirow():
         if not ts.group_plan(cfg, ts.pick_tile(cfg, 2048), (nf, 1)):
             report(f"train fwd multirow nb={nf}", True, "(skipped: no plan)")
             continue
-        hw = ts.forward_skip_fused(p, cfg, x, nb=(nf, 1))
+        hw = hw_jit(lambda xx: ts.forward_skip_fused(p, cfg, xx, nb=(nf, 1)),
+                    nb=(nf, 1))(x)
         ok, d = same(hw, ref)
         report(f"train fwd multirow nb={nf}", ok, d)
 
@@ -128,7 +138,11 @@ def check_train_multirow():
     # check_train_grads (surrounding XLA graphs differ between hw and
     # interpret; kernel-internal leaves come out bit-exact)
     toks = jax.random.randint(jax.random.PRNGKey(8), (8, 1025), 0, 256)
-    nb = ts.pick_nb(cfg, 1024, 8)
+    # explicit nb > 1 (auto-pick returns (1, 1) by measured policy); fall
+    # back to the largest planned candidate if (2, 2) has no VMEM plan
+    nb = (2, 2)
+    if not ts.plan_dils(cfg, cfg.dilations, ts.pick_tile(cfg, 1024), nb):
+        nb = (1, 1)
 
     def loss(p, interp, nb_):
         inputs, targets = toks[:, :-1], toks[:, 1:]
@@ -140,7 +154,7 @@ def check_train_multirow():
         return jnp.mean(-jnp.take_along_axis(
             logp, targets[..., None], -1)[..., 0])
 
-    g_hw = jax.jit(jax.grad(lambda p: loss(p, False, nb)))(p)
+    g_hw = hw_jit(jax.grad(lambda p: loss(p, False, nb)), nb=nb)(p)
     g_it = jax.jit(jax.grad(lambda p: loss(p, True, (1, 1))))(p)
     for (ka, a), (kb, b) in zip(
             jax.tree_util.tree_flatten_with_path(g_hw)[0],
@@ -214,7 +228,8 @@ def check_train_conditional():
                             ts.pick_tile(cfg, 1024), nb):
             report(f"train fwd mel nb={nb}", True, "(skipped: no plan)")
             continue
-        hw = ts.forward_skip_fused(p, cfg, x, y=y, nb=nb)
+        hw = hw_jit(lambda xx, yy: ts.forward_skip_fused(p, cfg, xx, y=yy,
+                                                         nb=nb), nb=nb)(x, y)
         it = ts.forward_skip_fused(p, cfg, x, y=y, interpret=True, nb=(1, 1))
         ok, d = same(hw, it)
         report(f"train fwd mel nb={nb}", ok, d)

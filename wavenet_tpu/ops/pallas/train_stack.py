@@ -51,6 +51,21 @@ from wavenet_tpu.config import WaveNetConfig
 VMEM_BUDGET = 13 * 1024 * 1024
 
 
+def multirow_compiler_options(nb) -> dict:
+    """Compiler options needed to compile an EXPLICIT nb > 1 kernel variant
+    for hardware (jax.jit(..., compiler_options=...) or
+    .lower().compile(compiler_options=...)).
+
+    The multi-row stacks exceed the compiler's default 16 MiB scoped-VMEM
+    stack limit, roughly in proportion to rows per grid step (measured
+    2026-08-18 on `small`: nf=2 needs 17.4 MiB, nf=4 needs 34.1 MiB), so
+    scale the limit with max(nb).  Auto-pick never selects nb > 1 (see
+    pick_nb_dils), so ordinary jits never need this."""
+    if max(nb) <= 1:
+        return {}
+    return {"xla_tpu_scoped_vmem_limit_kib": 16 * 1024 * int(max(nb))}
+
+
 def _pad8(d: int) -> int:
     return (d + 7) // 8 * 8
 
@@ -190,12 +205,10 @@ def pick_nb(cfg: WaveNetConfig, T: int, B: int,
             TT: int = 0) -> Tuple[int, int]:
     """Choose (rows per fwd grid step, rows per bwd grid step).
 
-    The skinny presets (R=64) are bound by the SERIALIZED chain of small
-    per-grid-step matmuls, not MXU throughput (BASELINE.md MFU analysis):
-    folding nb batch rows into each matmul's M dimension cuts the chain
-    length nb-fold for sublinear extra per-matmul cost.  Candidates are
-    scored by _est_cost_us subject to a VMEM-feasible group plan existing.
-    Always feasible: (1, 1) is the round-2 layout."""
+    Measured verdict (see pick_nb_dils): (1, 1) — row fusion does not beat
+    the single-row layout on v5e, so auto-pick returns the hardware-proven
+    layout; WAVENET_TPU_NB=nf,nbw forces an explicit multi-row variant
+    (compile it with multirow_compiler_options(nb))."""
     return pick_nb_dils(cfg, cfg.dilations, T, B, TT)
 
 
@@ -218,24 +231,23 @@ def pick_nb_dils(cfg: WaveNetConfig, dils, T: int, B: int,
     B is the batch the kernels actually see (a microbatch under pipeline
     parallelism, the per-shard batch under dp shard_map).
 
-    WAVENET_TPU_NB=nf,nbw overrides the cost model (escape hatch: bench.py
-    uses 1,1 — the longest-hardware-proven layout — if an auto-picked
-    multi-row variant fails to compile on a new libtpu)."""
+    Returns (1, 1) unless WAVENET_TPU_NB=nf,nbw forces a layout.  The
+    multi-row kernels are mathematically identical and fully tested, but a
+    v5e hardware sweep (2026-08-18, `small` B=8 W=8192, quiet window,
+    value_and_grad of the fused loss) measured NO win: (1,1) 10.07 ms/step
+    vs (2,1) 10.43 / (1,2) 10.50 / (2,2) 11.36 / (4,4) 10.14 — the
+    serialized-chain latency _est_cost_us models does not shorten with row
+    fusion in practice, and nb > 1 additionally needs
+    multirow_compiler_options(nb) to compile at all (scoped-VMEM stack exceeds
+    the default 16 MiB limit).  So auto-pick ships the layout the hardware
+    actually favors; the candidate space, cost model, and
+    tools/tpu_multirow_bench.py remain for recalibration on future chips."""
     import os
     forced = os.environ.get("WAVENET_TPU_NB")
     if forced:
         nf, nbw = (int(v) for v in forced.split(","))
         return (nf, nbw)
-    TT = TT or pick_tile(cfg, T)
-    if not TT or T % TT:
-        return (1, 1)
-    nT = T // TT
-    best, best_cost = (1, 1), None
-    for (nf, nbw), ng in nb_candidates(cfg, dils, TT, B):
-        cost = _est_cost_us(cfg, TT, nT, B, nf, nbw, ng, L=len(dils))
-        if best_cost is None or cost < best_cost:
-            best, best_cost = (nf, nbw), cost
-    return best
+    return (1, 1)
 
 
 def supported(cfg: WaveNetConfig, T: int) -> bool:
