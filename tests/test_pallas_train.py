@@ -288,6 +288,25 @@ def test_pick_nb_env_override(monkeypatch):
     assert ts.pick_nb(c, c.train_window, c.batch_size) == (2, 1)
 
 
+def test_nb_hw_bound_refused():
+    """nb rows beyond NB_HW_MAX miscompile on v5e (hw-vs-interpret
+    divergence, tools/tpu_verify.py 2026-08-18): the planner must refuse
+    them everywhere — no plan, no sweep candidate, loud error when forced."""
+    from wavenet_tpu.config import small
+    c = small()
+    TT = ts.pick_tile(c, c.train_window)
+    bad = ts.NB_HW_MAX * 2
+    assert ts.plan_dils(c, c.dilations, TT, (bad, 1)) == []
+    assert ts.plan_dils(c, c.dilations, TT, (1, bad)) == []
+    assert all(max(nb) <= ts.NB_HW_MAX
+               for nb, _ in ts.nb_candidates(c, c.dilations, TT, 16))
+    p = wn.init_params(c, jax.random.PRNGKey(0))
+    toks = jax.random.randint(jax.random.PRNGKey(1), (8, 2048), 0, 256)
+    x = embed(p, c, toks)
+    with pytest.raises(ValueError, match="NB_HW_MAX"):
+        ts.forward_skip_fused(p, c, x, interpret=True, nb=(bad, 1))
+
+
 def test_planner_fuzz():
     """Planner invariants over a random config sweep (the round-1 advisor
     crash was a planner edge: max_dilation < 8 produced a negative ring

@@ -127,7 +127,9 @@ def check_train_multirow():
     ref = ts.forward_skip_fused(p, cfg, x, interpret=True, nb=(1, 1))
     for nf in (2, 4, 8):
         if not ts.group_plan(cfg, ts.pick_tile(cfg, 2048), (nf, 1)):
-            report(f"train fwd multirow nb={nf}", True, "(skipped: no plan)")
+            why = ("rows > NB_HW_MAX (hardware miscompile bound)"
+                   if nf > ts.NB_HW_MAX else "no VMEM plan")
+            report(f"train fwd multirow nb={nf}", True, f"(skipped: {why})")
             continue
         hw = hw_jit(lambda xx: ts.forward_skip_fused(p, cfg, xx, nb=(nf, 1)),
                     nb=(nf, 1))(x)

@@ -66,6 +66,18 @@ def multirow_compiler_options(nb) -> dict:
     return {"xla_tpu_scoped_vmem_limit_kib": 16 * 1024 * int(max(nb))}
 
 
+# Hardware-verified upper bound on rows per multi-row grid step.  At
+# nb=(8, 1) the FORWARD kernel miscompiles on v5e (Mosaic): hardware output
+# diverges wholesale from interpret mode (max diff 1.88 over ~100% of
+# elements, `small` B=8 W=2048, 2026-08-18, tools/tpu_verify.py), while
+# interpret mode at the same nb is bit-exact — i.e. the kernel math is
+# right and the lowering is wrong, the fourth such Mosaic bug (see
+# docs/ARCHITECTURE.md §3).  nb in {1,2,4} is bit-exact on hardware.  Since
+# multi-row is a measured perf LOSS anyway (pick_nb ships (1,1)), the
+# planner refuses nb > 4 rather than working around the miscompile.
+NB_HW_MAX = 4
+
+
 def _pad8(d: int) -> int:
     return (d + 7) // 8 * 8
 
@@ -146,7 +158,10 @@ def _group_sizes(cfg: WaveNetConfig, TT: int, dils, nb=(1, 1)):
 def plan_dils(cfg: WaveNetConfig, dils, TT: int,
               nb=(1, 1)) -> List[Tuple[int, int]]:
     """Fewest contiguous layer groups (within the given dilation slice)
-    whose fwd AND bwd kernels fit VMEM."""
+    whose fwd AND bwd kernels fit VMEM.  Returns [] (no plan) for nb rows
+    beyond NB_HW_MAX — those variants miscompile on hardware."""
+    if max(nb) > NB_HW_MAX:
+        return []
     L = len(dils)
     groups, lo = [], 0
     while lo < L:
@@ -166,7 +181,7 @@ def group_plan(cfg: WaveNetConfig, TT: int,
     return plan_dils(cfg, cfg.dilations, TT, nb)
 
 
-def _pow2_divisors(B: int, cap: int = 8) -> List[int]:
+def _pow2_divisors(B: int, cap: int = NB_HW_MAX) -> List[int]:
     out, n = [], 1
     while n <= min(B, cap):
         if B % n == 0:
@@ -875,9 +890,11 @@ def forward_skip_fused(params, cfg: WaveNetConfig, x: jax.Array,
         nb = (1, 1)
         groups = group_plan(cfg, TT)
     if not groups:
-        raise ValueError(f"no VMEM-feasible group plan at nb={nb}; gate on "
-                         f"supported() (explicitly requested nb is honored, "
-                         f"never silently downgraded)")
+        raise ValueError(f"no feasible group plan at nb={nb} (VMEM budget, "
+                         f"or rows > NB_HW_MAX={NB_HW_MAX} which miscompile "
+                         f"on hardware); gate on supported() (explicitly "
+                         f"requested nb is honored, never silently "
+                         f"downgraded)")
     has_cond = y is not None
     skip = jnp.zeros((B, T, cfg.skip_channels), jnp.float32)
     # f32 stream holding bf16-rounded values (see _fwd_kernel docs)
