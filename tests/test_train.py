@@ -350,3 +350,73 @@ def test_train_cli_eval_every(tmp_path):
     rows = [json_mod.loads(l) for l in open(mfile)]
     eval_steps = [r["step"] for r in rows if "eval_loss" in r]
     assert eval_steps == [2, 4]
+
+
+def test_grad_accum_equals_large_batch():
+    """grad_accum=k over k microbatches must produce the SAME parameters as
+    one step on the concatenated k*batch_size batch (optax.MultiSteps
+    averages the microbatch grads; adam then sees one identical update),
+    and EMA must advance only on APPLIED optimizer steps."""
+    import jax.numpy as jnp
+    from wavenet_tpu.models import wavenet as wn
+    from wavenet_tpu.training.trainer import (TrainState, make_optimizer,
+                                              make_train_step)
+
+    toks = jax.random.randint(jax.random.PRNGKey(3), (4, 257), 0, 256)
+
+    def init_state(cfg):
+        tx = make_optimizer(cfg)
+        p = wn.init_params(cfg, jax.random.PRNGKey(0))
+        ema = p if cfg.ema_decay is not None else None
+        return tx, TrainState(p, tx.init(p), jnp.zeros((), jnp.int32), ema)
+
+    # accumulate 2 microbatches of 2 rows
+    cfg_a = micro_cfg(batch_size=2, grad_accum=2, ema_decay=0.5)
+    tx_a, st_a = init_state(cfg_a)
+    step_a = jax.jit(make_train_step(cfg_a, tx_a))
+    mid, _ = step_a(st_a, {"tokens": toks[:2]})
+    # microstep 1 accumulates only: params and ema untouched
+    for a, b in zip(jax.tree.leaves(mid.params), jax.tree.leaves(st_a.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree.leaves(mid.ema), jax.tree.leaves(st_a.ema)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    fin_a, _ = step_a(mid, {"tokens": toks[2:]})
+
+    # one step on the concatenated batch
+    cfg_b = micro_cfg(batch_size=4, grad_accum=1, ema_decay=0.5)
+    tx_b, st_b = init_state(cfg_b)
+    step_b = jax.jit(make_train_step(cfg_b, tx_b))
+    fin_b, _ = step_b(st_b, {"tokens": toks})
+
+    for (ka, a), (kb, b) in zip(
+            jax.tree_util.tree_flatten_with_path(fin_a.params)[0],
+            jax.tree_util.tree_flatten_with_path(fin_b.params)[0]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-6, err_msg=str(ka))
+    # EMA advanced exactly once on the apply step (same value both sides)
+    for a, b in zip(jax.tree.leaves(fin_a.ema), jax.tree.leaves(fin_b.ema)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-6)
+
+
+def test_grad_accum_trainer_end_to_end(tmp_path):
+    """Full Trainer path with grad_accum: runs, checkpoints, resumes exactly
+    (the MultiSteps accumulator is part of the sharded opt state)."""
+    cfg = micro_cfg(grad_accum=2)
+    ds = AudioDataset.synthetic(cfg, num_clips=1, clip_seconds=0.1)
+    tr = Trainer(cfg, ds, checkpoint_dir=str(tmp_path / "ck"))
+    tr.run(num_steps=5, log_every=0)
+    tr.save()
+    m5 = {k: np.asarray(v) for k, v in
+          jax.device_get(jax.tree.map(np.asarray, tr.state.params)).items()}
+    tr.run(num_steps=4, log_every=0)
+
+    tr2 = Trainer(cfg, ds, checkpoint_dir=str(tmp_path / "ck"))
+    tr2.restore()
+    for k, v in jax.device_get(
+            jax.tree.map(np.asarray, tr2.state.params)).items():
+        np.testing.assert_array_equal(np.asarray(v), m5[k], err_msg=k)
+    tr2.run(num_steps=4, log_every=0)
+    for a, b in zip(jax.tree.leaves(tr.state.params),
+                    jax.tree.leaves(tr2.state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

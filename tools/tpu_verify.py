@@ -40,6 +40,9 @@ FAILURES = []
 
 
 def report(name, ok, detail=""):
+    if ok and detail.startswith("(skipped"):
+        print(f"{name}: SKIPPED {detail}", flush=True)
+        return
     print(f"{name}: {'BIT-EXACT' if ok else 'FAIL ' + detail}", flush=True)
     if not ok:
         FAILURES.append(name)

@@ -90,6 +90,12 @@ class WaveNetConfig:
     adam_b1: float = 0.9
     adam_b2: float = 0.999
     grad_clip_norm: Optional[float] = None
+    # Gradient accumulation: each optimizer update averages the grads of
+    # this many consecutive microbatches (optax.MultiSteps), so the
+    # effective batch is grad_accum * batch_size while device memory holds
+    # one microbatch's activations.  Composes with every parallel path —
+    # the jitted step function is unchanged, only the optimizer wraps.
+    grad_accum: int = 1
     # Polyak/EMA averaging of params (standard vocoder practice: sample from
     # the average, train on the raw weights).  None disables; typical 0.9999.
     ema_decay: Optional[float] = None
@@ -109,6 +115,8 @@ class WaveNetConfig:
             raise ValueError("max_dilation must be a power of two")
         if self.kernel_size != 2:
             raise ValueError("kernel_size != 2 not supported yet")
+        if self.grad_accum < 1:
+            raise ValueError("grad_accum must be >= 1")
 
     # ---- derived quantities ----
 

@@ -61,6 +61,12 @@ def make_optimizer(cfg: WaveNetConfig) -> optax.GradientTransformation:
     tx = optax.adam(make_lr_schedule(cfg), b1=cfg.adam_b1, b2=cfg.adam_b2)
     if cfg.grad_clip_norm is not None:
         tx = optax.chain(optax.clip_by_global_norm(cfg.grad_clip_norm), tx)
+    if cfg.grad_accum > 1:
+        # each update applies the MEAN grad of grad_accum microbatches, so
+        # one apply == one step on a grad_accum*batch_size batch (clipping
+        # and the lr schedule see only applied steps).  The accumulator
+        # shards like the params (it mirrors their pytree).
+        tx = optax.MultiSteps(tx, every_k_schedule=cfg.grad_accum)
     return tx
 
 
@@ -147,6 +153,13 @@ def make_train_step(cfg: WaveNetConfig, tx: optax.GradientTransformation,
         ema = state.ema
         if cfg.ema_decay is not None:
             d = cfg.ema_decay
+            if cfg.grad_accum > 1:
+                # only count APPLIED optimizer steps toward the average:
+                # on accumulation-only microsteps (params unchanged;
+                # MultiSteps.mini_step has not wrapped back to 0) the decay
+                # degenerates to 1.0 and ema stays put
+                applied = opt_state.mini_step == 0
+                d = jnp.where(applied, d, 1.0)
             ema = jax.tree.map(lambda e, p: d * e + (1.0 - d) * p,
                                state.ema, params)
         metrics = dict(aux)
