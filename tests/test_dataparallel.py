@@ -84,3 +84,36 @@ def test_dp_conditional_fused_grads_match():
         np.testing.assert_allclose(np.asarray(b, np.float32),
                                    np.asarray(a, np.float32),
                                    atol=5e-4, rtol=5e-3, err_msg=str(ka))
+
+
+def test_grad_accum_composes_with_mesh_trainer():
+    """grad_accum under a real (data, model) mesh Trainer: the MultiSteps
+    accumulator must shard like the params (Trainer._opt_state_shardings
+    suffix-matches through the MultiSteps pytree), and two microsteps on a
+    dp=2/mp=2 mesh must equal one step of a single-device Trainer on the
+    concatenated batch.  Explicit batches go through _step on both sides
+    so the microbatches concat to exactly the big batch."""
+    from wavenet_tpu.training.trainer import Trainer
+    from wavenet_tpu.audio.dataset import AudioDataset
+
+    cfg_a = cfg_(data_parallel=2, model_parallel=2, batch_size=4,
+                 grad_accum=2, compute_dtype="float32", fused_stack=False)
+    ds_a = AudioDataset.synthetic(cfg_a, num_clips=2, clip_seconds=0.05)
+    tr_a = Trainer(cfg_a, ds_a)
+    toks = jax.random.randint(jax.random.PRNGKey(9), (8, 65), 0, 256)
+    with tr_a.mesh:
+        st, _ = tr_a._step(tr_a.state, {"tokens": toks[:4]})
+        st, _ = tr_a._step(st, {"tokens": toks[4:]})
+
+    cfg_b = cfg_a.replace(data_parallel=1, model_parallel=1, batch_size=8,
+                          grad_accum=1)
+    tr_b = Trainer(cfg_b, AudioDataset.synthetic(cfg_b, num_clips=2,
+                                                 clip_seconds=0.05))
+    with tr_b.mesh:
+        st_b, _ = tr_b._step(tr_b.state, {"tokens": toks})
+
+    for (ka, a), (kb, b) in zip(
+            jax.tree_util.tree_flatten_with_path(st.params)[0],
+            jax.tree_util.tree_flatten_with_path(st_b.params)[0]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-6, err_msg=str(ka))
