@@ -8,8 +8,11 @@ microbatches concurrent requests into it.  Covered:
 
   * AOT artifact round-trip: exported decode == live wn.generate, for
     unconditional and speaker-conditioned models; waveform() expands mu-law.
-  * Server reproducibility contract: a microbatch with seeds [s0..sk] is
-    bit-identical to WaveNet.stream with key = fold_in-chain of the seeds.
+  * Server reproducibility contract: every row samples from the counter RNG
+    keyed by ITS request seed (ops/rng.py) — a microbatch with seeds
+    [s0..sk] is bit-identical to WaveNet.stream(seeds=[s0..sk]), and a
+    request's audio is INDEPENDENT of what other traffic is co-batched
+    with it (replayable via batch=1 + seeds=[its seed]).
   * Request padding/trimming: mixed lengths in one bucket each come back at
     their exact requested length; pad rows counted in stats.
   * Speaker routing, mel singleton path, and server-side error surfacing.
@@ -103,13 +106,6 @@ def model_():
     return WaveNet(cfg, wn.init_params(cfg, jax.random.PRNGKey(0)))
 
 
-def fold_key(seeds):
-    key = jax.random.PRNGKey(0)
-    for s in seeds:
-        key = jax.random.fold_in(key, s)
-    return key
-
-
 def test_server_single_request_matches_stream():
     m = model_()
     with WaveNetServer(m, max_batch=1, max_wait_ms=1,
@@ -118,15 +114,15 @@ def test_server_single_request_matches_stream():
         wav = srv.synthesize(num_samples=40, seed=11)
     want = np.concatenate(
         [c[0] for c in m.stream(num_samples=40, chunk_samples=16,
-                                batch=1, key=fold_key([11]))])
+                                batch=1, seeds=np.asarray([11]))])
     assert wav.shape == (40,)
     np.testing.assert_array_equal(wav, want)
 
 
 def test_server_microbatch_reproducible_and_trimmed():
     """Two requests with different lengths in the same bucket decode as ONE
-    batch reproducible via the documented fold_in-chain key; each comes
-    back trimmed to its own length."""
+    batch reproducible via the documented per-request-seeds contract; each
+    comes back trimmed to its own length."""
     m = model_()
     srv = WaveNetServer(m, max_batch=2, max_wait_ms=2000,
                         chunk_seconds=16 / 8000,
@@ -142,10 +138,35 @@ def test_server_microbatch_reproducible_and_trimmed():
 
     ref = np.concatenate(
         [np.asarray(c) for c in m.stream(num_samples=48, chunk_samples=16,
-                                         batch=2, key=fold_key([1, 2]))],
+                                         batch=2,
+                                         seeds=np.asarray([1, 2]))],
         axis=1)
     np.testing.assert_array_equal(w1, ref[0, :40])
     np.testing.assert_array_equal(w2, ref[1, :48])
+
+
+def test_request_replay_independent_of_cobatching():
+    """THE per-request replay contract (round-2 verdict #3): re-submitting
+    the same request in two different batch compositions — and solo —
+    yields identical audio, because each row's noise is keyed by its own
+    request seed, never by its neighbors or its row position."""
+    m = model_()
+    kw = dict(max_batch=4, max_wait_ms=2000, chunk_seconds=16 / 8000,
+              length_quantum_seconds=32 / 8000)
+    with WaveNetServer(m, **kw) as srv:
+        hs = [srv.submit(num_samples=32, seed=s) for s in (7, 1, 9)]
+        batched_a = [h.waveform() for h in hs]
+    with WaveNetServer(m, **kw) as srv:
+        # same request (seed 7) co-batched with DIFFERENT traffic, in a
+        # different row position
+        hs = [srv.submit(num_samples=32, seed=s) for s in (5, 7)]
+        batched_b = [h.waveform() for h in hs]
+    with WaveNetServer(m, max_batch=1, max_wait_ms=1,
+                       chunk_seconds=16 / 8000,
+                       length_quantum_seconds=32 / 8000) as srv:
+        solo = srv.synthesize(num_samples=32, seed=7)
+    np.testing.assert_array_equal(batched_a[0], batched_b[1])
+    np.testing.assert_array_equal(batched_a[0], solo)
 
 
 def test_server_pads_to_batch_bucket():
@@ -180,7 +201,7 @@ def test_server_speaker_rows_routed():
     ref = np.concatenate(
         [np.asarray(c) for c in m.stream(
             num_samples=32, chunk_samples=16, batch=2,
-            key=fold_key([0, 0]),
+            seeds=np.asarray([0, 0]),
             speaker=np.asarray([1, 2], np.int32))], axis=1)
     np.testing.assert_array_equal(w1, ref[0])
     np.testing.assert_array_equal(w2, ref[1])
@@ -238,7 +259,7 @@ def test_server_primed_request():
     pt = mulaw.encode_np(prime_wave, m.cfg.quantization_channels)[None]
     ref = np.concatenate(
         [np.asarray(c) for c in m.stream(num_samples=40, chunk_samples=16,
-                                         batch=1, key=fold_key([5]),
+                                         batch=1, seeds=np.asarray([5]),
                                          prime_tokens=pt)], axis=1)
     np.testing.assert_array_equal(wav, ref[0])
 
@@ -375,10 +396,9 @@ def test_http_front_end():
 def test_server_mesh_mode_matches_distributed_generate():
     """mesh= routes microbatches through the distributed AR decoder
     (SURVEY.md P3); rows pad to a dp multiple and outputs replay via the
-    documented _mix_seeds contract on the virtual CPU mesh."""
+    per-request-seeds contract on the virtual CPU mesh."""
     from wavenet_tpu.audio import mulaw
     from wavenet_tpu.parallel.mesh import make_mesh
-    from wavenet_tpu.serving.server import _mix_seeds
 
     cfg = cfg_(data_parallel=2, model_parallel=2)
     m = WaveNet(cfg).init()
@@ -397,11 +417,16 @@ def test_server_mesh_mode_matches_distributed_generate():
     assert srv.stats["batches"] == 1 and srv.stats["padded_rows"] == 1
 
     toks = m.generate(num_samples=32, batch=4, mesh=mesh,
-                      seed=_mix_seeds([4, 9, 2]))
+                      seeds=np.asarray([4, 9, 2, 0]))
     ref = mulaw.decode_np(np.asarray(toks), cfg.quantization_channels)
     np.testing.assert_array_equal(w[0], ref[0].astype(np.float32))
     np.testing.assert_array_equal(w[1], ref[1, :24].astype(np.float32))
     np.testing.assert_array_equal(w[2], ref[2].astype(np.float32))
+    # row 1's audio replays SOLO on a 1-row mesh batch (seed 9 alone)
+    solo = m.generate(num_samples=24, batch=2, mesh=mesh,
+                      seeds=np.asarray([9, 0]))
+    np.testing.assert_array_equal(np.asarray(toks)[1, :24],
+                                  np.asarray(solo)[0])
 
 
 def test_server_concurrent_consumers():

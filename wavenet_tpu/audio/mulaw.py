@@ -15,6 +15,8 @@ documented while the reference mount is unreadable.
 
 from __future__ import annotations
 
+import functools
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -28,16 +30,31 @@ def encode(x, quantization_channels: int = 256):
     return q.astype(jnp.int32)
 
 
-def decode(q, quantization_channels: int = 256):
-    """Int class ids in [0, Q-1] -> float32 waveform in [-1, 1]."""
+@functools.lru_cache(maxsize=8)
+def _decode_table(quantization_channels: int) -> np.ndarray:
+    """[Q] float32 bin centers, computed ONCE on the host: the compressed
+    value in f32 (matching encode's affine map), the expansion in f64
+    (np.log1p(mu) is a strong float64 scalar under NEP 50 — the historical
+    decode_np path, which cpp/fastloader.cpp mirrors bit-exactly).  Every
+    decoder — jnp, NumPy, C++ — reads THESE values, so decoded waveforms
+    are bit-identical across host/device/native paths (a 1-ulp jnp-vs-np
+    drift in expm1f broke exact serving replay tests in round 3)."""
     mu = quantization_channels - 1
-    compressed = 2.0 * q.astype(jnp.float32) / mu - 1.0
-    x = jnp.sign(compressed) * (
-        jnp.expm1(jnp.abs(compressed) * jnp.log1p(float(mu))) / mu)
-    return x.astype(jnp.float32)
+    q = np.arange(quantization_channels, dtype=np.int32)
+    compressed = 2.0 * q.astype(np.float32) / mu - 1.0
+    x = (np.sign(compressed)
+         * (np.expm1(np.abs(compressed) * np.log1p(mu)) / mu))
+    return x.astype(np.float32)
 
 
-# ---- NumPy mirrors (host-side data pipeline; bit-identical math) ----
+def decode(q, quantization_channels: int = 256):
+    """Int class ids in [0, Q-1] -> float32 waveform in [-1, 1].  A gather
+    from the shared bin-center table — exact, and cheaper on device than
+    re-deriving the expansion per sample."""
+    return jnp.asarray(_decode_table(quantization_channels))[q]
+
+
+# ---- NumPy mirrors (host-side data pipeline; bit-identical by table) ----
 
 def encode_np(x: np.ndarray, quantization_channels: int = 256) -> np.ndarray:
     mu = quantization_channels - 1
@@ -47,8 +64,4 @@ def encode_np(x: np.ndarray, quantization_channels: int = 256) -> np.ndarray:
 
 
 def decode_np(q: np.ndarray, quantization_channels: int = 256) -> np.ndarray:
-    mu = quantization_channels - 1
-    compressed = 2.0 * q.astype(np.float32) / mu - 1.0
-    return (np.sign(compressed)
-            * (np.expm1(np.abs(compressed) * np.log1p(mu)) / mu)
-            ).astype(np.float32)
+    return _decode_table(quantization_channels)[q]

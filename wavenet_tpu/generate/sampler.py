@@ -44,7 +44,8 @@ def generate_auto(params: wn.Params, cfg: WaveNetConfig, key: jax.Array,
                   cond: Optional[jax.Array] = None,
                   y: Optional[jax.Array] = None,
                   speaker: Optional[jax.Array] = None,
-                  temperature: float = 1.0) -> jax.Array:
+                  temperature: float = 1.0,
+                  seeds=None) -> jax.Array:
     """Fastest available decoder: the whole-loop Pallas kernel when the model
     fits the per-tile VMEM budget (incl. priming and, via `y`, local mel
     conditioning), else the XLA scan.
@@ -54,6 +55,10 @@ def generate_auto(params: wn.Params, cfg: WaveNetConfig, key: jax.Array,
        pre-projected [B, T, L, 2, R] form consumed by the XLA path; pass one
        or the other, not both.
     speaker: [B] int32 global-conditioning ids (cfg.global_classes set).
+    seeds: optional per-row (per-request) counter-RNG seeds (ops/rng.py) —
+       both routes then sample with the SAME hash, so each row's audio is
+       independent of co-batched rows and (for bfloat16 compute) the route
+       taken.
     """
     from wavenet_tpu.ops.pallas import decode as pdec
     if cond is not None and y is not None:
@@ -64,13 +69,16 @@ def generate_auto(params: wn.Params, cfg: WaveNetConfig, key: jax.Array,
         return pdec.generate_pallas(params, cfg, key, num_samples,
                                     batch=batch, prime_tokens=prime_tokens,
                                     y=y, speaker=speaker,
-                                    temperature=temperature)
+                                    temperature=temperature, seeds=seeds)
     if y is not None:
         from wavenet_tpu.models.conditioning import project_cond
         cond = project_cond(params, y)
+    if seeds is not None:
+        from wavenet_tpu.ops import rng
+        seeds = rng.as_row_seeds(seeds, batch)
     return wn.generate(params, cfg, key, num_samples, batch=batch,
                        prime_tokens=prime_tokens, cond=cond, speaker=speaker,
-                       temperature=temperature)
+                       temperature=temperature, seeds=seeds)
 
 
 def generate_stream(params: wn.Params, cfg: WaveNetConfig, key: jax.Array,
@@ -80,7 +88,8 @@ def generate_stream(params: wn.Params, cfg: WaveNetConfig, key: jax.Array,
                     y: Optional[jax.Array] = None,
                     speaker: Optional[jax.Array] = None,
                     temperature: float = 1.0,
-                    interpret: bool = False):
+                    interpret: bool = False,
+                    seeds=None):
     """Streaming generation: yields [B, <=chunk_samples] int32 token chunks.
 
     Long-form / serving entry point: memory is bounded by one chunk (ring
@@ -91,6 +100,7 @@ def generate_stream(params: wn.Params, cfg: WaveNetConfig, key: jax.Array,
 
     y: [B, T, M] upsampled mel features covering max(P-1,0)+num_samples
     steps; speaker: [B] int32 ids (cfg.global_classes).
+    seeds: optional per-row (per-request) counter-RNG seeds (ops/rng.py).
     """
     from wavenet_tpu.ops.pallas import decode as pdec
     # the kernel only compiles for TPU; on any other backend run it emulated
@@ -103,10 +113,11 @@ def generate_stream(params: wn.Params, cfg: WaveNetConfig, key: jax.Array,
         # one-shot XLA path would emit) — streaming stays total
         yield from _stream_scan(params, cfg, key, num_samples,
                                 chunk_samples, batch, prime_tokens, y,
-                                speaker, temperature)
+                                speaker, temperature, seeds=seeds)
         return
     rings, carry, seed, g, P, total = pdec.setup_decode(
-        params, cfg, key, batch, num_samples, prime_tokens, speaker)
+        params, cfg, key, batch, num_samples, prime_tokens, speaker,
+        seeds=seeds)
     Bt, TC = pdec.plan_tiles(cfg, batch)
     # small interactive chunks: shrink the kernel's time block toward the
     # requested chunk instead of forcing 2048-step latency
@@ -149,30 +160,32 @@ def generate_distributed(params: wn.Params, cfg: WaveNetConfig, mesh,
                          temperature: float = 1.0) -> jax.Array:
     """Multi-chip AR generation over a (data, model) mesh (SURVEY.md P3).
 
-    seed: int — tokens are identical for ANY mesh layout at the same seed
+    seed: int scalar or [batch] per-row (per-request) seeds — tokens are
+    identical for ANY mesh layout at the same seeds
     (tests/test_distributed_decode.py), so results are reproducible across
-    pod shapes.  That contract constrains the routing: the per-chip Pallas
-    kernel fan-out (distdecode.generate_pallas_dp) keys its sampling noise
-    per shard, so it is only taken when NO noise is drawn — greedy
-    (temperature==0), unconditioned, data-parallel-only, per-chip batch
-    within the kernel's VMEM plan.  Sampled decode always runs the
-    collective loop (generate_sharded: per-layer psum conv-state exchange,
-    token broadcast, global counter RNG).  Callers who want the kernel
-    fan-out for SAMPLED dp decode and accept layout-dependent draws can
-    call generate_pallas_dp directly.
+    pod shapes.  Routing under that contract: data-parallel-only meshes
+    whose per-chip shard fits the kernel's VMEM plan take the whole-loop
+    Pallas kernel fan-out (distdecode.generate_pallas_dp) — sampled,
+    primed, and conditioned decode included, since the shared counter RNG
+    (ops/rng.py) keys noise by each row's OWN seed and the kernel's logits
+    bit-match the scan path under bfloat16 compute.  Model-sharded meshes
+    (and non-bf16 configs, where kernel/scan logits may differ by ulps) run
+    the collective loop (generate_sharded: per-layer psum conv-state
+    exchange, token broadcast, same counter RNG).
     """
     from wavenet_tpu.ops.pallas import decode as pdec
     from wavenet_tpu.parallel import distdecode
     dp = mesh.shape.get(distdecode.DATA_AXIS, 1)
     mp = mesh.shape.get(distdecode.MODEL_AXIS, 1)
-    plain = (y is None and speaker is None and prime_tokens is None
-             and cfg.global_classes is None)
+    P0 = 0 if prime_tokens is None else prime_tokens.shape[1]
     greedy = isinstance(temperature, (int, float)) and temperature <= 0
-    if (mp == 1 and plain and greedy and _tpu_backend() and dp > 1
-            and batch % dp == 0 and pdec.fits_vmem(cfg, batch // dp)):
-        key = jax.random.PRNGKey(seed)
-        return distdecode.generate_pallas_dp(params, cfg, mesh, key,
+    if (mp == 1 and _tpu_backend() and batch % dp == 0
+            and (cfg.compute_dtype == "bfloat16" or greedy)
+            and pdec.fits_vmem(cfg, batch // dp, prime_len=P0)):
+        return distdecode.generate_pallas_dp(params, cfg, mesh, seed,
                                              num_samples, batch,
+                                             prime_tokens=prime_tokens,
+                                             speaker=speaker, y=y,
                                              temperature=temperature)
     return distdecode.generate_sharded(params, cfg, mesh, seed, num_samples,
                                        batch, prime_tokens=prime_tokens,
@@ -180,9 +193,47 @@ def generate_distributed(params: wn.Params, cfg: WaveNetConfig, mesh,
                                        temperature=temperature)
 
 
+def stream_distributed(params: wn.Params, cfg: WaveNetConfig, mesh,
+                       seed, num_samples: int, batch: int,
+                       chunk_samples: int = 16000,
+                       prime_tokens: Optional[jax.Array] = None,
+                       y: Optional[jax.Array] = None,
+                       speaker: Optional[jax.Array] = None,
+                       temperature: float = 1.0):
+    """STREAMING multi-chip AR generation: yields [batch, <=chunk] int32
+    token chunks, bit-identical to the one-shot generate_distributed at the
+    same seeds (both route on the same rule and both key sampling by the
+    global step).  Mesh serving clients hear audio after one chunk instead
+    of the full utterance (round-2 verdict #3).
+
+    Routing mirrors generate_distributed: data-parallel-only meshes within
+    the kernel's per-chip VMEM plan stream shard_map'd whole-loop kernel
+    chunks (distdecode.generate_pallas_dp_stream); model-sharded meshes
+    stream chunked collective scans carrying the sharded DecodeState
+    (distdecode.generate_sharded_stream)."""
+    from wavenet_tpu.ops.pallas import decode as pdec
+    from wavenet_tpu.parallel import distdecode
+    dp = mesh.shape.get(distdecode.DATA_AXIS, 1)
+    mp = mesh.shape.get(distdecode.MODEL_AXIS, 1)
+    P0 = 0 if prime_tokens is None else prime_tokens.shape[1]
+    greedy = isinstance(temperature, (int, float)) and temperature <= 0
+    if (mp == 1 and _tpu_backend() and batch % dp == 0
+            and (cfg.compute_dtype == "bfloat16" or greedy)
+            and pdec.fits_vmem(cfg, batch // dp, prime_len=P0)):
+        yield from distdecode.generate_pallas_dp_stream(
+            params, cfg, mesh, seed, num_samples, batch,
+            chunk_samples=chunk_samples, prime_tokens=prime_tokens,
+            speaker=speaker, y=y, temperature=temperature)
+        return
+    yield from distdecode.generate_sharded_stream(
+        params, cfg, mesh, seed, num_samples, batch,
+        chunk_samples=chunk_samples, prime_tokens=prime_tokens,
+        speaker=speaker, y=y, temperature=temperature)
+
+
 def _stream_scan(params: wn.Params, cfg: WaveNetConfig, key: jax.Array,
                  num_samples: int, chunk_samples: int, batch: int,
-                 prime_tokens, y, speaker, temperature: float):
+                 prime_tokens, y, speaker, temperature: float, seeds=None):
     """XLA streaming fallback: chunked decode_step scans with the DecodeState
     carried between chunks.  Built on the same decode_prime +
     decode_sample_chunk primitives as wn.generate, with absolute-index
@@ -192,6 +243,9 @@ def _stream_scan(params: wn.Params, cfg: WaveNetConfig, key: jax.Array,
     [.., L, 2, R] — projecting the whole timeline up front would be ~L*2*R/M
     times the size of y and defeat streaming's bounded-memory contract)."""
     import functools
+    if seeds is not None:
+        from wavenet_tpu.ops import rng
+        seeds = rng.as_row_seeds(seeds, batch)
     P0 = 0 if prime_tokens is None else prime_tokens.shape[1]
     skip = max(P0 - 1, 0)                        # priming decode steps
     project = None
@@ -215,7 +269,7 @@ def _stream_scan(params: wn.Params, cfg: WaveNetConfig, key: jax.Array,
         cond_c = project(y[:, skip + t0:skip + t0 + n]) if project else None
         state, first, toks = chunk_fn(params, state=state, first=first,
                                       key=key, i0=jnp.int32(t0), n=n,
-                                      cond=cond_c,
+                                      cond=cond_c, seeds=seeds,
                                       cond_t0=jnp.int32(skip + t0))
         yield toks
         t0 += n

@@ -114,11 +114,14 @@ class WaveNet:
                  num_samples: Optional[int] = None, batch: int = 1,
                  key: Optional[jax.Array] = None, prime_tokens=None,
                  mel=None, speaker=None, temperature: float = 1.0,
-                 mesh=None, seed: int = 0):
+                 mesh=None, seed: int = 0, seeds=None):
         """Sample audio tokens.  mesh: optional jax.sharding.Mesh with
         (data, model) axes — routes through the distributed decoder
         (multi-chip AR generation, SURVEY.md P3); `seed` drives its
-        layout-independent counter RNG (key is ignored on that path)."""
+        layout-independent counter RNG (key is ignored on that path).
+        seeds: optional [batch] per-row counter-RNG seeds (ops/rng.py) —
+        each row's audio then depends only on ITS seed (the serving
+        replay contract), on any path and mesh layout."""
         from wavenet_tpu.generate.sampler import (generate_auto,
                                                   generate_distributed)
         if num_samples is None:
@@ -127,7 +130,8 @@ class WaveNet:
             num_samples = int(seconds * self.cfg.sample_rate)
         y = self._upsampled_cond(mel, prime_tokens, num_samples)
         if mesh is not None:
-            return generate_distributed(self.params, self.cfg, mesh, seed,
+            return generate_distributed(self.params, self.cfg, mesh,
+                                        seed if seeds is None else seeds,
                                         num_samples, batch=batch,
                                         prime_tokens=prime_tokens, y=y,
                                         speaker=speaker,
@@ -135,7 +139,8 @@ class WaveNet:
         key = jax.random.PRNGKey(0) if key is None else key
         return generate_auto(self.params, self.cfg, key, num_samples,
                              batch=batch, prime_tokens=prime_tokens,
-                             y=y, speaker=speaker, temperature=temperature)
+                             y=y, speaker=speaker, temperature=temperature,
+                             seeds=seeds)
 
     def vocode(self, waveform, key: Optional[jax.Array] = None,
                temperature: float = 1.0, speaker=None):
@@ -172,15 +177,22 @@ class WaveNet:
                prime_tokens=None, mel=None, speaker=None,
                temperature: float = 1.0,
                num_samples: Optional[int] = None,
-               chunk_samples: Optional[int] = None):
+               chunk_samples: Optional[int] = None, seeds=None,
+               mesh=None, seed: int = 0):
         """Yield float waveform chunks ([B, <=chunk] in [-1, 1]) as they are
         generated — the serving entry point for long-form synthesis.
         Bounded memory; the emitted audio is bit-identical to a one-shot
         generate on the same path: the in-kernel decoder's RNG is keyed by
         global step, and configs past its VMEM plan stream through chunked
-        XLA decode_step scans matching the one-shot XLA generate."""
+        XLA decode_step scans matching the one-shot XLA generate.
+        seeds: optional [batch] per-row counter-RNG seeds (ops/rng.py);
+        key is ignored when given.
+        mesh: optional jax.sharding.Mesh — streams through the DISTRIBUTED
+        decoder (sampler.stream_distributed), chunk-for-chunk identical to
+        generate(mesh=...) at the same seeds."""
         from wavenet_tpu.audio import mulaw
-        from wavenet_tpu.generate.sampler import generate_stream
+        from wavenet_tpu.generate.sampler import (generate_stream,
+                                                  stream_distributed)
         import numpy as np
         key = jax.random.PRNGKey(0) if key is None else key
         if num_samples is None:
@@ -191,11 +203,19 @@ class WaveNet:
         if chunk_samples is None:
             chunk_samples = int(chunk_seconds * self.cfg.sample_rate)
         y = self._upsampled_cond(mel, prime_tokens, n)
-        for toks in generate_stream(
+        if mesh is not None:
+            gen = stream_distributed(
+                self.params, self.cfg, mesh,
+                seed if seeds is None else seeds, n, batch,
+                chunk_samples=chunk_samples, prime_tokens=prime_tokens,
+                y=y, speaker=speaker, temperature=temperature)
+        else:
+            gen = generate_stream(
                 self.params, self.cfg, key, n,
                 chunk_samples=chunk_samples,
                 batch=batch, prime_tokens=prime_tokens, y=y,
-                speaker=speaker, temperature=temperature):
+                speaker=speaker, temperature=temperature, seeds=seeds)
+        for toks in gen:
             yield np.asarray(
                 mulaw.decode(toks, self.cfg.quantization_channels))
 

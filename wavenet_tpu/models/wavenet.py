@@ -514,7 +514,8 @@ def generate(params: Params, cfg: WaveNetConfig, key: jax.Array,
              prime_tokens: Optional[jax.Array] = None,
              cond: Optional[jax.Array] = None,
              speaker: Optional[jax.Array] = None,
-             temperature: float = 1.0) -> jax.Array:
+             temperature: float = 1.0,
+             seeds: Optional[jax.Array] = None) -> jax.Array:
     """Autoregressively sample `num_samples` mu-law tokens.
 
     The entire loop — priming and sampling — is ONE compiled lax.scan; no
@@ -528,6 +529,8 @@ def generate(params: Params, cfg: WaveNetConfig, key: jax.Array,
         max(P-1, 0) + num_samples (the conditioning timeline spans the
         priming context too — queues built without it would be wrong).
       speaker: optional [B] int32 global-conditioning ids (cfg.global_classes).
+      seeds: optional per-row counter-RNG seeds (decode_sample_chunk);
+        overrides `key`-based sampling with the shared ops/rng.py hash.
     Returns:
       [B, num_samples] int32 sampled tokens.
     """
@@ -536,7 +539,7 @@ def generate(params: Params, cfg: WaveNetConfig, key: jax.Array,
                                        num_samples=num_samples)
     _, _, samples = decode_sample_chunk(params, cfg, state, first, key, 0,
                                         num_samples, cond=cond, gcond=gcond,
-                                        temperature=temperature)
+                                        temperature=temperature, seeds=seeds)
     return samples                                           # [B, num_samples]
 
 
@@ -589,27 +592,42 @@ def decode_sample_chunk(params: Params, cfg: WaveNetConfig,
                         cond: Optional[jax.Array] = None,
                         gcond: Optional[jax.Array] = None,
                         temperature: float = 1.0,
-                        cond_t0=0):
+                        cond_t0=0,
+                        seeds: Optional[jax.Array] = None):
     """Scan `n` free-running sampling steps whose ABSOLUTE sample indices are
     i0..i0+n-1 (the per-step RNG is fold_in(key, absolute_i), so splitting a
     run into chunks cannot change the sample path).  cond is indexed by the
     state's own step counter minus cond_t0 — a chunked caller passes just
     this chunk's cond slice with cond_t0 = the absolute decode step of its
     first row, keeping streaming memory bounded by one chunk.
+
+    seeds: optional [B] int32 per-row seeds switching sampling to the
+    COUNTER RNG (ops/rng.py) keyed by (row seed, global step, class) — the
+    same hash the Pallas kernel and the collective decoder draw from, so
+    this path samples token-identical trajectories whenever the logits
+    bit-match (bfloat16 compute), and each row's draws are independent of
+    co-batched rows.  `key` is ignored in that mode (chunking stays exact:
+    state.t is the global step).
     Returns (state, next_seed_token, samples [B, n])."""
+    from wavenet_tpu.ops import rng as _rng
 
     def sample_body(carry, i):
         state, token = carry
+        tkey = state.t      # GLOBAL step consuming `token` (kernel's t0+t)
         cond_t = None if cond is None else cond[:, state.t - cond_t0]
         state, logits = decode_step(params, cfg, state, token, cond_t=cond_t,
                                     gcond=gcond)
-        k = jax.random.fold_in(key, i)
         # greedy only for a STATIC temperature == 0: a traced temperature
         # (e.g. jitted sweep argument) must keep taking the division path
         # Python control flow cannot branch on
         if isinstance(temperature, (int, float)) and temperature <= 0:
             nxt = jnp.argmax(logits, axis=-1)    # greedy — matches the
-        else:                                    # Pallas kernel's t==0 branch
+        elif seeds is not None:                  # Pallas kernel's t==0 branch
+            g = _rng.counter_gumbel(seeds[:, None], tkey, 0, logits.shape,
+                                    class_axis=1)
+            nxt = jnp.argmax(logits * (1.0 / temperature) + g, axis=-1)
+        else:
+            k = jax.random.fold_in(key, i)
             nxt = jax.random.categorical(k, logits / temperature, axis=-1)
         return (state, nxt.astype(jnp.int32)), nxt.astype(jnp.int32)
 

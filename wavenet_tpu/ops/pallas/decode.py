@@ -25,9 +25,11 @@ sampling — runs inside a single `pallas_call`:
     features y stream in as [TC, M, Bt] time blocks and each layer adds
     v_cond[l] @ y_t on the MXU — the conditional vocoder (BASELINE config 5)
     decodes without falling back to the XLA scan;
-  * sampling uses an in-kernel counter-based RNG with the Gumbel-max trick,
-    keyed by (seed, global step, global batch index, class) — identical on
-    TPU and in interpret mode, and independent of the batch tiling.
+  * sampling uses an in-kernel counter-based RNG with the Gumbel-max trick
+    (ops/rng.py — ONE hash shared with the collective decoder and the XLA
+    scan's counter-sampling mode), keyed by (per-ROW seed, global step,
+    class) — identical on TPU and in interpret mode, independent of the
+    batch tiling, of co-batched rows, and of any mesh layout.
 
 Interface mirrors models/wavenet.py's decoder; equivalence is tested against
 it (tests/test_pallas_decode.py) in interpret mode on CPU and compiled on
@@ -50,6 +52,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from wavenet_tpu.config import WaveNetConfig
+from wavenet_tpu.ops import rng
 
 # conservative per-core VMEM budget (v5e has ~16MB; headroom for padding)
 VMEM_BUDGET = 12 * 1024 * 1024
@@ -130,45 +133,15 @@ def shrink_tc(tc: int, want: int) -> int:
     return max(tc // 8 * 8, 8)
 
 
-def _mix(h):
-    """murmur3 finalizer: full avalanche on 32-bit lanes."""
-    h = h ^ (h >> 16)
-    h = h * jnp.uint32(0x85EBCA6B)
-    h = h ^ (h >> 13)
-    h = h * jnp.uint32(0xC2B2AE35)
-    h = h ^ (h >> 16)
-    return h
-
-
-def _counter_rng_uniform(seed, t, shape, col0, colstride: int):
-    """Counter-based RNG: uniform f32 in (0,1) from (seed, step, GLOBAL
-    coordinate) — global batch index = col0 + lane, so batch tiles draw
-    independent noise and the tiling does not change the distribution.
-
-    Plain VPU integer ops, so it runs identically compiled on TPU and in
-    interpret mode on CPU (pltpu.prng_* has no CPU lowering)."""
-    idx = (jax.lax.broadcasted_iota(jnp.uint32, shape, 0)
-           * jnp.uint32(colstride)
-           + col0.astype(jnp.uint32)
-           + jax.lax.broadcasted_iota(jnp.uint32, shape, 1))
-    h = (seed.astype(jnp.uint32) * jnp.uint32(0x9E3779B9)
-         + t.astype(jnp.uint32) * jnp.uint32(0x7F4A7C15) + idx)
-    bits = _mix(_mix(h) + idx)
-    # (bits >> 8) fits in 24 bits, so the int32 round-trip is exact; Mosaic
-    # has no direct uint32 -> float32 cast
-    return ((bits >> 8).astype(jnp.int32).astype(jnp.float32)
-            * (1.0 / (1 << 24)) + 1e-12)
-
-
-def _decode_kernel(cfg: WaveNetConfig, TC: int, nTC: int, B_total: int,
+def _decode_kernel(cfg: WaveNetConfig, TC: int, nTC: int,
                    temperature: float, num_forced: int, has_cond: bool,
                    has_gc: bool, *refs):
     refs = list(refs)
-    (seed_ref, t0_ref, col0_ref, tokens_init_ref, forced_ref,
+    (seeds_ref, t0_ref, tokens_init_ref, forced_ref,
      ecur_ref, eprev_ref, wcur_ref, wprev_ref, b_ref,
      wres_ref, bres_ref, wskip_ref, bskip_ref,
-     hw1_ref, hb1_ref, hw2_ref, hb2_ref) = refs[:18]
-    refs = refs[18:]
+     hw1_ref, hb1_ref, hw2_ref, hb2_ref) = refs[:17]
+    refs = refs[17:]
     y_ref = refs.pop(0) if has_cond else None
     vcond_ref = refs.pop(0) if has_cond else None
     g_ref = refs.pop(0) if has_gc else None      # [L, 2R, Bt] f32 offsets
@@ -247,9 +220,11 @@ def _decode_kernel(cfg: WaveNetConfig, TC: int, nTC: int, B_total: int,
                   + hb2_ref[:])                  # [Q, Bt] f32
 
         if temperature > 0:                      # static: 0 => greedy decode
-            u = _counter_rng_uniform(seed_ref[0], t0 + t, (Q, Bt),
-                                     col0_ref[0], B_total)
-            gumbel = -jnp.log(-jnp.log(u))
+            # per-ROW seeds ([1, Bt] row, broadcast over the class sublanes)
+            # via the shared counter RNG — plain VPU integer ops, identical
+            # compiled on TPU and in interpret mode (ops/rng.py)
+            gumbel = rng.counter_gumbel(seeds_ref[:], t0 + t, 0, (Q, Bt),
+                                        class_axis=0)
             scores = logits * (1.0 / temperature) + gumbel
         else:
             scores = logits
@@ -310,7 +285,7 @@ def _flatten_params(params, cfg: WaveNetConfig):
                                              "temperature", "interpret",
                                              "tc_hint", "force_tiles"))
 def decode_chunk(params, cfg: WaveNetConfig, rings: jax.Array,
-                 tokens_init: jax.Array, t0: jax.Array, seed: jax.Array,
+                 tokens_init: jax.Array, t0: jax.Array, seeds: jax.Array,
                  num_steps: int,
                  temperature: float = 1.0, interpret: bool = False,
                  forced=None, y=None, g=None, tc_hint: int = 2048,
@@ -323,6 +298,8 @@ def decode_chunk(params, cfg: WaveNetConfig, rings: jax.Array,
     tokens_init: [B, 2] int32 — column 0 the token consumed at the first
       step, column 1 the token before it (0 at sequence start).
     t0: scalar int32 global step index of the chunk start (ring phase).
+    seeds: [B] int32 PER-ROW sampling seeds (ops/rng.py keying; a scalar
+      is expanded via rng.as_row_seeds).
     y: optional [B, num_steps, M] upsampled conditioning features (cfg.mel).
     g: optional [L, B, 2, R] f32 global-conditioning gate offsets
       (models.wavenet.global_cond_offsets) — time-constant, held VMEM-
@@ -361,19 +338,18 @@ def decode_chunk(params, cfg: WaveNetConfig, rings: jax.Array,
     forced_t = (jnp.zeros((1, B), jnp.int32) if forced is None
                 else forced.T.astype(jnp.int32))
     Pf = forced_t.shape[0]
-    kernel = functools.partial(_decode_kernel, cfg, TC, nTC, B, temperature,
+    kernel = functools.partial(_decode_kernel, cfg, TC, nTC, temperature,
                                num_forced, has_cond, has_gc)
 
     # Batch tiles are SEPARATE launches: Mosaic requires lane-axis blocks to
     # be 128-divisible or the whole dim, so (X, B)->(X, Bt) grid blocking
     # cannot lower whenever Bt < B (bisected on hardware at B=64/Bt=32).
-    # Each launch sees its full [*, Bt] tile; the global batch offset rides
-    # in SMEM so the counter RNG draws tile-independent noise.
+    # Each launch sees its full [*, Bt] tile; the per-ROW seeds slice with
+    # the tile, so the counter RNG draws tile-independent noise.
     full = lambda j: (0, 0)
     in_specs = [
-        pl.BlockSpec(memory_space=pltpu.SMEM),               # seed
+        pl.BlockSpec((1, Bt), full, memory_space=pltpu.VMEM),  # row seeds
         pl.BlockSpec(memory_space=pltpu.SMEM),               # t0
-        pl.BlockSpec(memory_space=pltpu.SMEM),               # col0
         pl.BlockSpec((2, Bt), full, memory_space=pltpu.VMEM),
         pl.BlockSpec((Pf, Bt), full, memory_space=pltpu.VMEM),
     ]
@@ -424,13 +400,13 @@ def decode_chunk(params, cfg: WaveNetConfig, rings: jax.Array,
             vmem_limit_bytes=VMEM_BUDGET + 2 * 1024 * 1024),
         interpret=interpret,
     )
-    seed_op = jnp.asarray(seed, jnp.int32).reshape(1)
+    seeds_op = rng.as_row_seeds(seeds, B).reshape(1, B)
     t0_op = jnp.asarray(t0, jnp.int32).reshape(1)
     ti_t = tokens_init.T
     toks_tiles, rings_tiles, carry_tiles = [], [], []
     for i in range(nB):
         sl = slice(i * Bt, (i + 1) * Bt)
-        tile_ops = [seed_op, t0_op, jnp.full((1,), i * Bt, jnp.int32),
+        tile_ops = [seeds_op[:, sl], t0_op,
                     ti_t[:, sl], forced_t[:, sl], *ops]
         if has_cond:
             tile_ops += [y_k[:, :, sl], vck]
@@ -449,15 +425,20 @@ def decode_chunk(params, cfg: WaveNetConfig, rings: jax.Array,
     return tokens_t.T, rings_out, carry_t.T
 
 
-def setup_decode(params, cfg: WaveNetConfig, key: jax.Array, batch: int,
+def setup_decode(params, cfg: WaveNetConfig, key, batch: int,
                  num_samples: int, prime_tokens=None, speaker=None,
-                 gate_prime: bool = True):
+                 gate_prime: bool = True, seeds=None):
     """Shared driver prolog for the one-shot AND streaming decoders — one
     definition of the VMEM gate (incl. the prime block), the
     global-conditioning offsets, ring/carry init, seed derivation, and step
     accounting, so the two drivers cannot drift apart (their outputs are
-    contractually bit-identical).  Returns (rings, carry, seed, g, P,
-    total) with total = max(P-1, 0) + num_samples."""
+    contractually bit-identical).  Returns (rings, carry, seeds, g, P,
+    total) with total = max(P-1, 0) + num_samples.
+
+    seeds: optional per-row sampling seeds (int scalar or [batch] int32,
+    ops/rng.py keying) — e.g. the serving layer's per-REQUEST seeds, which
+    make each row's audio independent of co-batched traffic.  None derives
+    them from `key`."""
     P = 0 if prime_tokens is None else prime_tokens.shape[1]
     if not fits_vmem(cfg, batch, prime_len=P if gate_prime else 0):
         raise ValueError("model/batch/prime too large for the VMEM-resident "
@@ -478,27 +459,30 @@ def setup_decode(params, cfg: WaveNetConfig, key: jax.Array, batch: int,
                          jnp.int32)
     carry = jnp.concatenate([first, jnp.zeros((batch, 1), jnp.int32)],
                             axis=1)
-    seed = jax.random.randint(key, (), 0, 2 ** 31 - 1)
-    return rings, carry, seed, g, P, max(P - 1, 0) + num_samples
+    if seeds is None:
+        seeds = jax.random.randint(key, (), 0, 2 ** 31 - 1)
+    seeds = rng.as_row_seeds(seeds, batch)
+    return rings, carry, seeds, g, P, max(P - 1, 0) + num_samples
 
 
-def generate_pallas(params, cfg: WaveNetConfig, key: jax.Array,
+def generate_pallas(params, cfg: WaveNetConfig, key,
                     num_samples: int, batch: int = 1,
                     prime_tokens=None, y=None, speaker=None,
                     temperature: float = 1.0,
                     chunk: int = 2048, interpret: bool = False,
-                    force_tiles: Optional[Tuple[int, int]] = None
-                    ) -> jax.Array:
+                    force_tiles: Optional[Tuple[int, int]] = None,
+                    seeds=None) -> jax.Array:
     """Drop-in fast generation via the whole-loop kernel.  Supports
     teacher-forced priming (prime_tokens [B, P]), local conditioning
     (y [B, T>=steps, M] upsampled mel features), and global conditioning
     (speaker [B] int32 class ids, cfg.global_classes set); callers should
     check fits_vmem() and fall back to models.wavenet.generate otherwise.
     `chunk` is the time-grid block hint (compile-relevant only);
-    `force_tiles` overrides the (batch_tile, time_chunk) plan (tests)."""
+    `force_tiles` overrides the (batch_tile, time_chunk) plan (tests);
+    `seeds` = per-row sampling seeds overriding `key` (setup_decode)."""
     rings, carry, seed, g, P, total = setup_decode(
         params, cfg, key, batch, num_samples, prime_tokens, speaker,
-        gate_prime=force_tiles is None)
+        gate_prime=force_tiles is None, seeds=seeds)
     # total: P-1 priming steps consume prime[1:], then num_samples
     # free-running steps; outputs before the first free sample are dropped.
     # Round UP to a whole number of time chunks (the surplus free-running

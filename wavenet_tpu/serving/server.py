@@ -9,10 +9,11 @@ jit cache stays bounded), the whole batch decodes in one streaming scan,
 and each request receives its own waveform chunks as they are produced.
 
 Design points:
-  * Batch composition is DETERMINISTIC given the rows: the decode key is
-    PRNGKey(0) folded with each request's seed in row order, so a test (or
-    a replaying client) can reproduce a batch bit-exactly with
-    WaveNet.stream + the same key.
+  * Each request's audio depends ONLY on its own seed: rows sample from the
+    counter RNG (ops/rng.py) keyed by the request seed, so re-submitting a
+    request reproduces its audio bit-exactly REGARDLESS of what other
+    traffic happens to be co-batched with it, and a client can replay any
+    single response with WaveNet.stream(batch=1, seeds=[seed]).
   * Shapes are static per (length-bucket, batch-bucket, temperature)
     group — each group compiles once, then every future batch with that
     signature reuses the executable.  Padding rows are dummy speaker-0
@@ -48,15 +49,6 @@ def _batch_bucket(n: int, max_batch: int) -> int:
     while b < n and b < max_batch:
         b *= 2
     return min(b, max_batch)
-
-
-def _mix_seeds(seeds) -> int:
-    """Deterministic int31 from the row seeds, in row order (the mesh
-    decode path needs ONE integer seed; documented replay contract)."""
-    h = 0
-    for s in seeds:
-        h = (h * 1000003 + int(s) + 0x9E3779B9) % (1 << 31)
-    return h
 
 
 @dataclass
@@ -121,12 +113,14 @@ class WaveNetServer:
     mesh: optional jax.sharding.Mesh with (data, model) axes — each
     microbatch then decodes through the DISTRIBUTED AR generator
     (multi-chip cached-state + token exchange via collectives, SURVEY.md
-    P3) instead of the single-chip streamer.  One-shot per batch: each
-    request's audio arrives as a single chunk.  Batch buckets round up to
-    a multiple of the mesh's data-axis size so rows shard evenly.  The
-    batch seed derives from the row seeds (_mix_seeds), and the
-    distributed decoder's tokens are layout-independent at a given seed,
-    so results remain replayable across pod shapes.
+    P3) instead of the single-chip streamer — STREAMING chunk-for-chunk
+    like the single-chip path (stream_distributed), with the whole-loop
+    Pallas kernel fanned over the data axis whenever the per-chip shard
+    fits its VMEM plan.  Batch buckets round up to
+    a multiple of the mesh's data-axis size so rows shard evenly.  Rows
+    keep their own request seeds (the distributed decoder's counter RNG is
+    per-row and layout-independent), so responses replay bit-exactly
+    across pod shapes AND batch compositions.
     """
 
     def __init__(self, model, max_batch: int = 8, max_wait_ms: float = 10.0,
@@ -306,8 +300,6 @@ class WaveNetServer:
                     if dt > 0 else 0.0)
 
     def _decode_group(self, group):
-        import jax
-
         n_real = len(group)
         scan_len = _bucket(max(r.num_samples for r in group),
                            self.length_quantum)
@@ -321,9 +313,11 @@ class WaveNetServer:
         self._bump("batches")
         self._bump("padded_rows", B - n_real)
 
-        key = jax.random.PRNGKey(0)
-        for r in group:
-            key = jax.random.fold_in(key, r.seed)
+        # per-REQUEST sampling seeds: row i draws noise keyed by ITS seed
+        # only (ops/rng.py), so co-batched traffic and pad rows can never
+        # change a response (replay contract; pad rows use seed 0)
+        seeds = np.asarray([r.seed for r in group] + [0] * (B - n_real),
+                           np.int32)
 
         speaker = None
         if self.cfg.global_classes is not None:
@@ -351,14 +345,14 @@ class WaveNetServer:
             scan_len = group[0].num_samples  # singleton: exact length
 
         if self.mesh is not None:
-            self._decode_mesh(group, B, scan_len, speaker, mel,
+            self._decode_mesh(group, B, scan_len, seeds, speaker, mel,
                               prime_tokens)
             return
 
         emitted = [0] * n_real
         for chunk in self.model.stream(
                 num_samples=scan_len, chunk_samples=self.chunk_samples,
-                batch=B, key=key, mel=mel, speaker=speaker,
+                batch=B, seeds=seeds, mel=mel, speaker=speaker,
                 prime_tokens=prime_tokens,
                 temperature=group[0].temperature):
             chunk = np.asarray(chunk, np.float32)
@@ -372,25 +366,35 @@ class WaveNetServer:
                    for i in range(n_real)):
                 break  # bucket tail serves nobody; stop the scan early
 
-    def _decode_mesh(self, group, B, scan_len, speaker, mel, prime_tokens):
-        """One-shot distributed decode of the whole microbatch over the
-        mesh; each request receives its trimmed row as a single chunk."""
-        from wavenet_tpu.audio import mulaw
+    def _decode_mesh(self, group, B, scan_len, seeds, speaker, mel,
+                     prime_tokens):
+        """STREAMING distributed decode of the whole microbatch over the
+        mesh: chunks flow to every request as they are produced (same
+        time-to-first-audio contract as the single-chip path), and the
+        concatenation is bit-identical to a one-shot generate(mesh=...) at
+        the same seeds (sampler.stream_distributed)."""
         if prime_tokens is not None and prime_tokens.shape[0] != B:
             prime_tokens = np.tile(np.asarray(prime_tokens), (B, 1))
         if mel is not None and mel.shape[0] != B:
             mel = np.tile(np.asarray(mel), (B, 1, 1))
-        toks = self.model.generate(
-            num_samples=scan_len, batch=B, mesh=self.mesh,
-            seed=_mix_seeds(r.seed for r in group),
-            speaker=None if speaker is None else np.asarray(speaker),
-            mel=mel, prime_tokens=prime_tokens,
-            temperature=group[0].temperature)
-        wav = mulaw.decode_np(np.asarray(toks),
-                              self.cfg.quantization_channels)
-        for i, r in enumerate(group):
-            r.chunks.put(wav[i, :r.num_samples].astype(np.float32))
-            self._bump("samples_out", r.num_samples)
+        n_real = len(group)
+        emitted = [0] * n_real
+        for chunk in self.model.stream(
+                num_samples=scan_len, chunk_samples=self.chunk_samples,
+                batch=B, mesh=self.mesh, seeds=seeds,
+                speaker=None if speaker is None else np.asarray(speaker),
+                mel=mel, prime_tokens=prime_tokens,
+                temperature=group[0].temperature):
+            chunk = np.asarray(chunk, np.float32)
+            for i, r in enumerate(group):
+                take = min(chunk.shape[1], r.num_samples - emitted[i])
+                if take > 0:
+                    r.chunks.put(chunk[i, :take])
+                    emitted[i] += take
+                    self._bump("samples_out", take)
+            if all(emitted[i] >= group[i].num_samples
+                   for i in range(n_real)):
+                break  # bucket tail serves nobody; stop the scan early
 
 
 def _monotonic() -> float:
