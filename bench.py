@@ -112,7 +112,62 @@ def bench_training(steps: int = 30, windows: int = 10,
     }
 
 
-def bench_decode(num_samples: int = 3072, batch: int = 64):
+def _timed(f):
+    t0 = time.perf_counter()
+    f()
+    return time.perf_counter() - t0
+
+
+def _sustained(f, windows: int = 8, target_dt: float | None = None,
+               time_budget_s: float = 90.0, pause_s: float = 8.0):
+    """Sustained-window timing for sub-second decode calls — the decode
+    twin of bench_training's machinery (round-2 verdict: decode rigor
+    lagged training's).  Runs up to `windows` timed calls, stopping early
+    once the best window reaches `target_dt` (the pinned baseline), and
+    pausing between windows while below it (the shared chip's throttle
+    bursts clear within tens of seconds).  Returns sorted window times."""
+    dts = [_timed(f)]
+    t_end = time.monotonic() + time_budget_s
+    for i in range(1, windows):
+        if target_dt and min(dts) <= target_dt:
+            break
+        if time.monotonic() > t_end and i >= 3:
+            break
+        if target_dt and min(dts) > 1.4 * target_dt and i >= 2:
+            time.sleep(pause_s)
+        dts.append(_timed(f))
+    return sorted(dts)
+
+
+def _rate_stats(prefix: str, per_call_units: float, dts, extra=None):
+    """best/median/stddev rates + bimodality (throttle) flag from sorted
+    window times, in `per_call_units`-per-second."""
+    rates = sorted(per_call_units / dt for dt in dts)
+    n = len(rates)
+    median = (rates[n // 2] if n % 2 else
+              0.5 * (rates[n // 2 - 1] + rates[n // 2]))
+    mean = sum(rates) / n
+    std = (sum((r - mean) ** 2 for r in rates) / n) ** 0.5
+    out = {
+        f"{prefix}_best": rates[-1],
+        f"{prefix}_median": median,
+        f"{prefix}_stddev": std,
+        f"{prefix}_windows": n,
+        f"{prefix}_throttle_detected": bool(rates[-1] >= 1.3 * median),
+    }
+    out.update(extra or {})
+    return out
+
+
+def _decode_target_dt(baseline, key: str, num_samples: int):
+    """Pinned window time for early stop: baseline steps/s -> seconds."""
+    if not baseline:
+        return None
+    sps = baseline.get(key)
+    return num_samples / sps if sps else None
+
+
+def bench_decode(num_samples: int = 3072, batch: int = 64, baseline=None):
     """XLA scan decoder at the fastgen preset's batch-64 setting."""
     import jax
     from wavenet_tpu.config import fastgen_bench
@@ -125,34 +180,21 @@ def bench_decode(num_samples: int = 3072, batch: int = 64):
     gen = jax.jit(lambda p, k: wn.generate(p, cfg, k, num_samples=num_samples,
                                            batch=batch))
     jax.block_until_ready(gen(params, key))          # compile
-    dt = _timed_best(lambda: jax.block_until_ready(gen(params, key)))
+    dts = _sustained(lambda: jax.block_until_ready(gen(params, key)),
+                     target_dt=_decode_target_dt(
+                         baseline, "decode_steps_per_sec", num_samples))
+    dt = dts[0]
     return {
         "decode_samples_per_sec": num_samples * batch / dt,
         "decode_steps_per_sec": num_samples / dt,
         "decode_batch": batch,
         "decode_realtime_factor": (num_samples / dt) / cfg.sample_rate,
+        **_rate_stats("decode_steps_per_sec", num_samples, dts),
     }
 
 
-def _timed(f):
-    t0 = time.perf_counter()
-    f()
-    return time.perf_counter() - t0
-
-
-def _timed_best(f, repeats: int = 3, pause_s: float = 10.0):
-    """Best-of-two separated windows: the shared chip's transient throttle
-    bursts last seconds-to-minutes, so two best-of-`repeats` rounds with a
-    pause between are far more likely to catch ONE clean window than a
-    single consecutive-run burst (the train bench has full windows +
-    throttle detection; decode runs are sub-second, so this costs ~10 s)."""
-    ts = [_timed(f) for _ in range(repeats)]
-    time.sleep(pause_s)
-    ts += [_timed(f) for _ in range(repeats)]
-    return min(ts)
-
-
-def bench_decode_pallas(num_samples: int = 4096, batch: int = 64):
+def bench_decode_pallas(num_samples: int = 4096, batch: int = 64,
+                        baseline=None):
     """Whole-loop Pallas kernel decoder (VMEM-resident weights + rings,
     batch-tiled grid) at the mandated fastgen B=64 setting."""
     import jax
@@ -167,8 +209,12 @@ def bench_decode_pallas(num_samples: int = 4096, batch: int = 64):
     key = jax.random.PRNGKey(1)
     out = pdec.generate_pallas(params, cfg, key, num_samples, batch=batch)
     jax.block_until_ready(out)                       # compile
-    dt = _timed_best(lambda: jax.block_until_ready(
-        pdec.generate_pallas(params, cfg, key, num_samples, batch=batch)))
+    dts = _sustained(
+        lambda: jax.block_until_ready(
+            pdec.generate_pallas(params, cfg, key, num_samples, batch=batch)),
+        target_dt=_decode_target_dt(
+            baseline, "pallas_decode_steps_per_sec", num_samples))
+    dt = dts[0]
     bt, tc = pdec.plan_tiles(cfg, batch)
     return {
         "pallas_decode_samples_per_sec": num_samples * batch / dt,
@@ -176,10 +222,12 @@ def bench_decode_pallas(num_samples: int = 4096, batch: int = 64):
         "pallas_decode_batch": batch,
         "pallas_decode_batch_tile": bt,
         "pallas_decode_realtime_factor": (num_samples / dt) / cfg.sample_rate,
+        **_rate_stats("pallas_decode_steps_per_sec", num_samples, dts),
     }
 
 
-def bench_decode_conditional(num_samples: int = 4096, batch: int = 8):
+def bench_decode_conditional(num_samples: int = 4096, batch: int = 8,
+                             baseline=None):
     """Conditional vocoder decode fully in-kernel (streamed mel features,
     in-kernel v_cond projection) — BASELINE config 5's product path."""
     import jax
@@ -204,13 +252,63 @@ def bench_decode_conditional(num_samples: int = 4096, batch: int = 8):
                                     batch=batch, y=y)
 
     jax.block_until_ready(run())                     # compile
-    dt = _timed_best(lambda: jax.block_until_ready(run()))
+    dts = _sustained(lambda: jax.block_until_ready(run()),
+                     target_dt=_decode_target_dt(
+                         baseline, "cond_decode_steps_per_sec", num_samples))
+    dt = dts[0]
     return {
         "cond_decode_samples_per_sec": num_samples * batch / dt,
         "cond_decode_steps_per_sec": num_samples / dt,
         "cond_decode_batch": batch,
         "cond_decode_realtime_factor": (num_samples / dt) / cfg.sample_rate,
+        **_rate_stats("cond_decode_steps_per_sec", num_samples, dts),
     }
+
+
+def bench_full_preset(iters: int = 8, baseline=None):
+    """Flagship `full` preset grad-step time, fused vs scan — tracked every
+    round so the 3.7x-fused / ~49%-MFU claims are RE-MEASURED, not
+    remembered (round-2 verdict #4).  Short sustained windows with the same
+    early-stop-on-target treatment as the other benches."""
+    import jax
+    from wavenet_tpu.config import full
+    from wavenet_tpu.models import wavenet as wn
+
+    cfg = full()
+    p = wn.init_params(cfg, jax.random.PRNGKey(0))
+    B, W = cfg.batch_size, cfg.train_window
+    batches = [jax.random.randint(jax.random.PRNGKey(i), (B, W + 1), 0, 256)
+               for i in range(3)]
+
+    def make(use_fused):
+        f = jax.jit(lambda p, t: jax.grad(
+            lambda pp: wn.loss_fn(pp, cfg, t, use_fused=use_fused)[0])(p))
+        for bt in batches:
+            jax.block_until_ready(f(p, bt))          # compile + warm
+
+        def run():
+            r = None
+            for i in range(iters):
+                r = f(p, batches[i % 3])
+            jax.block_until_ready(r)
+        return run
+
+    out = {}
+    for tag, fused in (("fused", True), ("scan", False)):
+        base_ms = (baseline or {}).get(f"full_train_ms_{tag}")
+        dts = _sustained(make(fused), windows=5,
+                         target_dt=(base_ms * iters / 1e3
+                                    if base_ms else None),
+                         time_budget_s=120.0)
+        ms = dts[0] / iters * 1e3
+        out[f"full_train_ms_{tag}"] = ms
+        out[f"full_train_{tag}_audio_seconds_per_sec_per_chip"] = (
+            B * W / (ms / 1e3) / cfg.sample_rate)
+        out.update(_rate_stats(f"full_train_{tag}_steps_per_sec",
+                               iters, dts))
+    out["full_fused_speedup"] = (out["full_train_ms_scan"]
+                                 / out["full_train_ms_fused"])
+    return out
 
 
 def bench_decode_naive(num_samples: int = 256, batch: int = 1):
@@ -270,18 +368,20 @@ def main():
     ap.add_argument("--train-steps", type=int, default=30)
     ap.add_argument("--decode-samples", type=int, default=3072)
     ap.add_argument("--skip-naive", action="store_true")
+    ap.add_argument("--skip-full", action="store_true",
+                    help="skip the full-preset fused/scan grad-step bench")
     ap.add_argument("--record-baseline", action="store_true",
                     help="write this run's numbers as the new baseline")
     args = ap.parse_args()
 
-    target = None
+    baseline = None
     if os.path.exists(BASELINE_FILE):
         try:
             with open(BASELINE_FILE) as f:
-                target = json.load(f).get(
-                    "train_audio_seconds_per_sec_per_chip")
+                baseline = json.load(f)
         except Exception:
             pass
+    target = (baseline or {}).get("train_audio_seconds_per_sec_per_chip")
 
     import jax
     init_done = _arm_device_watchdog(
@@ -302,38 +402,51 @@ def main():
             os.path.abspath(__file__)), "tools"))
         try:
             import tpu_verify
-            fails = tpu_verify.run_quick()
-            details["kernel_verify"] = "bit-exact" if not fails else (
-                "FAIL: " + ", ".join(fails))
+            fails, drifts = tpu_verify.run_quick()
+            if fails:
+                details["kernel_verify"] = "FAIL: " + ", ".join(fails)
+            elif drifts:
+                # heterogeneous backend pool: one-bf16-ulp numerics skew
+                # between compile-service versions (tpu_verify docstring) —
+                # perf numbers stand, bit-attestation does not
+                details["kernel_verify"] = ("numerics-drift: "
+                                            + ", ".join(drifts))
+            else:
+                details["kernel_verify"] = "bit-exact"
         except Exception as e:
             details["kernel_verify"] = f"error: {e!r}"
     details.update(bench_training(args.train_steps, target=target))
-    details.update(bench_decode(args.decode_samples))
-    details.update(bench_decode_pallas())
-    details.update(bench_decode_conditional())
+    details.update(bench_decode(args.decode_samples, baseline=baseline))
+    details.update(bench_decode_pallas(baseline=baseline))
+    details.update(bench_decode_conditional(baseline=baseline))
+    if not args.skip_full:
+        try:
+            details.update(bench_full_preset(baseline=baseline))
+        except Exception as e:  # full preset OOM/compile failure: record it
+            details["full_preset_error"] = repr(e)
     if not args.skip_naive:
         details.update(bench_decode_naive())
         details["fast_vs_naive_speedup"] = (
             details["decode_steps_per_sec"]
             / details["naive_samples_per_sec"])
 
-    baseline = None
-    if os.path.exists(BASELINE_FILE):
-        with open(BASELINE_FILE) as f:
-            baseline = json.load(f)
     if args.record_baseline or baseline is None:
         with open(BASELINE_FILE, "w") as f:
             json.dump(details, f, indent=2)
         if baseline is None:
             baseline = details
 
+    def _vs(key, invert=False):
+        """details/baseline ratio (>1 = better); None when unpinned or the
+        pinned batch no longer matches the measured one."""
+        a, b = details.get(key), baseline.get(key)
+        if not a or not b:
+            return None
+        return b / a if invert else a / b
+
     key = "train_audio_seconds_per_sec_per_chip"
-    vs = details[key] / baseline[key] if baseline.get(key) else 1.0
-
-    with open(DETAILS_FILE, "w") as f:
-        json.dump(details, f, indent=2)
-
-    print(json.dumps({
+    vs = _vs(key) or 1.0
+    line = {
         "metric": "train_audio_seconds_per_sec_per_chip",
         "value": round(details[key], 3),
         "unit": "audio-s/s/chip",
@@ -342,7 +455,28 @@ def main():
         "stddev": round(details["train_audio_seconds_per_sec_stddev"], 3),
         "windows": details["train_windows"],
         "throttle_detected": details["train_throttle_detected"],
-    }))
+    }
+    # decode + flagship regression gates (round-2 verdict #2/#4): ratios vs
+    # the SAME-batch pins; only comparable pins are emitted
+    gates = {}
+    if baseline.get("decode_batch") == details.get("decode_batch"):
+        gates["decode_vs_baseline"] = _vs("decode_steps_per_sec")
+    if (baseline.get("pallas_decode_batch")
+            == details.get("pallas_decode_batch")):
+        gates["pallas_decode_vs_baseline"] = _vs(
+            "pallas_decode_steps_per_sec")
+    if baseline.get("cond_decode_batch") == details.get("cond_decode_batch"):
+        gates["cond_decode_vs_baseline"] = _vs("cond_decode_steps_per_sec")
+    gates["full_fused_vs_baseline"] = _vs("full_train_ms_fused", invert=True)
+    for k, v in gates.items():
+        if v:
+            line[k] = round(v, 3)
+            details[k] = v
+
+    with open(DETAILS_FILE, "w") as f:
+        json.dump(details, f, indent=2)
+
+    print(json.dumps(line))
 
 
 if __name__ == "__main__":

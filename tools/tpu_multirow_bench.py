@@ -81,7 +81,6 @@ def sweep(name):
     pick = ts.pick_nb(cfg, T, B)
     print(f"== {name}: B={B} T={T} TT={TT} auto-pick nb={pick}", flush=True)
     for nb, ng in ts.nb_candidates(cfg, cfg.dilations, TT, B):
-        est = ts._est_cost_us(cfg, TT, nT, B, nb[0], nb[1], ng) / 1e3
         try:
             # nb > 1 kernel stacks exceed the default 16 MiB scoped-VMEM
             # compile limit; raise it so the sweep measures, not crashes
@@ -91,8 +90,8 @@ def sweep(name):
                 compiler_options=opts)
             ms = time_step(fn, p) * 1e3
             mark = " <== auto" if nb == pick else ""
-            print(f"  nb={nb} groups={ng}: {ms:8.3f} ms/step "
-                  f"(model {est:7.2f} ms){mark}", flush=True)
+            print(f"  nb={nb} groups={ng}: {ms:8.3f} ms/step{mark}",
+                  flush=True)
         except Exception as e:  # noqa: BLE001 — report compile failures
             print(f"  nb={nb} groups={ng}: FAILED {type(e).__name__}: "
                   f"{str(e)[:200]}", flush=True)

@@ -156,11 +156,14 @@ def _group_sizes(cfg: WaveNetConfig, TT: int, dils, nb=(1, 1)):
 
 
 def plan_dils(cfg: WaveNetConfig, dils, TT: int,
-              nb=(1, 1)) -> List[Tuple[int, int]]:
+              nb=(1, 1), hw: bool = True) -> List[Tuple[int, int]]:
     """Fewest contiguous layer groups (within the given dilation slice)
-    whose fwd AND bwd kernels fit VMEM.  Returns [] (no plan) for nb rows
-    beyond NB_HW_MAX — those variants miscompile on hardware."""
-    if max(nb) > NB_HW_MAX:
+    whose fwd AND bwd kernels fit VMEM.  With hw=True (default) returns []
+    (no plan) for nb rows beyond NB_HW_MAX — those variants miscompile on
+    hardware.  hw=False (interpret mode, which is bit-exact at any nb)
+    lifts the fence so tests and a future-chip recalibration past
+    NB_HW_MAX stay runnable (round-2 advisor)."""
+    if hw and max(nb) > NB_HW_MAX:
         return []
     L = len(dils)
     groups, lo = [], 0
@@ -190,32 +193,6 @@ def _pow2_divisors(B: int, cap: int = NB_HW_MAX) -> List[int]:
     return out
 
 
-def _est_cost_us(cfg: WaveNetConfig, TT: int, nT: int, B: int,
-                 nf: int, nbw: int, ngroups: int, L: int = 0) -> float:
-    """Rough wall-time model for one fused fwd+bwd pass, microseconds.
-
-    Per layer grid-step: a fixed serialization latency T0 (the dependency
-    chain of small matmuls — the skinny-preset bound, BASELINE.md MFU
-    analysis) plus a per-row slope from MXU FLOPs and VPU gate math at
-    de-rated throughputs.  Each layer-group boundary beyond the first adds
-    an HBM round-trip of the x/skip/snap streams.  Constants calibrated on
-    v5e against the round-2 measurements (tools/tpu_multirow_bench.py).
-    L: layer count the chain runs over (a pipeline stage's slice, or 0 for
-    the whole stack)."""
-    R, S = cfg.residual_channels, cfg.skip_channels
-    L = L or cfg.num_layers
-    # per-row, per-layer-step costs (us)
-    mxu = 2 * TT * (5 * R * R + R * S) / 100e6     # ~100 MFLOP/us effective
-    vpu = TT * 2 * R * 8.0 / 3.0e6                 # gate transcendentals
-    t_f = 1.0 + nf * (mxu + vpu)
-    t_b = 2.2 + nbw * 2.4 * (mxu + vpu)            # recompute + reverse
-    cost = L * nT * ((B / nf) * t_f + (B / nbw) * t_b)
-    # group-boundary streams: x/skip both directions, fwd + bwd re-reads
-    bnd = B * TT * nT * (8 * R + 8 * S) * 2.2 / 800e3   # us at ~800 GB/s
-    cost += (ngroups - 1) * (bnd + 30.0)
-    return cost
-
-
 def pick_nb(cfg: WaveNetConfig, T: int, B: int,
             TT: int = 0) -> Tuple[int, int]:
     """Choose (rows per fwd grid step, rows per bwd grid step).
@@ -223,7 +200,10 @@ def pick_nb(cfg: WaveNetConfig, T: int, B: int,
     Measured verdict (see pick_nb_dils): (1, 1) — row fusion does not beat
     the single-row layout on v5e, so auto-pick returns the hardware-proven
     layout; WAVENET_TPU_NB=nf,nbw forces an explicit multi-row variant
-    (compile it with multirow_compiler_options(nb))."""
+    (compile it with multirow_compiler_options(nb)).  The analytic cost
+    model that once scored nb_candidates is deleted (round-2 verdict:
+    unused, never validated — the sweep tool measures instead of
+    estimating)."""
     return pick_nb_dils(cfg, cfg.dilations, T, B, TT)
 
 
@@ -884,7 +864,10 @@ def forward_skip_fused(params, cfg: WaveNetConfig, x: jax.Array,
     if auto_nb:
         nb = pick_nb(cfg, T, B, TT=TT)
     nb = tuple(nb)
-    groups = plan_dils(cfg, cfg.dilations, TT, nb)
+    # the NB_HW_MAX miscompile fence is HARDWARE-only: interpret mode is
+    # bit-exact at any nb (round-2 advisor — keeps nb > 4 testable and a
+    # future-chip recalibration observable without editing the constant)
+    groups = plan_dils(cfg, cfg.dilations, TT, nb, hw=not interpret)
     if not groups and auto_nb and nb != (1, 1):
         # auto-pick raced a config edge: fall back to the proven layout
         nb = (1, 1)

@@ -163,7 +163,22 @@ def make_train_step(cfg: WaveNetConfig, tx: optax.GradientTransformation,
             ema = jax.tree.map(lambda e, p: d * e + (1.0 - d) * p,
                                state.ema, params)
         metrics = dict(aux)
-        metrics["grad_norm"] = optax.global_norm(grads)
+        if cfg.grad_accum > 1:
+            # grad_norm must reflect what the optimizer SEES (round-2
+            # advisor): under MultiSteps that is the running k-microbatch
+            # mean, not the raw per-microbatch gradient — recompute the
+            # post-accumulation mean from the PRE-update state (acc_grads
+            # resets to zero on apply steps, so it can't be read after).
+            # On apply steps (mini_step wraps to 0) this equals exactly the
+            # gradient the update consumed; the raw per-microbatch norm is
+            # kept alongside for debugging.
+            k = state.opt_state.mini_step + 1
+            acc = jax.tree.map(lambda a, g: a + (g - a) / k,
+                               state.opt_state.acc_grads, grads)
+            metrics["grad_norm"] = optax.global_norm(acc)
+            metrics["microbatch_grad_norm"] = optax.global_norm(grads)
+        else:
+            metrics["grad_norm"] = optax.global_norm(grads)
         return TrainState(params, opt_state, state.step + 1, ema), metrics
 
     return train_step
@@ -319,10 +334,13 @@ class Trainer:
                                   mel=batch.get("mel"),
                                   speaker=batch.get("speaker"))[1]
 
+            # scalar metrics are replicated; pinning out_shardings keeps
+            # GSPMD from materializing them sharded (round-2 review)
             self._eval_step = jax.jit(
                 eval_loss,
                 in_shardings=(self.state_shardings.params,
-                              self.batch_shardings))
+                              self.batch_shardings),
+                out_shardings=NamedSharding(self.mesh, P()))
         it = IteratorState(seed=seed, step=0)
         sums: Dict[str, float] = {}
         with self.mesh:
