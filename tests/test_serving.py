@@ -429,6 +429,47 @@ def test_server_mesh_mode_matches_distributed_generate():
                                   np.asarray(solo)[0])
 
 
+def test_singleton_lane_does_not_block_batchable():
+    """Round-2 verdict #6: a long dynamic-shape (mel) request runs on its
+    own decode lane, so a batchable request submitted AFTER it completes
+    while the mel decode is still in flight instead of queueing behind
+    it."""
+    import time as time_mod
+    mel_cfg = MelConfig(num_mels=8, hop_length=16, win_length=64,
+                        fmax=4000.0, upsample_factors=(4, 4))
+    cfg = cfg_(mel=mel_cfg)
+    m = WaveNet(cfg, wn.init_params(cfg, jax.random.PRNGKey(3)))
+    frames = 256                      # ~4096-sample mel decode: long on CPU
+    mel = np.random.default_rng(0).normal(
+        size=(frames, mel_cfg.num_mels)).astype(np.float32)
+    with WaveNetServer(m, max_batch=2, max_wait_ms=1,
+                       chunk_seconds=16 / 8000,
+                       length_quantum_seconds=32 / 8000) as srv:
+        # warm both executables so the ordering assertion measures decode,
+        # not compilation
+        srv.synthesize(num_samples=mel_cfg.hop_length * frames,
+                       mel=mel, seed=1)
+        srv.synthesize(num_samples=32, seed=1)
+
+        done = {}
+        h_mel = srv.submit(num_samples=mel_cfg.hop_length * frames,
+                           mel=mel, seed=2)
+        h_fast = srv.submit(num_samples=32, seed=2)
+
+        def consume(name, h):
+            h.waveform()
+            done[name] = time_mod.monotonic()
+
+        ts = [threading.Thread(target=consume, args=(n, h))
+              for n, h in (("mel", h_mel), ("fast", h_fast))]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join(timeout=120)
+    assert done["fast"] < done["mel"], (
+        "batchable request queued behind the singleton mel decode")
+
+
 def test_server_concurrent_consumers():
     """Chunks stream to consumers on other threads while the worker is
     still decoding; close(wait=True) drains everything submitted."""

@@ -20,8 +20,11 @@ Design points:
     requests whose outputs are dropped; per-request lengths are trimmed
     from the bucketed scan length on the way out.
   * Mel-conditioned and primed (voice-continuation) requests carry
-    request-specific shapes; they run as singleton batches through the
-    same worker rather than forcing a recompile per grouping.
+    request-specific shapes; they run as singleton batches on their OWN
+    decode lane (a second worker thread), so a long vocoder request never
+    head-of-line-blocks the batchable lane: both lanes stream in chunks
+    and interleave at chunk granularity on the device queue (round-2
+    verdict #6; mixed-load p95 measured by tools/tpu_serve_bench.py).
   * Chunks flow through per-request queues (unbounded: one second of
     16 kHz float32 audio is 64 KB, so a lagging consumer costs memory
     proportional to its own utterance, never stalls the TPU loop).
@@ -137,13 +140,22 @@ class WaveNetServer:
         self.stats = {"requests": 0, "batches": 0, "padded_rows": 0,
                       "samples_out": 0, "decode_seconds": 0.0}
         self._stats_lock = threading.Lock()
+        # two decode lanes: fixed-shape batchable traffic, and dynamic-shape
+        # (mel/primed) singletons — so neither head-of-line-blocks the other
         self._inbox: "queue.Queue" = queue.Queue()
+        self._inbox_single: "queue.Queue" = queue.Queue()
         # guards the closed-check + enqueue pair in submit() against a
-        # concurrent close(): nothing may enter the inbox after _DONE
+        # concurrent close(): nothing may enter the inboxes after _DONE
         self._submit_lock = threading.Lock()
         self._closed = False
-        self._worker = threading.Thread(target=self._run, daemon=True)
-        self._worker.start()
+        self._workers = [
+            threading.Thread(target=self._run, args=(self._inbox, True),
+                             daemon=True),
+            threading.Thread(target=self._run,
+                             args=(self._inbox_single, False), daemon=True),
+        ]
+        for w in self._workers:
+            w.start()
 
     def _bump(self, key: str, n: int = 1) -> None:
         with self._stats_lock:
@@ -193,7 +205,10 @@ class WaveNetServer:
             if self._closed:
                 raise RuntimeError("server is closed")
             self._bump("requests")
-            self._inbox.put(req)
+            if req.mel is not None or req.prime is not None:
+                self._inbox_single.put(req)      # dynamic-shape lane
+            else:
+                self._inbox.put(req)
         return ResponseStream(req, self.cfg.sample_rate)
 
     def synthesize(self, **kw) -> np.ndarray:
@@ -227,8 +242,10 @@ class WaveNetServer:
                 return
             self._closed = True
             self._inbox.put(_DONE)
+            self._inbox_single.put(_DONE)
         if wait:
-            self._worker.join()
+            for w in self._workers:
+                w.join()
 
     def __enter__(self):
         return self
@@ -238,13 +255,15 @@ class WaveNetServer:
 
     # ---- worker ----
 
-    def _collect(self):
+    def _collect(self, inbox, batching: bool):
         """Gather one microbatch group: first request fixes the group
-        signature; compatible requests arriving within max_wait_s join."""
-        first = self._inbox.get()
+        signature; compatible requests arriving within max_wait_s join.
+        The singleton lane (batching=False) takes one request at a time —
+        its shapes are request-specific, so grouping buys nothing."""
+        first = inbox.get()
         if first is _DONE:
             return None
-        if first.mel is not None or first.prime is not None:
+        if not batching:
             return [first]  # dynamic-shape request: singleton batch
         group = [first]
         sig = (_bucket(first.num_samples, self.length_quantum),
@@ -256,27 +275,26 @@ class WaveNetServer:
             if remaining <= 0:
                 break
             try:
-                nxt = self._inbox.get(timeout=remaining)
+                nxt = inbox.get(timeout=remaining)
             except queue.Empty:
                 break
             if nxt is _DONE:
                 saw_done = True
                 break
-            if (nxt.mel is None and nxt.prime is None
-                    and (_bucket(nxt.num_samples, self.length_quantum),
-                         nxt.temperature) == sig):
+            if (_bucket(nxt.num_samples, self.length_quantum),
+                    nxt.temperature) == sig:
                 group.append(nxt)
             else:
                 leftovers.append(nxt)
         for r in leftovers:  # keep deferred requests ahead of shutdown
-            self._inbox.put(r)
+            inbox.put(r)
         if saw_done:
-            self._inbox.put(_DONE)  # re-arm shutdown after the drain
+            inbox.put(_DONE)  # re-arm shutdown after the drain
         return group
 
-    def _run(self):
+    def _run(self, inbox, batching: bool):
         while True:
-            group = self._collect()
+            group = self._collect(inbox, batching)
             if group is None:
                 return
             t0 = _monotonic()
