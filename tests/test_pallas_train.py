@@ -316,6 +316,22 @@ def test_nb_hw_bound_refused():
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
 
 
+def test_mel_multirow_hw_fenced():
+    """Mel + multi-row miscompiles on v5e whenever the grid has more than
+    one batch block (Mosaic bug #5, 2026-08-19): hardware plans must refuse
+    nb > 1 whenever cfg.mel is set, while interpret plans stay available
+    (the math is bit-exact there: test_multirow_conditional_and_global)."""
+    from wavenet_tpu.config import MelConfig, small
+    c = small().replace(mel=MelConfig())
+    TT = ts.pick_tile(c, c.train_window)
+    assert ts.plan_dils(c, c.dilations, TT, (2, 1)) == []
+    assert ts.plan_dils(c, c.dilations, TT, (1, 2)) == []
+    assert ts.plan_dils(c, c.dilations, TT, (1, 1))
+    assert ts.plan_dils(c, c.dilations, TT, (2, 1), hw=False)
+    assert all(nb == (1, 1)
+               for nb, _ in ts.nb_candidates(c, c.dilations, TT, 8))
+
+
 def test_planner_fuzz():
     """Planner invariants over a random config sweep (the round-1 advisor
     crash was a planner edge: max_dilation < 8 produced a negative ring

@@ -162,8 +162,18 @@ def plan_dils(cfg: WaveNetConfig, dils, TT: int,
     (no plan) for nb rows beyond NB_HW_MAX — those variants miscompile on
     hardware.  hw=False (interpret mode, which is bit-exact at any nb)
     lifts the fence so tests and a future-chip recalibration past
-    NB_HW_MAX stay runnable (round-2 advisor)."""
+    NB_HW_MAX stay runnable (round-2 advisor).
+
+    Mel-conditioned multi-row is additionally refused on hardware: the
+    (NB>1, y-stream) forward miscompiles on v5e whenever the grid has more
+    than one batch block (bisected 2026-08-19: nb=(2,1) B=4 diverges at
+    median elem rel 0.19 on BOTH backend-pool instances while interpret is
+    bit-exact and nb=(4,1) B=4 — a single batch block — passes; the fifth
+    Mosaic miscompile, docs/ARCHITECTURE.md §3).  Multi-row is a measured
+    perf loss anyway (pick_nb), so the fence costs nothing."""
     if hw and max(nb) > NB_HW_MAX:
+        return []
+    if hw and cfg.mel is not None and max(nb) > 1:
         return []
     L = len(dils)
     groups, lo = [], 0
