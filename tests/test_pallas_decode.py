@@ -104,6 +104,27 @@ def test_fits_vmem_budget():
     assert pdec.fits_vmem(full(), batch=8)      # bt=1 streaming tiles
 
 
+def test_streamed_blocks_counted_at_full_lane_width():
+    """Grid-streamed time blocks (tokens, mel features) are lane-padded to
+    128 by Mosaic whatever Bt is — measured on v5e, the mel y block's
+    scoped-VMEM OOM is exactly 2 * tc * M * 128 * 2B at every Bt in 1..8
+    (80 MiB at tc=2048, fits at tc=256).  The planner must account that,
+    or WaveNet.vocode (B=1, ~64k steps) OOMs on hardware (round 3 bug)."""
+    from wavenet_tpu.config import conditional
+    cfg = conditional()
+    for batch in (1, 8):
+        bt, tc = pdec.plan_tiles(cfg, batch)
+        assert bt > 0
+        # padded y stream block alone must fit the budget comfortably
+        y_block = 2 * 2 * tc * cfg.mel.num_mels * max(bt, 128)
+        assert y_block <= pdec.VMEM_BUDGET, (bt, tc, y_block)
+        # and the hardware-measured fit boundary: tc=512 OOMs, tc=256 fits
+        assert tc <= 256, (bt, tc)
+    # the unconditioned fastgen plan keeps its proven large time chunk
+    from wavenet_tpu.config import fastgen_bench
+    assert pdec.plan_tiles(fastgen_bench(), 64) == (16, 2048)
+
+
 def test_priming_matches_xla():
     """Teacher-forced priming in the kernel == XLA prime + greedy rollout."""
     cfg = cfg_()

@@ -1,0 +1,175 @@
+"""Training-quality evidence for the MEL-CONDITIONED VOCODER preset.
+
+The `conditional` preset (WaveNet paper §2.5 eq.3 local conditioning,
+Tacotron-style vocoder) is the product config; this produces the evidence
+run round 2 lacked (VERDICT round 2, item 5):
+
+  1. train the preset on the committed synthetic speech-like corpus
+     (runs/evidence/vocoder/corpus, 24 x 4 s @ 16 kHz) with a loss curve
+     logged to metrics.jsonl;
+  2. train a matched UNCONDITIONAL twin (same arch, mel=None) on the same
+     corpus for the likelihood comparison;
+  3. held-out likelihood: score every corpus_eval clip in bits/sample
+     under its own mel (vocoder) and under the unconditional twin — the
+     vocoder must win on every clip (the conditioning carries information);
+  4. copy-synthesis: vocode each held-out clip (mel -> waveform) and save
+     the wavs; quantitative proof the output tracks the CONDITIONING, not
+     just the corpus prior: log-mel distance between synth i and source j
+     must be minimized at i == j for every row (mel "confusion" matrix).
+
+Artifacts under runs/evidence/vocoder/: metrics.jsonl,
+metrics_uncond.jsonl, scores.json, melconf.json, copysyn_*.wav, README.md.
+
+Usage: python tools/vocoder_evidence.py [steps]   (default 20000; TPU)
+       python tools/vocoder_evidence.py resume    (skip training, redo the
+                                                   evidence from checkpoints)
+"""
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np                                          # noqa: E402
+
+RESUME = len(sys.argv) > 1 and sys.argv[1] == "resume"
+STEPS = (int(sys.argv[1]) if len(sys.argv) > 1 and not RESUME else 20000)
+ROOT = "runs/evidence/vocoder"
+CORPUS = os.path.join(ROOT, "corpus")
+EVAL = os.path.join(ROOT, "corpus_eval")
+
+
+def train_one(cfg, corpus, ckpt_dir, metrics_path, steps):
+    from wavenet_tpu.audio.dataset import AudioDataset
+    from wavenet_tpu.training.trainer import Trainer
+    ds = AudioDataset.from_dir(corpus, cfg)
+    tr = Trainer(cfg, ds, checkpoint_dir=ckpt_dir)
+    with open(metrics_path, "w") as mf:
+        def hook(step, m):
+            mf.write(json.dumps({"step": step, **m}) + "\n")
+            mf.flush()
+        last = tr.run(steps, log_every=500, metrics_fn=hook)
+    tr.save()
+    print("final:", {k: round(float(v), 4) for k, v in last.items()},
+          flush=True)
+    return last
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from wavenet_tpu.audio import mulaw
+    from wavenet_tpu.audio.io import read_wav, write_wav
+    from wavenet_tpu.audio.mel import log_mel
+    from wavenet_tpu.config import conditional
+    from wavenet_tpu.models.api import WaveNet
+
+    os.makedirs(ROOT, exist_ok=True)
+    cfg = conditional().replace(lr_schedule="cosine", lr_decay_steps=STEPS)
+    cfg_u = cfg.replace(mel=None)
+
+    if RESUME:
+        last = last_u = {}
+        for path, d in ((os.path.join(ROOT, "metrics.jsonl"), "c"),
+                        (os.path.join(ROOT, "metrics_uncond.jsonl"), "u")):
+            if os.path.exists(path):
+                rec = {}
+                for line in open(path):
+                    rec = json.loads(line)
+                if d == "c":
+                    last = rec
+                else:
+                    last_u = rec
+    else:
+        print(f"training conditional vocoder: {STEPS} steps", flush=True)
+        last = train_one(cfg, CORPUS, os.path.join(ROOT, "ckpt"),
+                         os.path.join(ROOT, "metrics.jsonl"), STEPS)
+        print(f"training unconditional twin: {STEPS} steps", flush=True)
+        last_u = train_one(cfg_u, CORPUS, os.path.join(ROOT, "ckpt_uncond"),
+                           os.path.join(ROOT, "metrics_uncond.jsonl"), STEPS)
+
+    voc = WaveNet.from_checkpoint(os.path.join(ROOT, "ckpt"))
+    unc = WaveNet.from_checkpoint(os.path.join(ROOT, "ckpt_uncond"))
+
+    eval_paths = sorted(
+        os.path.join(EVAL, n) for n in os.listdir(EVAL)
+        if n.endswith(".wav"))
+    waves = [read_wav(p, cfg.sample_rate)[0] for p in eval_paths]
+
+    # --- 1. held-out bits/sample: vocoder (own mel) vs unconditional ---
+    scores = {}
+    for p, w in zip(eval_paths, waves):
+        mel = jnp.asarray(
+            log_mel(w, cfg.sample_rate, cfg.mel)[None])       # [1, F, M]
+        n = mel.shape[1] * cfg.mel.hop_length
+        wv = jnp.asarray(w[:n + 1][None])
+        bps_c = float(voc.score(waveform=wv, mel=mel)[0])
+        bps_u = float(unc.score(waveform=wv)[0])
+        scores[os.path.basename(p)] = {
+            "vocoder_bits_per_sample": bps_c,
+            "uncond_bits_per_sample": bps_u,
+        }
+        print(f"{os.path.basename(p)}: vocoder {bps_c:.3f} vs "
+              f"uncond {bps_u:.3f} bits/sample", flush=True)
+    voc_wins = all(v["vocoder_bits_per_sample"] < v["uncond_bits_per_sample"]
+                   for v in scores.values())
+    json.dump({"per_clip": scores, "vocoder_wins_every_clip": voc_wins},
+              open(os.path.join(ROOT, "scores.json"), "w"), indent=1)
+    print("vocoder wins every held-out clip:", voc_wins, flush=True)
+
+    # --- 2. copy-synthesis + mel confusion ---
+    synth_mels, src_mels = [], []
+    for p, w in zip(eval_paths, waves):
+        toks = voc.vocode(w, key=jax.random.PRNGKey(7), temperature=0.9)
+        out = np.asarray(mulaw.decode(
+            toks, cfg.quantization_channels))[0]
+        name = os.path.basename(p).replace("clip", "copysyn")
+        write_wav(os.path.join(ROOT, name), out, cfg.sample_rate)
+        synth_mels.append(log_mel(out, cfg.sample_rate, cfg.mel))
+        src_mels.append(log_mel(w[:len(out)], cfg.sample_rate, cfg.mel))
+    n_ev = len(eval_paths)
+    conf = np.zeros((n_ev, n_ev))
+    for i in range(n_ev):
+        for j in range(n_ev):
+            F = min(len(synth_mels[i]), len(src_mels[j]))
+            conf[i, j] = float(np.mean(np.abs(
+                synth_mels[i][:F] - src_mels[j][:F])))
+    diag_best = all(np.argmin(conf[i]) == i for i in range(n_ev))
+    print("log-mel distance (rows=synth, cols=source):\n",
+          np.round(conf, 3), flush=True)
+    print("diagonal is row-min:", diag_best, flush=True)
+    json.dump({"log_mel_l1": conf.tolist(), "diagonal_is_row_min": diag_best},
+              open(os.path.join(ROOT, "melconf.json"), "w"), indent=1)
+
+    with open(os.path.join(ROOT, "README.md"), "w") as f:
+        rows = "\n".join(
+            f"| {k} | {v['vocoder_bits_per_sample']:.3f} | "
+            f"{v['uncond_bits_per_sample']:.3f} |"
+            for k, v in scores.items())
+        f.write(
+            "# Mel-vocoder (`conditional` preset) evidence\n\n"
+            f"`conditional` preset (2x1..512, 64/128 ch, 80-mel local "
+            f"conditioning), {STEPS} steps on the committed 24-clip "
+            f"synthetic speech-like corpus (`corpus/`), one v5e chip; an "
+            f"unconditional twin (same arch, `mel=None`) trained "
+            f"identically for the likelihood comparison.\n\n"
+            f"- vocoder final: loss {last.get('loss', float('nan')):.3f} "
+            f"nats (curve: `metrics.jsonl`); unconditional twin: "
+            f"{last_u.get('loss', float('nan')):.3f} nats "
+            f"(`metrics_uncond.jsonl`)\n"
+            f"- held-out likelihood (4 unseen clips, `corpus_eval/`):\n\n"
+            f"| clip | vocoder (own mel) bits/sample | uncond bits/sample "
+            f"|\n|---|---|---|\n{rows}\n\n"
+            f"  vocoder wins every clip: **{voc_wins}**\n"
+            f"- copy-synthesis `copysyn_*.wav`: held-out mel -> waveform "
+            f"via `WaveNet.vocode`; log-mel L1 between every (synth, "
+            f"source) pair is minimized on the diagonal for every row: "
+            f"**{diag_best}** (`melconf.json`) — the output tracks the "
+            f"conditioning, not the corpus prior.\n")
+    print("evidence written to", ROOT, flush=True)
+
+
+if __name__ == "__main__":
+    main()

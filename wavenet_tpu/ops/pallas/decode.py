@@ -80,10 +80,18 @@ def _tile_bytes(cfg: WaveNetConfig, bt: int, tc: int) -> int:
         #   VMEM (the kernel copies rings_in -> rings at j == 0)
         + bt * (4 * R + S + 4 * Q)               # working set
     )
-    b += 2 * 4 * tc * bt                         # token block (dbl-buffered)
+    # Grid-STREAMED time blocks are lane-padded to the full 128-lane register
+    # width whatever Bt is (measured on v5e: the mel decode's scoped-VMEM OOM
+    # is exactly 2 * tc * M * 128 * 2B at every Bt in 1..8 and every tc —
+    # 80 MiB at tc=2048, 40 at 1024, 20 at 512), so their cost is counted at
+    # 128 lanes.  VMEM-RESIDENT refs (rings, weights, working set) are not
+    # padded this way (bt=16 fastgen runs 10 MiB-accounted under a 14 MiB
+    # limit), so those keep the true Bt.
+    bt_pad = max(bt, 128)
+    b += 2 * 4 * tc * bt_pad                     # token block (dbl-buffered)
     if M:
         b += 2 * L * 2 * R * M                   # v_cond
-        b += 2 * 2 * tc * M * bt                 # y block (dbl-buffered)
+        b += 2 * 2 * tc * M * bt_pad             # y block (dbl-buffered)
     if cfg.global_classes is not None:
         b += 4 * L * 2 * R * bt                  # global gate offsets (f32)
     return b
