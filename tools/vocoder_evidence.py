@@ -156,9 +156,10 @@ def main():
             f"unconditional twin (same arch, `mel=None`) trained "
             f"identically for the likelihood comparison.\n\n"
             f"- vocoder final: loss {last.get('loss', float('nan')):.3f} "
-            f"nats (curve: `metrics.jsonl`); unconditional twin: "
-            f"{last_u.get('loss', float('nan')):.3f} nats "
-            f"(`metrics_uncond.jsonl`)\n"
+            f"nats (curve: `loss_curve.png` / `metrics.jsonl`); "
+            f"unconditional twin: {last_u.get('loss', float('nan')):.3f} "
+            f"nats (`metrics_uncond.jsonl`) — near-equal on TRAIN; the "
+            f"conditioning advantage shows on held-out likelihood below\n"
             f"- held-out likelihood (4 unseen clips, `corpus_eval/`):\n\n"
             f"| clip | vocoder (own mel) bits/sample | uncond bits/sample "
             f"|\n|---|---|---|\n{rows}\n\n"
