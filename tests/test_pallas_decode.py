@@ -108,9 +108,11 @@ def test_streamed_blocks_counted_at_full_lane_width():
     """Grid-streamed time blocks (tokens, mel features) are lane-padded to
     128 by Mosaic whatever Bt is — measured on v5e, the mel y block's
     scoped-VMEM OOM is exactly 2 * tc * M * 128 * 2B at every Bt in 1..8
-    (80 MiB at tc=2048, fits at tc=256).  The planner must account that,
-    or WaveNet.vocode (B=1, ~64k steps) OOMs on hardware (round 3 bug)."""
-    from wavenet_tpu.config import conditional
+    (80 MiB at tc=2048 vs the 14 MiB-era limit).  The planner must account
+    that, or WaveNet.vocode (B=1, ~64k steps) OOMs on hardware (round 3
+    bug).  Every plan's tile bytes must fit the hardware-validated budget
+    so the per-launch vmem limit (sized to the plan) is honest."""
+    from wavenet_tpu.config import conditional, fastgen_bench
     cfg = conditional()
     for batch in (1, 8):
         bt, tc = pdec.plan_tiles(cfg, batch)
@@ -118,11 +120,10 @@ def test_streamed_blocks_counted_at_full_lane_width():
         # padded y stream block alone must fit the budget comfortably
         y_block = 2 * 2 * tc * cfg.mel.num_mels * max(bt, 128)
         assert y_block <= pdec.VMEM_BUDGET, (bt, tc, y_block)
-        # and the hardware-measured fit boundary: tc=512 OOMs, tc=256 fits
-        assert tc <= 256, (bt, tc)
-    # the unconditioned fastgen plan keeps its proven large time chunk
-    from wavenet_tpu.config import fastgen_bench
-    assert pdec.plan_tiles(fastgen_bench(), 64) == (16, 2048)
+        assert pdec._tile_bytes(cfg, bt, tc) <= pdec.VMEM_BUDGET
+    # the mandated fastgen B=64 now decodes in ONE bt=64 launch (hardware
+    # sweep 2026-08-19: bit-exact, ~4x the serialized 4x bt=16 plan)
+    assert pdec.plan_tiles(fastgen_bench(), 64) == (64, 1024)
 
 
 def test_priming_matches_xla():
@@ -320,7 +321,7 @@ def test_long_prime_falls_back_to_scan():
     cfg = cfg_()
     params = wn.init_params(cfg, jax.random.PRNGKey(0))
     assert pdec.fits_vmem(cfg, 1, prime_len=100)
-    huge = 4 * 1024 * 1024                        # 16 MB of int32 tokens
+    huge = 16 * 1024 * 1024                       # 64 MB of int32 tokens
     assert not pdec.fits_vmem(cfg, 1, prime_len=huge)
     with pytest.raises(ValueError, match="VMEM"):
         pdec.generate_pallas(params, cfg, jax.random.PRNGKey(1), 8, batch=1,

@@ -55,7 +55,19 @@ from wavenet_tpu.config import WaveNetConfig
 from wavenet_tpu.ops import rng
 
 # conservative per-core VMEM budget (v5e has ~16MB; headroom for padding)
-VMEM_BUDGET = 12 * 1024 * 1024
+# Per-launch scoped-VMEM ceiling for the decode kernel's tile plan.  The
+# compiler's scoped accounting matches _tile_bytes (it counts the aliased
+# rings input AND output blocks, even though they share one physical buffer
+# at runtime), and a 34.4 MiB-accounted plan (bt=64, tc=1024, fastgen B=64)
+# compiles and runs BIT-EXACT on v5e — hardware-swept 2026-08-19
+# (tools/tpu_decode_sweep.py): one bt=64 launch decodes B=64 at ~114k
+# steps/s with readback vs ~27k for the old four serialized bt=16 launches.
+# The limit passed to each pallas_call is sized to ITS plan (+margin), not
+# to this ceiling: a small plan under a much larger vmem limit crashes the
+# v5e compiler (bt=16 under a 42 MiB limit -> tpu_compile_helper exit 1,
+# reproducible), so blanket-raising the limit is not an option.
+VMEM_BUDGET = 35 * 1024 * 1024
+VMEM_LIMIT_MARGIN = 2 * 1024 * 1024
 
 
 def _ring_offsets(cfg: WaveNetConfig) -> Tuple[Tuple[int, ...], int]:
@@ -405,7 +417,12 @@ def decode_chunk(params, cfg: WaveNetConfig, rings: jax.Array,
         scratch_shapes=[pltpu.VMEM((8, Bt), jnp.int32)],     # token carry
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
-            vmem_limit_bytes=VMEM_BUDGET + 2 * 1024 * 1024),
+            # sized to THIS plan (incl. the VMEM-resident forced-prime
+            # block, which fits_vmem also accounts): see the VMEM_BUDGET
+            # note — a small plan under a much larger limit crashes the
+            # v5e compiler
+            vmem_limit_bytes=(_tile_bytes(cfg, Bt, TC) + 4 * Pf * Bt
+                              + VMEM_LIMIT_MARGIN)),
         interpret=interpret,
     )
     seeds_op = rng.as_row_seeds(seeds, B).reshape(1, B)
