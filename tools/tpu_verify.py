@@ -181,6 +181,64 @@ def check_train_grads():
         report_grad(f"train grad {name}", a, b, band)
 
 
+def check_train_multigroup():
+    """Multi-GROUP chains (the `full`/`conditional` preset structure): the
+    bf16-rounded f32 stream between layer-group kernels is the one numeric
+    boundary the single-group checks never cross.  Round-3 find: hardware
+    rounds the stream faithfully while the interpret path's XLA folded the
+    astype bf16->f32 pair to identity, so every multi-group forward
+    diverged (hw was the correct side; _round_bf16 now branches).  Two
+    shapes: full-preset dims at one group (dims coverage) and small dims
+    forced into 3+ groups under a squeezed budget (chain coverage)."""
+    import wavenet_tpu.ops.pallas.train_stack as ts_mod
+    shapes = [("full-dims 1grp", WaveNetConfig(
+        num_blocks=1, max_dilation=256, residual_channels=128,
+        skip_channels=256, compute_dtype="bfloat16"), None)]
+    cfgB = WaveNetConfig(num_blocks=2, max_dilation=512,
+                         residual_channels=64, skip_channels=64,
+                         compute_dtype="bfloat16")
+    TTB = ts.pick_tile(cfgB, 1024)
+    squeezed = max(max(ts._group_sizes(cfgB, TTB, cfgB.dilations[l:l + 4]))
+                   for l in range(0, 20, 4)) // 2**20 + 1
+    shapes.append(("small-dims multigrp", cfgB, squeezed * 2**20))
+    saved = ts_mod.VMEM_BUDGET
+    try:
+        for tag, cfg, budget in shapes:
+            ts_mod.VMEM_BUDGET = budget or saved
+            p = wn.init_params(cfg, jax.random.PRNGKey(0))
+            toks = jax.random.randint(jax.random.PRNGKey(2), (2, 1025),
+                                      0, 256)
+            inputs, targets = toks[:, :-1], toks[:, 1:]
+            prev = jnp.pad(inputs[:, :-1], ((0, 0), (1, 0)))
+            x = wn.embed_tokens(p, cfg, inputs, prev)
+            TT = ts.pick_tile(cfg, 1024)
+            groups = ts.plan_dils(cfg, cfg.dilations, TT)
+            if tag.endswith("multigrp"):
+                assert len(groups) >= 3, groups
+            hw = ts.forward_skip_fused(p, cfg, x)
+            it = ts.forward_skip_fused(p, cfg, x, interpret=True)
+            report_cmp(f"train fwd {tag} ({len(groups)} groups)", hw, it)
+
+            def loss(p, x, interp, cfg=cfg, targets=targets):
+                skip = ts.forward_skip_fused(p, cfg, x, interpret=interp)
+                logits = wn.head_logits(p, cfg, skip)
+                logp = jax.nn.log_softmax(logits, -1)
+                return jnp.mean(-jnp.take_along_axis(
+                    logp, targets[..., None], -1))
+
+            g_hw = jax.jit(jax.grad(loss, argnums=(0, 1)),
+                           static_argnums=(2,))(p, x, False)
+            g_it = jax.jit(jax.grad(loss, argnums=(0, 1)),
+                           static_argnums=(2,))(p, x, True)
+            for (ka, a), (kb, b) in zip(
+                    jax.tree_util.tree_flatten_with_path(g_hw)[0],
+                    jax.tree_util.tree_flatten_with_path(g_it)[0]):
+                report_grad(f"train {tag} grad {jax.tree_util.keystr(ka)}",
+                            a, b, 1e-4)
+    finally:
+        ts_mod.VMEM_BUDGET = saved
+
+
 def check_train_multirow():
     """Multi-row grid steps (nb > 1): the flattened [NB*TT, *] matmuls are
     row-independent, so hardware output must be BIT-IDENTICAL to the
@@ -378,6 +436,7 @@ def main():
         sys.exit(1 if fails else (2 if drifts else 0))
     check_train_forward()
     check_train_grads()
+    check_train_multigroup()
     check_train_multirow()
     check_train_global_cond()
     check_train_conditional()

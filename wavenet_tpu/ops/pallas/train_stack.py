@@ -304,8 +304,23 @@ def _store_rows(ref, NB: int, TT: int, val):
             ref[n] = val[n * TT:(n + 1) * TT]
 
 
+
+def _round_bf16(v, interpret: bool):
+    """Round an f32 value to its nearest-bf16 value, STAYING f32.
+
+    Hardware Mosaic lowers the astype bf16->f32 pair faithfully (verified:
+    kernel outputs are 100% bf16-representable); the INTERPRET path runs the
+    same expression through XLA, whose simplifier folds convert(convert(x))
+    to identity — the unrounded stream made every multi-group forward
+    diverge hw-vs-interpret (bisected 2026-08-19, hw correct).  XLA
+    preserves reduce_precision, but Mosaic has no lowering for it, hence
+    the branch."""
+    if interpret:
+        return jax.lax.reduce_precision(v, 8, 7)
+    return v.astype(jnp.bfloat16).astype(jnp.float32)
+
 def _fwd_kernel(cfg: WaveNetConfig, TT: int, dils, has_cond: bool,
-                has_gc: bool, NB: int, *refs):
+                has_gc: bool, NB: int, interpret: bool, *refs):
     refs = list(refs)
     xin_ref, skip_in_ref = refs[:2]
     refs = refs[2:]
@@ -397,8 +412,9 @@ def _fwd_kernel(cfg: WaveNetConfig, TT: int, dils, has_cond: bool,
         skip = skip + o[:, R:] + bskip_ref[li]
 
     _store_rows(skip_ref, NB, TT, skip)
-    _store_rows(xout_ref, NB, TT,
-                x.astype(jnp.bfloat16).astype(jnp.float32))
+    # bf16-rounded group stream: see _round_bf16 (interpret needs
+    # reduce_precision or XLA folds the rounding away entirely)
+    _store_rows(xout_ref, NB, TT, _round_bf16(x, interpret))
 
 
 # ---------------------------------------------------------------------------
@@ -406,7 +422,8 @@ def _fwd_kernel(cfg: WaveNetConfig, TT: int, dils, has_cond: bool,
 # ---------------------------------------------------------------------------
 
 def _bwd_kernel(cfg: WaveNetConfig, TT: int, nT: int, dils,
-                has_cond: bool, has_gc: bool, NB: int, *refs):
+                has_cond: bool, has_gc: bool, NB: int, interpret: bool,
+                *refs):
     """Backward over one layer group.  xin is the stashed group input;
     dxin is the cotangent of the group's x OUTPUT."""
     refs = list(refs)
@@ -519,7 +536,7 @@ def _bwd_kernel(cfg: WaveNetConfig, TT: int, nT: int, dils,
             z = z + gate_offset(li)
         tf = jnp.tanh(z[:, :R])
         sg = jax.nn.sigmoid(z[:, R:])
-        h = (tf * sg).astype(jnp.bfloat16).astype(jnp.float32)
+        h = _round_bf16(tf * sg, interpret)   # match the fwd's bf16 h
 
         dbres_ref[li:li + 1, :] += jnp.sum(dx, axis=0, keepdims=True)
         # fused res/skip cotangent: contract [dx | dskip] against w_rs in
@@ -662,7 +679,7 @@ def _group_fwd(cfg, interpret, TT, dils, nb, x, skip_in, gw, y, g):
     _, sum_dg = _ring_layout(dils)
     ops = _prep_weights(cfg, gw)
     kernel = functools.partial(_fwd_kernel, cfg, TT, dils, has_cond, has_gc,
-                               NB)
+                               NB, interpret)
 
     blk = lambda bi, j: (bi, j, 0)
     in_specs = [
@@ -738,7 +755,7 @@ def _group_vjp_bwd(cfg, interpret, TT, dils, nb, res, cts):
     _, sum_dg = _ring_layout(dils)
     wz, b, wrs, bres, _ = _prep_weights(cfg, gw)
     kernel = functools.partial(_bwd_kernel, cfg, TT, nT, dils, has_cond,
-                               has_gc, NB)
+                               has_gc, NB, interpret)
 
     const3 = lambda bi, jr: (0, 0, 0)
     rev = lambda bi, jr: (bi, nT - 1 - jr, 0)
@@ -890,8 +907,9 @@ def forward_skip_fused(params, cfg: WaveNetConfig, x: jax.Array,
                          f"downgraded)")
     has_cond = y is not None
     skip = jnp.zeros((B, T, cfg.skip_channels), jnp.float32)
-    # f32 stream holding bf16-rounded values (see _fwd_kernel docs)
-    x_g = x.astype(jnp.bfloat16).astype(jnp.float32)
+    # f32 stream holding bf16-rounded values (see _fwd_kernel docs);
+    # reduce_precision so XLA cannot fold the rounding away
+    x_g = jax.lax.reduce_precision(x, 8, 7)
     for lo, hi in groups:
         gw = _slice_group(params, lo, hi, has_cond)
         g_g = None
