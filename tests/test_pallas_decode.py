@@ -101,7 +101,18 @@ def test_fits_vmem_budget():
     assert pdec.fits_vmem(conditional(), batch=8)
     # every tile must genuinely fit the budget
     assert pdec._tile_bytes(fastgen_bench(), bt, tc) <= pdec.VMEM_BUDGET
-    assert pdec.fits_vmem(full(), batch=8)      # bt=1 streaming tiles
+    # the full preset CANNOT decode in-kernel: Mosaic lane-pads the
+    # resident ring block to 128 lanes at R >= 128, which costs 134 MiB at
+    # any batch tile (measured hardware OOM, round 3) — the planner must
+    # refuse so generate_auto falls back to the XLA scan instead of a
+    # runtime compile failure
+    assert not pdec.fits_vmem(full(), batch=8)
+    # wide-R models DO fit when sum_d is small enough to absorb the padding
+    from wavenet_tpu.config import WaveNetConfig
+    wide = WaveNetConfig(num_blocks=2, max_dilation=64,
+                         residual_channels=128, skip_channels=256,
+                         compute_dtype="bfloat16")
+    assert pdec.fits_vmem(wide, batch=8)
 
 
 def test_streamed_blocks_counted_at_full_lane_width():

@@ -464,6 +464,13 @@ def main():
     check_decode("decode global-cond", gcfg, batch=4, num_steps=256,
                  speaker=jnp.asarray([0, 1, 2, 3], jnp.int32))
 
+    # full-preset channel widths (R=128/S=256): the wide-row kernel layout
+    # the other decode checks never touch (round 3 raised the VMEM ceiling,
+    # putting the full preset in-kernel at bt=8 instead of bt=1)
+    wcfg = _decode_cfg(residual_channels=128, skip_channels=256)
+    check_decode("decode full-dims", wcfg, batch=8, num_steps=256,
+                 temperature=1.0)
+
     if FAILURES:
         print(f"\n{len(FAILURES)} FAILURES: {FAILURES}")
         if DRIFTS:

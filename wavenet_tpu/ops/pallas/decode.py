@@ -84,10 +84,19 @@ def _tile_bytes(cfg: WaveNetConfig, bt: int, tc: int) -> int:
                   cfg.quantization_channels, cfg.num_layers)
     _, sum_d = _ring_offsets(cfg)
     M = cfg.mel.num_mels if cfg.mel is not None else 0
+    # VMEM-RESIDENT ring blocks: for R < 128 Mosaic packs [sum_d, R, Bt]
+    # without padding the Bt lane axis (hardware-proven: fastgen R=64 runs
+    # at bt=16/32/64 with tile accounting that matches the compiler's), but
+    # at R >= 128 it lane-pads Bt to the full 128 — the `full` preset's
+    # [4092, 128, Bt] ring block costs 134 MiB at ANY Bt (measured OOM:
+    # "Used 265.74M of 128.00M vmem", in+out both counted), so wide-R
+    # models can only decode in-kernel when sum_d is small enough to absorb
+    # the padding; `full` itself falls back to the XLA scan.
+    ring_bt = 128 if R >= 128 else bt
     b = 2 * (
         L * (2 * R * 2 * R + R * R + R * S)      # layer weights
         + 2 * Q * R + S * S + S * Q              # embeds + head
-        + 2 * bt * sum_d * R                     # ring tile: the aliasing is
+        + 2 * ring_bt * sum_d * R                # ring tile: the aliasing is
         #   HBM-only — the input block and the output block are BOTH live in
         #   VMEM (the kernel copies rings_in -> rings at j == 0)
         + bt * (4 * R + S + 4 * Q)               # working set
