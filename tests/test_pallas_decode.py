@@ -113,6 +113,19 @@ def test_fits_vmem_budget():
                          residual_channels=128, skip_channels=256,
                          compute_dtype="bfloat16")
     assert pdec.fits_vmem(wide, batch=8)
+    # lane padding rounds UP, it never caps: at bt > 128 an R >= 128 ring
+    # block costs its TRUE bt lanes, so the planner must account max(bt,
+    # 128) or a batch=256 plan under-counts the rings by 2x and the
+    # per-launch vmem limit is undersized — hardware compile OOM instead
+    # of a bt=128 fallback (ADVICE r3).
+    sum_d = sum(wide.dilations)
+    extra_ring = 2 * (256 - 128) * sum_d * wide.residual_channels * 2
+    assert (pdec._tile_bytes(wide, 256, 8) - pdec._tile_bytes(wide, 128, 8)
+            >= extra_ring)
+    # and the planner consequently picks the bt=128 tile at batch=256
+    bt256, tc256 = pdec.plan_tiles(wide, 256)
+    assert bt256 == 128
+    assert pdec._tile_bytes(wide, bt256, tc256) <= pdec.VMEM_BUDGET
 
 
 def test_streamed_blocks_counted_at_full_lane_width():

@@ -442,3 +442,39 @@ def test_conditional_fused_multi_group(monkeypatch):
                                rtol=2e-3)
     assert all(np.isfinite(np.asarray(x, np.float32)).all()
                for x in jax.tree.leaves(fus_g))
+
+
+def test_round_bf16_branches_equivalent():
+    """_round_bf16's two implementations — reduce_precision(v, 8, 7) in
+    interpret mode vs the astype(bf16).astype(f32) pair on hardware — must
+    round identically, or hw and interpret silently diverge again (the exact
+    bug the helper fixes; ADVICE r3).  Both are round-to-nearest-even at
+    bf16's (8-bit exp, 7-bit mantissa); sweep the cases where RNE
+    implementations differ: ties (mantissa exactly halfway), denormals,
+    overflow-to-inf, NaN, and a dense random sweep."""
+    ties = []
+    for exp in (-3, 0, 10, 120):
+        base = 2.0 ** exp
+        ulp = base * 2.0 ** -7                     # bf16 ulp at this binade
+        for m in (0, 1, 2, 3, 127):
+            ties += [base + m * ulp + 0.5 * ulp,   # exact tie
+                     base + m * ulp + 0.25 * ulp,  # below tie
+                     base + m * ulp + 0.75 * ulp]  # above tie
+    special = [0.0, -0.0, np.inf, -np.inf, np.nan,
+               1e-45, -1e-45, 1e-40, 2.0 ** -133, 2.0 ** -126,  # denormals
+               3.4e38, -3.4e38, 65520.0]           # near-overflow
+    rng = np.random.default_rng(0)
+    dense = rng.standard_normal(4096).astype(np.float32) * rng.choice(
+        [1e-6, 1.0, 1e6], size=4096).astype(np.float32)
+    v = jnp.asarray(np.concatenate([np.asarray(ties, np.float32),
+                                    np.asarray(special, np.float32),
+                                    np.asarray([-t for t in ties],
+                                               np.float32),
+                                    dense]))
+    a = jax.lax.reduce_precision(v, 8, 7)
+    b = v.astype(jnp.bfloat16).astype(jnp.float32)
+    na, nb = np.asarray(a), np.asarray(b)
+    both_nan = np.isnan(na) & np.isnan(nb)
+    assert np.array_equal(na[~both_nan], nb[~both_nan]), (
+        np.flatnonzero(~(na == nb) & ~both_nan)[:10])
+    assert both_nan.any()                          # NaN case was exercised

@@ -82,6 +82,13 @@ def main():
                     last = rec
                 else:
                     last_u = rec
+        # fail loudly rather than silently rewriting the committed README
+        # with nan final losses when resume can't recover metrics (ADVICE r3)
+        if not last or not last_u:
+            raise SystemExit(
+                f"resume: missing/empty metrics jsonl under {ROOT} — "
+                f"refusing to regenerate the evidence README without final "
+                f"losses (got cond={bool(last)}, uncond={bool(last_u)})")
     else:
         print(f"training conditional vocoder: {STEPS} steps", flush=True)
         last = train_one(cfg, CORPUS, os.path.join(ROOT, "ckpt"),

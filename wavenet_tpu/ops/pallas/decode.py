@@ -91,8 +91,10 @@ def _tile_bytes(cfg: WaveNetConfig, bt: int, tc: int) -> int:
     # [4092, 128, Bt] ring block costs 134 MiB at ANY Bt (measured OOM:
     # "Used 265.74M of 128.00M vmem", in+out both counted), so wide-R
     # models can only decode in-kernel when sum_d is small enough to absorb
-    # the padding; `full` itself falls back to the XLA scan.
-    ring_bt = 128 if R >= 128 else bt
+    # the padding; `full` itself falls back to the XLA scan (or the wide-R
+    # kernel, ops/pallas/decode_wide.py).  Lane padding rounds UP — it never
+    # caps — so a bt > 128 tile keeps its true lane count.
+    ring_bt = max(bt, 128) if R >= 128 else bt
     b = 2 * (
         L * (2 * R * 2 * R + R * R + R * S)      # layer weights
         + 2 * Q * R + S * S + S * Q              # embeds + head
