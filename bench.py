@@ -328,17 +328,20 @@ def bench_decode_full(num_samples: int = 2048, batch: int = 8,
     key = jax.random.PRNGKey(1)
     out = {}
 
+    import numpy as np
+
     gen = jax.jit(lambda p, k: wn.generate(p, cfg, k, num_samples=num_samples,
                                            batch=batch))
-    jax.block_until_ready(gen(params, key))          # compile
-    # vary the key per window: the tunneled relay can cache repeated
-    # IDENTICAL jit calls and report impossibly fast times (BASELINE.md
-    # round-4 timing note)
+    np.asarray(gen(params, key))                     # compile
+    # vary the key per window (the tunneled relay can cache repeated
+    # IDENTICAL jit calls) and time by READBACK: block_until_ready returns
+    # early on the wide kernel's ANY-space outputs (measured 6x-impossible
+    # rates) — see the BASELINE.md round-4 timing note.  The tokens are
+    # [B, N] int32, so the readback itself is microseconds.
     calls = iter(range(1, 1 << 20))
 
     def timed_call():
-        jax.block_until_ready(gen(params, jax.random.fold_in(
-            key, next(calls))))
+        np.asarray(gen(params, jax.random.fold_in(key, next(calls))))
     dts = _sustained(timed_call,
                      windows=6, time_budget_s=60.0,
                      target_dt=_decode_target_dt(
@@ -359,7 +362,7 @@ def bench_decode_full(num_samples: int = 2048, batch: int = 8,
     except ImportError:
         return out
     def run():
-        jax.block_until_ready(pwide.generate_wide(
+        np.asarray(pwide.generate_wide(
             params, cfg, jax.random.fold_in(key, next(calls)),
             num_samples, batch=batch))
     run()                                            # compile

@@ -143,3 +143,60 @@ def test_forward_logits_valid_mask_equals_short_sequence():
     masked = wn.forward_logits(p, cfg, full, valid_mask=mask)[:, -S:]
     short = wn.forward_logits(p, cfg, toks[:, -S:])
     np.testing.assert_array_equal(np.asarray(masked), np.asarray(short))
+
+
+def test_sampler_trajectory_identical_to_fast_mel():
+    """Mel-conditioned variant of the oracle gate (round-3 verdict #5): the
+    naive full-window forward with a SLIDING conditioning-feature window
+    must free-run the exact trajectory of the cached-queue decoder fed the
+    same upsampled features — greedy, sampled, and primed — on the
+    CONDITIONAL preset's structure (reduced depth for CPU time; the real
+    preset's mel geometry: 80 mels, hop 256, eq.3 gate conditioning)."""
+    from wavenet_tpu.config import MelConfig
+    from wavenet_tpu.generate.sampler import generate_naive
+    from wavenet_tpu.models.conditioning import project_cond, upsample_mel
+    cfg = cfg_(num_blocks=2, max_dilation=16,
+               mel=MelConfig(num_mels=80, hop_length=256, win_length=1024,
+                             upsample_factors=(4, 8, 8)))
+    p = wn.init_params(cfg, jax.random.PRNGKey(0))
+    B = 2
+    N = cfg.receptive_field + 17        # cross warm-up AND window rolling
+    P = 9
+    prime = jax.random.randint(jax.random.PRNGKey(2), (B, P), 0, 256)
+    total = max(P - 1, 0) + N
+    frames = total // cfg.mel.hop_length + 1
+    mel = jax.random.normal(jax.random.PRNGKey(6), (B, frames,
+                                                    cfg.mel.num_mels))
+    y = upsample_mel(p["upsampler"], cfg.mel, mel, total)      # [B, T, M]
+    cond = project_cond(p, y)           # fast path's [B, T, L, 2, R] form
+
+    # greedy unprimed (keys differ on purpose)
+    fast = wn.generate(p, cfg, jax.random.PRNGKey(5), N, batch=B,
+                       cond=cond[:, :N], temperature=0.0)
+    naive = generate_naive(p, cfg, jax.random.PRNGKey(9), N, batch=B,
+                           y=y[:, :N], temperature=0.0)
+    np.testing.assert_array_equal(np.asarray(fast), np.asarray(naive))
+
+    # sampled with the SAME key
+    fast = wn.generate(p, cfg, jax.random.PRNGKey(7), 40, batch=B,
+                       cond=cond[:, :40])
+    naive = generate_naive(p, cfg, jax.random.PRNGKey(7), 40, batch=B,
+                           y=y[:, :40])
+    np.testing.assert_array_equal(np.asarray(fast), np.asarray(naive))
+
+    # primed (P < RF: masked left-fill + conditioning through priming)
+    fast = wn.generate(p, cfg, jax.random.PRNGKey(3), 30, batch=B,
+                       prime_tokens=prime, cond=cond, temperature=0.0)
+    naive = generate_naive(p, cfg, jax.random.PRNGKey(4), 30, batch=B,
+                           prime_tokens=prime, y=y, temperature=0.0)
+    np.testing.assert_array_equal(np.asarray(fast), np.asarray(naive))
+
+    # and the whole-loop Pallas kernel (interpret) on the same features
+    from wavenet_tpu.ops.pallas import decode as pdec
+    if pdec.fits_vmem(cfg, B):
+        k = pdec.generate_pallas(p, cfg, jax.random.PRNGKey(11), 40,
+                                 batch=B, y=y[:, :40], temperature=0.0,
+                                 interpret=True)
+        naive = generate_naive(p, cfg, jax.random.PRNGKey(12), 40, batch=B,
+                               y=y[:, :40], temperature=0.0)
+        np.testing.assert_array_equal(np.asarray(k), np.asarray(naive))

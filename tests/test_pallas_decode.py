@@ -489,3 +489,22 @@ def test_generate_stream_mel_plus_speaker_interpret():
                                   batch=B, y=y, speaker=sp, interpret=True))
     got = jnp.concatenate(chunks, axis=1)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(one))
+
+
+def test_greedy_long_matches_scan():
+    """1024 greedy steps bit-equal to the XLA scan — the round-4 embed fix's
+    regression guard.  Rounds 1-3 pre-rounded the embed tables to bf16 and
+    re-rounded the one-hot-dot sum: one bf16 ulp off embed_tokens on ~37%
+    of (token, prev) pairs, flipping greedy argmax at near-ties (first
+    divergence ~step 104 on this config).  The f32-selection embed makes
+    the kernel's x bit-identical to the scan's, so greedy holds at LENGTH,
+    not just at the short horizons the earlier tests used."""
+    cfg = WaveNetConfig(num_blocks=1, max_dilation=32, residual_channels=64,
+                        skip_channels=64, compute_dtype="bfloat16")
+    params = wn.init_params(cfg, jax.random.PRNGKey(0))
+    key = jax.random.PRNGKey(1)
+    B, N = 4, 1024
+    tk = pdec.generate_pallas(params, cfg, key, N, batch=B, temperature=0.0,
+                              interpret=True)
+    ts = wn.generate(params, cfg, key, N, batch=B, temperature=0.0)
+    np.testing.assert_array_equal(np.asarray(tk), np.asarray(ts))

@@ -1,0 +1,149 @@
+#!/usr/bin/env python
+"""Training-quality evidence for the FLAGSHIP `full` preset (round-3
+verdict #6: the flagship config had bench windows only — no committed
+training run).
+
+What it does (one v5e chip, fused five-group kernels, remat on):
+
+  1. train the `full` preset (4x1..512, 128/256 ch, B=8, W=8192) for
+     `steps` steps on the committed synthetic speech-like corpus
+     (runs/evidence/vocoder/corpus — same data as the vocoder evidence so
+     the runs are comparable), loss curve to metrics.jsonl + loss_curve.png;
+  2. held-out bits/sample on every corpus_eval clip (teacher-forced
+     score, the quantity the loss optimizes, on unseen data);
+  3. generate a free-running sample wav THROUGH THE WIDE-R DECODE KERNEL
+     (ops/pallas/decode_wide.py) — the round-4 flagship decode path — plus
+     a short primed continuation of a held-out clip.
+
+Artifacts under runs/evidence/full/: metrics.jsonl, scores.json,
+loss_curve.png, sample_free.wav, sample_primed.wav, README.md.
+
+Usage: python tools/full_evidence.py [steps]     (default 4000; TPU)
+       python tools/full_evidence.py resume      (redo 2-3 from checkpoint)
+"""
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np                                          # noqa: E402
+
+RESUME = len(sys.argv) > 1 and sys.argv[1] == "resume"
+STEPS = (int(sys.argv[1]) if len(sys.argv) > 1 and not RESUME else 4000)
+ROOT = "runs/evidence/full"
+CORPUS = "runs/evidence/vocoder/corpus"
+EVAL = "runs/evidence/vocoder/corpus_eval"
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from wavenet_tpu.audio import mulaw
+    from wavenet_tpu.audio.io import read_wav, write_wav
+    from wavenet_tpu.config import full
+    from wavenet_tpu.models.api import WaveNet
+
+    os.makedirs(ROOT, exist_ok=True)
+    cfg = full().replace(lr_schedule="cosine", lr_decay_steps=STEPS,
+                         ema_decay=0.9999)
+    metrics_path = os.path.join(ROOT, "metrics.jsonl")
+
+    if not RESUME:
+        from wavenet_tpu.audio.dataset import AudioDataset
+        from wavenet_tpu.training.trainer import Trainer
+        print(f"training full preset: {STEPS} steps", flush=True)
+        ds = AudioDataset.from_dir(CORPUS, cfg)
+        tr = Trainer(cfg, ds, checkpoint_dir=os.path.join(ROOT, "ckpt"))
+        with open(metrics_path, "w") as mf:
+            def hook(step, m):
+                mf.write(json.dumps({"step": step, **m}) + "\n")
+                mf.flush()
+            tr.run(num_steps=STEPS, log_every=100, metrics_fn=hook)
+        tr.save()
+        last = json.loads(open(metrics_path).readlines()[-1])
+    else:
+        if not os.path.exists(metrics_path):
+            raise SystemExit(f"resume: {metrics_path} missing")
+        last = json.loads(open(metrics_path).readlines()[-1])
+
+    model = WaveNet.from_checkpoint(os.path.join(ROOT, "ckpt"))
+
+    # --- held-out bits/sample ---
+    scores = {}
+    eval_paths = sorted(os.path.join(EVAL, n) for n in os.listdir(EVAL)
+                        if n.endswith(".wav"))
+    for p in eval_paths:
+        w, _ = read_wav(p, cfg.sample_rate)
+        bps = float(model.score(waveform=jnp.asarray(w[None]))[0])
+        scores[os.path.basename(p)] = round(bps, 3)
+    with open(os.path.join(ROOT, "scores.json"), "w") as f:
+        json.dump({"held_out_bits_per_sample": scores,
+                   "final_train_loss_nats": last.get("loss"),
+                   "final_train_bits_per_sample":
+                       last.get("bits_per_sample")}, f, indent=2)
+
+    # --- loss curve ---
+    try:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        recs = [json.loads(l) for l in open(metrics_path)]
+        plt.figure(figsize=(7, 3.2))
+        plt.plot([r["step"] for r in recs], [r["loss"] for r in recs])
+        plt.xlabel("step"); plt.ylabel("loss (nats)")
+        plt.title(f"full preset, {STEPS} steps, speech-like corpus")
+        plt.tight_layout()
+        plt.savefig(os.path.join(ROOT, "loss_curve.png"), dpi=110)
+    except Exception as e:                          # matplotlib optional
+        print(f"loss_curve skipped: {e!r}", flush=True)
+
+    # --- free-running + primed samples through the WIDE-R kernel ---
+    from wavenet_tpu.generate.sampler import tokens_to_waveform
+    from wavenet_tpu.ops.pallas import decode_wide as pwide
+    params = model.params        # from_checkpoint loads the EMA by default
+    n = 2 * cfg.sample_rate
+    toks = pwide.generate_wide(params, cfg, jax.random.PRNGKey(0), n,
+                               batch=1, temperature=1.0)
+    write_wav(os.path.join(ROOT, "sample_free.wav"),
+              tokens_to_waveform(toks, cfg)[0], cfg.sample_rate)
+    w, _ = read_wav(eval_paths[0], cfg.sample_rate)
+    prime = mulaw.encode_np(w[:cfg.sample_rate],
+                            cfg.quantization_channels)[None]
+    toks = pwide.generate_wide(params, cfg, jax.random.PRNGKey(1), n,
+                               batch=1, prime_tokens=jnp.asarray(prime),
+                               temperature=1.0)
+    write_wav(os.path.join(ROOT, "sample_primed.wav"),
+              tokens_to_waveform(toks, cfg)[0], cfg.sample_rate)
+
+    # --- README ---
+    rows = "\n".join(f"| {k} | {v} |" for k, v in scores.items())
+    with open(os.path.join(ROOT, "README.md"), "w") as f:
+        f.write(f"""# `full` flagship preset — training evidence
+
+`full` preset (4x1..512, 128 residual / 256 skip, RF ~0.26 s @16 kHz,
+B=8, W=8192, remat, EMA 0.9999), {STEPS} steps on the committed 24-clip
+synthetic speech-like corpus (the vocoder evidence corpus), one v5e chip,
+fused five-group training kernels.
+
+- final train: loss {last.get('loss'):.3f} nats
+  ({last.get('bits_per_sample'):.3f} bits/sample); curve:
+  `loss_curve.png` / `metrics.jsonl`
+- held-out bits/sample (unseen clips, teacher-forced):
+
+| clip | bits/sample |
+|---|---|
+{rows}
+
+- `sample_free.wav` / `sample_primed.wav`: 2 s free-running and
+  held-out-primed samples decoded through the round-4 WIDE-R kernel
+  (`ops/pallas/decode_wide.py`) from the EMA weights.
+""")
+    print(json.dumps(scores, indent=1), flush=True)
+    print("full evidence complete", flush=True)
+
+
+if __name__ == "__main__":
+    main()

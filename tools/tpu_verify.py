@@ -392,6 +392,49 @@ def _decode_cfg(**kw):
     return WaveNetConfig(**base)
 
 
+def check_decode_wide():
+    """The wide-R channels-on-lanes kernel (ops/pallas/decode_wide.py):
+    greedy / sampled / primed / batch-tiled / global-cond hw-vs-interpret
+    on a reduced wide config (fast compile), plus one FULL-preset greedy
+    check — the flagship config this kernel exists for (round-4)."""
+    from wavenet_tpu.ops import rng as _rng
+    from wavenet_tpu.ops.pallas import decode_wide as pwide
+
+    def cmp(name, cfg, batch, num_steps, temperature=0.0, prime=None,
+            speaker=None, force_tiles=None):
+        p = wn.init_params(cfg, jax.random.PRNGKey(0))
+        seeds = _rng.derive_row_seeds(jnp.int32(7), batch)
+        kw = dict(batch=batch, temperature=temperature, seeds=seeds,
+                  prime_tokens=prime, speaker=speaker,
+                  force_tiles=force_tiles)
+        hw = pwide.generate_wide(p, cfg, jax.random.PRNGKey(3), num_steps,
+                                 **kw)
+        it = pwide.generate_wide(p, cfg, jax.random.PRNGKey(3), num_steps,
+                                 interpret=True, **kw)
+        a, b = np.asarray(hw), np.asarray(it)
+        ok = np.array_equal(a, b)
+        report(name, ok, "" if ok else f"{(a != b).sum()} tokens differ")
+
+    wcfg = WaveNetConfig(num_blocks=2, max_dilation=64,
+                         residual_channels=128, skip_channels=256,
+                         compute_dtype="bfloat16")
+    cmp("wide-decode greedy", wcfg, batch=8, num_steps=256)
+    cmp("wide-decode sampled t=1", wcfg, batch=8, num_steps=256,
+        temperature=1.0)
+    cmp("wide-decode batch-tiled", wcfg, batch=8, num_steps=256,
+        temperature=1.0, force_tiles=(4, 128))
+    prime = jax.random.randint(jax.random.PRNGKey(5), (4, 33), 0, 256)
+    cmp("wide-decode primed", wcfg, batch=4, num_steps=128, prime=prime)
+    gcfg = WaveNetConfig(num_blocks=2, max_dilation=64,
+                         residual_channels=128, skip_channels=256,
+                         compute_dtype="bfloat16", global_classes=4)
+    cmp("wide-decode global-cond", gcfg, batch=4, num_steps=128,
+        speaker=jnp.asarray([0, 1, 2, 3], jnp.int32))
+    from wavenet_tpu.config import full
+    cmp("wide-decode FULL preset sampled", full(), batch=8, num_steps=256,
+        temperature=1.0)
+
+
 def check_decode(name, cfg, batch, num_steps, y=None, prime=None,
                  speaker=None, temperature=0.0, force_tiles=None):
     # force_tiles is a STATIC jit arg of decode_chunk — monkeypatching
@@ -470,6 +513,8 @@ def main():
     wcfg = _decode_cfg(residual_channels=128, skip_channels=256)
     check_decode("decode full-dims", wcfg, batch=8, num_steps=256,
                  temperature=1.0)
+
+    check_decode_wide()
 
     if FAILURES:
         print(f"\n{len(FAILURES)} FAILURES: {FAILURES}")

@@ -61,6 +61,7 @@ def generate_auto(params: wn.Params, cfg: WaveNetConfig, key: jax.Array,
        taken.
     """
     from wavenet_tpu.ops.pallas import decode as pdec
+    from wavenet_tpu.ops.pallas import decode_wide as pwide
     if cond is not None and y is not None:
         raise ValueError("pass either y (features) or cond (projections)")
     on_tpu = _tpu_backend()
@@ -70,6 +71,14 @@ def generate_auto(params: wn.Params, cfg: WaveNetConfig, key: jax.Array,
                                     batch=batch, prime_tokens=prime_tokens,
                                     y=y, speaker=speaker,
                                     temperature=temperature, seeds=seeds)
+    if (on_tpu and cond is None and y is None
+            and pwide.fits_vmem(cfg, batch, prime_len=P0)):
+        # wide-R models (the `full` preset) take the channels-on-lanes
+        # kernel: ~8.5x the XLA scan at steady state (BASELINE.md round 4)
+        return pwide.generate_wide(params, cfg, key, num_samples,
+                                   batch=batch, prime_tokens=prime_tokens,
+                                   speaker=speaker, temperature=temperature,
+                                   seeds=seeds)
     if y is not None:
         from wavenet_tpu.models.conditioning import project_cond
         cond = project_cond(params, y)
@@ -103,12 +112,21 @@ def generate_stream(params: wn.Params, cfg: WaveNetConfig, key: jax.Array,
     seeds: optional per-row (per-request) counter-RNG seeds (ops/rng.py).
     """
     from wavenet_tpu.ops.pallas import decode as pdec
+    from wavenet_tpu.ops.pallas import decode_wide as pwide
     # the kernel only compiles for TPU; on any other backend run it emulated
     # so the streaming API works everywhere (tests, dev boxes)
     interpret = interpret or not _tpu_backend()
     P0 = 0 if prime_tokens is None else prime_tokens.shape[1]
     if not pdec.fits_vmem(cfg, batch, prime_len=P0):
-        # configs past the kernel's VMEM plan stream through the XLA scan
+        if y is None and pwide.fits_vmem(cfg, batch, prime_len=P0):
+            # wide-R models stream through the channels-on-lanes kernel
+            # with the same carried-rings contract
+            yield from _stream_wide(params, cfg, key, num_samples,
+                                    chunk_samples, batch, prime_tokens,
+                                    speaker, temperature, interpret,
+                                    seeds=seeds)
+            return
+        # configs past both kernels' VMEM plans stream through the XLA scan
         # instead (chunked decode_step; tokens match what generate_auto's
         # one-shot XLA path would emit) — streaming stays total
         yield from _stream_scan(params, cfg, key, num_samples,
@@ -275,10 +293,49 @@ def _stream_scan(params: wn.Params, cfg: WaveNetConfig, key: jax.Array,
         t0 += n
 
 
+def _stream_wide(params: wn.Params, cfg: WaveNetConfig, key: jax.Array,
+                 num_samples: int, chunk_samples: int, batch: int,
+                 prime_tokens, speaker, temperature: float,
+                 interpret: bool, seeds=None):
+    """Streaming via the wide-R (channels-on-lanes) kernel: chunked
+    decode_chunk launches with carried rings + token carry, bit-identical
+    to the one-shot generate_wide (the counter RNG keys by global step).
+    Mirrors generate_stream's transposed-kernel loop; the chunk floors at
+    the kernel's hardware-minimum time block (decode_wide.TC_MIN_HW)."""
+    from wavenet_tpu.ops.pallas import decode_wide as pwide
+    rings, carry, seed, g, P, total = pwide.setup_decode(
+        params, cfg, key, batch, num_samples, prime_tokens, speaker,
+        seeds=seeds)
+    Bt, TC = pwide.plan_tiles(cfg, batch)
+    tc_floor = 8 if interpret else pwide.TC_MIN_HW
+    while TC > tc_floor and TC > chunk_samples:
+        TC //= 2
+    TC = max(TC // 8 * 8, tc_floor)
+    chunk = max(TC, chunk_samples // TC * TC)
+
+    t0, skip = 0, max(P - 1, 0)                  # skip = priming outputs
+    while t0 < total:
+        n = min(chunk, total - t0)
+        n_pad = -(-n // TC) * TC                 # pad the tail chunk
+        forced = prime_tokens if t0 < P - 1 else None
+        toks, rings, carry = pwide.decode_chunk(
+            params, cfg, rings, carry, jnp.int32(t0), seed, n_pad,
+            temperature, interpret=interpret, forced=forced,
+            g=g, force_tiles=(Bt, TC))
+        out = toks[:, :n]
+        if skip:
+            drop = min(skip, n)
+            out, skip = out[:, drop:], skip - drop
+        if out.shape[1]:
+            yield out
+        t0 += n
+
+
 def generate_naive(params: wn.Params, cfg: WaveNetConfig, key: jax.Array,
                    num_samples: int, batch: int = 1,
                    prime_tokens: Optional[jax.Array] = None,
                    speaker: Optional[jax.Array] = None,
+                   y: Optional[jax.Array] = None,
                    temperature: float = 1.0) -> jax.Array:
     """Naive AR sampling: full receptive-field forward per sample.
 
@@ -294,6 +351,13 @@ def generate_naive(params: wn.Params, cfg: WaveNetConfig, key: jax.Array,
       the missing positions contribute exactly the zero left-padding the
       fast path's empty rings see (forward_logits valid_mask docstring),
       instead of hallucinating a window full of silence tokens.
+    - Mel conditioning (`y`: [B, T, M] UPSAMPLED features covering
+      max(P-1, 0) + num_samples steps, the fast decoders' timeline) slides
+      a matching feature window alongside the tokens: model position t'
+      sees y at its ABSOLUTE decode step, zero features before sequence
+      start (harmless — the validity mask re-zeroes the residual stream at
+      those positions before every dilated read).  This closes the oracle
+      gap on the vocoder product path (round-3 verdict #5).
 
     The whole loop compiles to one scan with static shapes.
     """
@@ -318,14 +382,35 @@ def generate_naive(params: wn.Params, cfg: WaveNetConfig, key: jax.Array,
             c0 = P
     pos = jnp.arange(rf)[None, :]                              # [1, RF]
 
+    y_pad = None
+    base = 0
+    if y is not None:
+        if cfg.mel is None:
+            raise ValueError("y passed but cfg.mel is None")
+        P0 = 0 if prime_tokens is None else prime_tokens.shape[1]
+        base = max(P0 - 1, 0)
+        if y.shape[1] < base + num_samples:
+            raise ValueError(f"y covers {y.shape[1]} < {base + num_samples} "
+                             f"steps (priming included)")
+        # left-pad rf-1 zero-feature steps so a window ending at absolute
+        # step s reads y_pad[:, s : s + rf] (zeros before sequence start)
+        y_pad = jnp.pad(y.astype(jnp.float32),
+                        ((0, 0), (rf - 1, 0), (0, 0)))
+
     def body(carry, i):
         window, c = carry
         nvalid = jnp.minimum(c, rf)            # valid MODEL positions
         mask = (pos >= rf - nvalid).astype(jnp.float32)        # [1, RF]
         mask = jnp.broadcast_to(mask, (batch, rf))
+        y_win = None
+        if y_pad is not None:
+            y_win = jax.lax.dynamic_slice(
+                y_pad, (0, base + i, 0),
+                (batch, rf, y_pad.shape[2]))
         logits = wn.forward_logits(params, cfg, window[:, 1:],
                                    prev_tokens=window[:, :-1],
                                    speaker=speaker,
+                                   upsampled_cond=y_win,
                                    valid_mask=mask)[:, -1]     # [B, Q]
         k = jax.random.fold_in(key, i)
         # static-0 => greedy; traced temperatures keep the division path

@@ -95,9 +95,11 @@ def _tile_bytes(cfg: WaveNetConfig, bt: int, tc: int) -> int:
     # kernel, ops/pallas/decode_wide.py).  Lane padding rounds UP — it never
     # caps — so a bt > 128 tile keeps its true lane count.
     ring_bt = max(bt, 128) if R >= 128 else bt
-    b = 2 * (
+    b = 4 * 2 * Q * R                            # embed tables (f32: exact
+    #   one-hot selection + single rounding, see _decode_kernel.one_hot)
+    b += 2 * (
         L * (2 * R * 2 * R + R * R + R * S)      # layer weights
-        + 2 * Q * R + S * S + S * Q              # embeds + head
+        + S * S + S * Q                          # head
         + 2 * ring_bt * sum_d * R                # ring tile: the aliasing is
         #   HBM-only — the input block and the output block are BOTH live in
         #   VMEM (the kernel copies rings_in -> rings at j == 0)
@@ -194,8 +196,16 @@ def _decode_kernel(cfg: WaveNetConfig, TC: int, nTC: int,
 
     q_iota = jax.lax.broadcasted_iota(jnp.int32, (Q, Bt), 0)
 
-    def one_hot(tok_row):                        # [1, Bt] i32 -> [Q, Bt] bf16
-        return (q_iota == tok_row).astype(jnp.bfloat16)
+    def one_hot(tok_row):                        # [1, Bt] i32 -> [Q, Bt] f32
+        # f32 one-hot against f32 tables: the dot is an EXACT selection, so
+        # the explicit f32 add + single bf16 round below reproduces
+        # embed_tokens bit-exactly.  The round-1..3 bf16 tables pre-rounded
+        # each entry and re-rounded the sum — one bf16 ulp off the scan on
+        # ~37% of (token, prev) pairs, which flipped greedy argmax at
+        # near-ties on LONG runs (first divergence ~step 100 on a random
+        # small config; round-4 find, tests/test_pallas_decode.py long
+        # greedy case).
+        return (q_iota == tok_row).astype(jnp.float32)
 
     def step(t, carry):
         token, prev = carry                      # each [1, Bt] int32
@@ -299,7 +309,10 @@ def _flatten_params(params, cfg: WaveNetConfig):
         eprev = eprev @ params["w_embed_proj"]
     col = lambda b: b[..., None].astype(jnp.float32)          # [..., X] -> [..., X, 1]
     return (
-        ecur.T.astype(bf), eprev.T.astype(bf),                # [R, Q]
+        # embed tables stay f32: selected exactly by the f32 one-hot dot,
+        # summed once, rounded once — bit-identical to embed_tokens (see
+        # _decode_kernel.one_hot)
+        ecur.T.astype(jnp.float32), eprev.T.astype(jnp.float32),  # [R, Q]
         fuse_t(params["w_cur"]).astype(bf),                   # [L, 2R, R]
         fuse_t(params["w_prev"]).astype(bf),
         params["b"].reshape(L, 2 * R)[..., None].astype(jnp.float32),
