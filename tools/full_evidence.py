@@ -63,6 +63,7 @@ def main():
                 mf.flush()
             tr.run(num_steps=STEPS, log_every=100, metrics_fn=hook)
         tr.save()
+        tr.ckpt.wait()          # async orbax save must commit before restore
         last = json.loads(open(metrics_path).readlines()[-1])
     else:
         if not os.path.exists(metrics_path):

@@ -51,6 +51,8 @@ def train_one(cfg, corpus, ckpt_dir, metrics_path, steps):
             mf.flush()
         last = tr.run(steps, log_every=500, metrics_fn=hook)
     tr.save()
+    tr.ckpt.wait()              # async orbax save must commit before the
+    #   evidence pass restores it (race observed in full_evidence, round 4)
     print("final:", {k: round(float(v), 4) for k, v in last.items()},
           flush=True)
     return last

@@ -170,6 +170,19 @@ def generate_stream(params: wn.Params, cfg: WaveNetConfig, key: jax.Array,
         t0 += n
 
 
+def _dp_kernel_fits(cfg: WaveNetConfig, per_chip_batch: int, prime_len: int,
+                    y) -> bool:
+    """True when SOME whole-loop kernel serves the per-chip shard: the
+    transposed kernel (any conditioning), or the wide-R kernel for R >= 128
+    models without mel streaming (the `full` preset over a dp mesh)."""
+    from wavenet_tpu.ops.pallas import decode as pdec
+    from wavenet_tpu.ops.pallas import decode_wide as pwide
+    return (pdec.fits_vmem(cfg, per_chip_batch, prime_len=prime_len)
+            or (y is None
+                and pwide.fits_vmem(cfg, per_chip_batch,
+                                    prime_len=prime_len)))
+
+
 def generate_distributed(params: wn.Params, cfg: WaveNetConfig, mesh,
                          seed: int, num_samples: int, batch: int,
                          prime_tokens: Optional[jax.Array] = None,
@@ -191,7 +204,6 @@ def generate_distributed(params: wn.Params, cfg: WaveNetConfig, mesh,
     the collective loop (generate_sharded: per-layer psum conv-state
     exchange, token broadcast, same counter RNG).
     """
-    from wavenet_tpu.ops.pallas import decode as pdec
     from wavenet_tpu.parallel import distdecode
     dp = mesh.shape.get(distdecode.DATA_AXIS, 1)
     mp = mesh.shape.get(distdecode.MODEL_AXIS, 1)
@@ -199,7 +211,7 @@ def generate_distributed(params: wn.Params, cfg: WaveNetConfig, mesh,
     greedy = isinstance(temperature, (int, float)) and temperature <= 0
     if (mp == 1 and _tpu_backend() and batch % dp == 0
             and (cfg.compute_dtype == "bfloat16" or greedy)
-            and pdec.fits_vmem(cfg, batch // dp, prime_len=P0)):
+            and _dp_kernel_fits(cfg, batch // dp, P0, y)):
         return distdecode.generate_pallas_dp(params, cfg, mesh, seed,
                                              num_samples, batch,
                                              prime_tokens=prime_tokens,
@@ -229,7 +241,6 @@ def stream_distributed(params: wn.Params, cfg: WaveNetConfig, mesh,
     chunks (distdecode.generate_pallas_dp_stream); model-sharded meshes
     stream chunked collective scans carrying the sharded DecodeState
     (distdecode.generate_sharded_stream)."""
-    from wavenet_tpu.ops.pallas import decode as pdec
     from wavenet_tpu.parallel import distdecode
     dp = mesh.shape.get(distdecode.DATA_AXIS, 1)
     mp = mesh.shape.get(distdecode.MODEL_AXIS, 1)
@@ -237,7 +248,7 @@ def stream_distributed(params: wn.Params, cfg: WaveNetConfig, mesh,
     greedy = isinstance(temperature, (int, float)) and temperature <= 0
     if (mp == 1 and _tpu_backend() and batch % dp == 0
             and (cfg.compute_dtype == "bfloat16" or greedy)
-            and pdec.fits_vmem(cfg, batch // dp, prime_len=P0)):
+            and _dp_kernel_fits(cfg, batch // dp, P0, y)):
         yield from distdecode.generate_pallas_dp_stream(
             params, cfg, mesh, seed, num_samples, batch,
             chunk_samples=chunk_samples, prime_tokens=prime_tokens,

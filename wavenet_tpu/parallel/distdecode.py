@@ -464,13 +464,20 @@ def _sharded_chunk_fn(cfg: WaveNetConfig, mesh: Mesh, batch: int, n: int,
 @functools.lru_cache(maxsize=64)
 def _dp_decode_chunk_fn(cfg: WaveNetConfig, mesh: Mesh, num_steps: int,
                         temperature: float, interpret: bool, tiles,
-                        has_forced: bool, has_y: bool, has_g: bool):
+                        has_forced: bool, has_y: bool, has_g: bool,
+                        wide: bool = False):
     """Jitted shard_map wrapper fanning ONE whole-loop kernel chunk
-    (ops/pallas/decode.decode_chunk) out over the `data` axis: rings/carry/
-    seeds/conditioning shard with the batch, the model stays replicated and
-    VMEM-resident per chip.  lru_cached per static signature (same
-    recompile economics as _sharded_chunk_fn)."""
+    (ops/pallas/decode.decode_chunk, or decode_wide's for wide-R models)
+    out over the `data` axis: rings/carry/seeds/conditioning shard with the
+    batch, the model stays replicated and VMEM-resident per chip.
+    lru_cached per static signature (same recompile economics as
+    _sharded_chunk_fn).  The two kernels differ only in ring layout:
+    [sum_d, R, B] (batch on lanes) vs wide's [sum_d, B, R]."""
     from wavenet_tpu.ops.pallas import decode as pdec
+    from wavenet_tpu.ops.pallas import decode_wide as pwide
+    if wide and has_y:
+        raise ValueError("the wide-R kernel does not stream mel features")
+    kmod = pwide if wide else pdec
 
     def run(params, rings, carry, t0, seeds, *opt):
         opt = list(opt)
@@ -481,12 +488,14 @@ def _dp_decode_chunk_fn(cfg: WaveNetConfig, mesh: Mesh, num_steps: int,
             kw["y"] = opt.pop(0)
         if has_g:
             kw["g"] = opt.pop(0)
-        return pdec.decode_chunk(params, cfg, rings, carry, t0, seeds,
+        return kmod.decode_chunk(params, cfg, rings, carry, t0, seeds,
                                  num_steps, temperature,
                                  interpret=interpret, force_tiles=tiles,
                                  **kw)
 
-    in_specs = [P(), P(None, None, DATA_AXIS), P(DATA_AXIS, None), P(),
+    rings_spec = (P(None, DATA_AXIS, None) if wide
+                  else P(None, None, DATA_AXIS))
+    in_specs = [P(), rings_spec, P(DATA_AXIS, None), P(),
                 P(DATA_AXIS)]
     if has_forced:
         in_specs.append(P(DATA_AXIS, None))
@@ -494,8 +503,7 @@ def _dp_decode_chunk_fn(cfg: WaveNetConfig, mesh: Mesh, num_steps: int,
         in_specs.append(P(DATA_AXIS, None, None))
     if has_g:
         in_specs.append(P(None, DATA_AXIS, None, None))
-    out_specs = (P(DATA_AXIS, None), P(None, None, DATA_AXIS),
-                 P(DATA_AXIS, None))
+    out_specs = (P(DATA_AXIS, None), rings_spec, P(DATA_AXIS, None))
     sharded = jax.shard_map(run, mesh=mesh, in_specs=tuple(in_specs),
                             out_specs=out_specs,
                             axis_names=frozenset({DATA_AXIS}),
@@ -519,14 +527,17 @@ def generate_pallas_dp_stream(params, cfg: WaveNetConfig, mesh: Mesh, seed,
     Mirrors generate/sampler.generate_stream's single-chip loop with every
     per-chunk call fanned over the `data` axis."""
     from wavenet_tpu.ops.pallas import decode as pdec
+    from wavenet_tpu.ops.pallas import decode_wide as pwide
     dp = mesh.shape[DATA_AXIS]
     if batch % dp:
         raise ValueError(f"batch {batch} not divisible by data={dp}")
     B_loc = batch // dp
     P0 = 0 if prime_tokens is None else prime_tokens.shape[1]
-    if not pdec.fits_vmem(cfg, B_loc, prime_len=P0):
-        raise ValueError(f"per-chip batch {B_loc} exceeds the decode "
-                         f"kernel VMEM budget")
+    wide = not pdec.fits_vmem(cfg, B_loc, prime_len=P0)
+    if wide and (y is not None
+                 or not pwide.fits_vmem(cfg, B_loc, prime_len=P0)):
+        raise ValueError(f"per-chip batch {B_loc} fits neither decode "
+                         f"kernel's VMEM budget")
     seeds = rng.as_row_seeds(seed, batch)
     if dp == 1:
         from wavenet_tpu.generate.sampler import generate_stream
@@ -536,8 +547,8 @@ def generate_pallas_dp_stream(params, cfg: WaveNetConfig, mesh: Mesh, seed,
                                    speaker=speaker, temperature=temperature,
                                    interpret=interpret, seeds=seeds)
         return
-    # setup mirrors pdec.setup_decode with the VMEM gate on the PER-SHARD
-    # batch (checked above); rings/carry live sharded on the mesh
+    # setup mirrors (pdec|pwide).setup_decode with the VMEM gate on the
+    # PER-SHARD batch (checked above); rings/carry live sharded on the mesh
     g = None
     if cfg.global_classes is not None:
         if speaker is None:
@@ -545,7 +556,9 @@ def generate_pallas_dp_stream(params, cfg: WaveNetConfig, mesh: Mesh, seed,
                              "passed")
         g = wn.global_cond_offsets(params, cfg, speaker)
     _, sum_d = wn.ring_offsets(cfg)
-    rings = jnp.zeros((sum_d, cfg.residual_channels, batch), jnp.bfloat16)
+    R = cfg.residual_channels
+    rings = jnp.zeros((sum_d, batch, R) if wide else (sum_d, R, batch),
+                      jnp.bfloat16)
     if P0:
         first = prime_tokens[:, 0:1].astype(jnp.int32)
     else:
@@ -557,8 +570,15 @@ def generate_pallas_dp_stream(params, cfg: WaveNetConfig, mesh: Mesh, seed,
     if y is not None and y.shape[1] < total:
         raise ValueError(f"y covers {y.shape[1]} < {total} steps "
                          f"(priming included)")
-    Bt, TC = pdec.plan_tiles(cfg, B_loc)
-    TC = pdec.shrink_tc(TC, chunk_samples)
+    if wide:
+        Bt, TC = pwide.plan_tiles(cfg, B_loc)
+        tc_floor = 8 if interpret else pwide.TC_MIN_HW
+        while TC > tc_floor and TC > chunk_samples:
+            TC //= 2
+        TC = max(TC // 8 * 8, tc_floor)
+    else:
+        Bt, TC = pdec.plan_tiles(cfg, B_loc)
+        TC = pdec.shrink_tc(TC, chunk_samples)
     chunk = max(TC, chunk_samples // TC * TC)
     params = jax.device_put(params, NamedSharding(mesh, P()))
 
@@ -575,7 +595,7 @@ def generate_pallas_dp_stream(params, cfg: WaveNetConfig, mesh: Mesh, seed,
         fn = _dp_decode_chunk_fn(cfg, mesh, n_pad, float(temperature),
                                  bool(interpret), (Bt, TC),
                                  forced is not None, y_c is not None,
-                                 g is not None)
+                                 g is not None, wide=wide)
         opt = [o for o in (forced, y_c, g) if o is not None]
         toks, rings, carry = fn(params, rings, carry, jnp.int32(t0), seeds,
                                 *opt)
@@ -609,20 +629,24 @@ def generate_pallas_dp(params, cfg: WaveNetConfig, mesh: Mesh, seed,
     prime_tokens/speaker/y shard over `data` like the batch (same decode
     semantics as ops/pallas/decode.generate_pallas per shard)."""
     from wavenet_tpu.ops.pallas import decode as pdec
+    from wavenet_tpu.ops.pallas import decode_wide as pwide
     dp = mesh.shape[DATA_AXIS]
     if batch % dp:
         raise ValueError(f"batch {batch} not divisible by data={dp}")
     P0 = 0 if prime_tokens is None else prime_tokens.shape[1]
-    if not pdec.fits_vmem(cfg, batch // dp, prime_len=P0):
-        raise ValueError(f"per-chip batch {batch // dp} exceeds the decode "
-                         f"kernel VMEM budget")
+    wide = not pdec.fits_vmem(cfg, batch // dp, prime_len=P0)
+    if wide and (y is not None
+                 or not pwide.fits_vmem(cfg, batch // dp, prime_len=P0)):
+        raise ValueError(f"per-chip batch {batch // dp} fits neither "
+                         f"decode kernel's VMEM budget")
+    gen_one = pwide.generate_wide if wide else pdec.generate_pallas
     seeds = rng.as_row_seeds(seed, batch)
     if dp == 1:
-        return pdec.generate_pallas(params, cfg, None, num_samples,
-                                    batch=batch, prime_tokens=prime_tokens,
-                                    y=y, speaker=speaker,
-                                    temperature=temperature,
-                                    interpret=interpret, seeds=seeds)
+        kw = {} if wide else {"y": y}
+        return gen_one(params, cfg, None, num_samples,
+                       batch=batch, prime_tokens=prime_tokens,
+                       speaker=speaker, temperature=temperature,
+                       interpret=interpret, seeds=seeds, **kw)
 
     operands, specs, names = [seeds], [P(DATA_AXIS)], ["seeds"]
     if prime_tokens is not None:
@@ -640,10 +664,10 @@ def generate_pallas_dp(params, cfg: WaveNetConfig, mesh: Mesh, seed,
 
     def run(params, *ops):
         kw = dict(zip(names, ops))
-        return pdec.generate_pallas(params, cfg, None, num_samples,
-                                    batch=batch // dp,
-                                    temperature=temperature,
-                                    interpret=interpret, **kw)[None]
+        return gen_one(params, cfg, None, num_samples,
+                       batch=batch // dp,
+                       temperature=temperature,
+                       interpret=interpret, **kw)[None]
 
     # checkpoint-restored params are committed to one device (see
     # generate_sharded) — re-place replicated on the mesh
