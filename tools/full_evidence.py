@@ -6,9 +6,10 @@ training run).
 What it does (one v5e chip, fused five-group kernels, remat on):
 
   1. train the `full` preset (4x1..512, 128/256 ch, B=8, W=8192) for
-     `steps` steps on the committed synthetic speech-like corpus
-     (runs/evidence/vocoder/corpus — same data as the vocoder evidence so
-     the runs are comparable), loss curve to metrics.jsonl + loss_curve.png;
+     `steps` steps on a deterministically regenerated 256-clip synthetic
+     speech-like corpus (ensure_corpus below; held-out clips come from the
+     committed vocoder corpus_eval), loss curve to metrics.jsonl +
+     loss_curve.png;
   2. held-out bits/sample on every corpus_eval clip (teacher-forced
      score, the quantity the loss optimizes, on unseen data);
   3. generate a free-running sample wav THROUGH THE WIDE-R DECODE KERNEL
@@ -31,10 +32,38 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np                                          # noqa: E402
 
 RESUME = len(sys.argv) > 1 and sys.argv[1] == "resume"
-STEPS = (int(sys.argv[1]) if len(sys.argv) > 1 and not RESUME else 4000)
+STEPS = (int(sys.argv[1]) if len(sys.argv) > 1 and not RESUME else 6000)
 ROOT = "runs/evidence/full"
-CORPUS = "runs/evidence/vocoder/corpus"
+CORPUS = os.path.join(ROOT, "corpus_train")   # generated, not committed
 EVAL = "runs/evidence/vocoder/corpus_eval"
+N_CLIPS, CLIP_S, CORPUS_SEED = 256, 4.0, 1234
+
+
+def ensure_corpus():
+    """Deterministically (re)generate the training corpus: N_CLIPS x 4 s
+    speech-like clips from seed 1234 — a DIFFERENT seed from the committed
+    vocoder corpus/eval stream (seed 42), so train and held-out sets are
+    independent draws.  Sizing (measured round 4): the ~5M-param flagship
+    memorizes small corpora — held-out 6.5 bits vs 2.6 train after 4k
+    steps on 24 clips, still 4-7.6 bits on 64 clips (~100 epochs); 256
+    clips (~24 epochs at 6k steps) keeps the held-out gap meaningful.
+    Not committed (~33 MB): this function reproduces it bit-exactly."""
+    import importlib.util
+    import numpy as np
+    from wavenet_tpu.audio.io import write_wav
+    if (os.path.isdir(CORPUS)
+            and len(os.listdir(CORPUS)) == N_CLIPS):
+        return
+    spec = importlib.util.spec_from_file_location(
+        "msc", os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "make_speechlike_corpus.py"))
+    msc = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(msc)
+    os.makedirs(CORPUS, exist_ok=True)
+    rng = np.random.default_rng(CORPUS_SEED)
+    for i in range(N_CLIPS):
+        write_wav(os.path.join(CORPUS, f"clip_{i:04d}.wav"),
+                  msc.make_clip(rng, CLIP_S), msc.SR)
 
 
 def main():
@@ -47,14 +76,21 @@ def main():
     from wavenet_tpu.models.api import WaveNet
 
     os.makedirs(ROOT, exist_ok=True)
+    # EMA horizon must fit the run: 0.9999 over a 6k-step run leaves the
+    # average ~55% at the INIT weights (scored 5.5-7.4 held-out bits where
+    # the raw weights scored 2.8-3.9 — measured round 4, the classic short-
+    # run Polyak pitfall).  0.999 = ~1k-step horizon, well inside STEPS.
+    ema = 0.999 if STEPS < 50_000 else 0.9999
     cfg = full().replace(lr_schedule="cosine", lr_decay_steps=STEPS,
-                         ema_decay=0.9999)
+                         ema_decay=ema)
     metrics_path = os.path.join(ROOT, "metrics.jsonl")
 
     if not RESUME:
         from wavenet_tpu.audio.dataset import AudioDataset
         from wavenet_tpu.training.trainer import Trainer
-        print(f"training full preset: {STEPS} steps", flush=True)
+        ensure_corpus()
+        print(f"training full preset: {STEPS} steps on {N_CLIPS} clips",
+              flush=True)
         ds = AudioDataset.from_dir(CORPUS, cfg)
         tr = Trainer(cfg, ds, checkpoint_dir=os.path.join(ROOT, "ckpt"))
         with open(metrics_path, "w") as mf:
@@ -125,9 +161,13 @@ def main():
         f.write(f"""# `full` flagship preset — training evidence
 
 `full` preset (4x1..512, 128 residual / 256 skip, RF ~0.26 s @16 kHz,
-B=8, W=8192, remat, EMA 0.9999), {STEPS} steps on the committed 24-clip
-synthetic speech-like corpus (the vocoder evidence corpus), one v5e chip,
-fused five-group training kernels.
+B=8, W=8192, remat, EMA 0.9999), {STEPS} steps on a {N_CLIPS}-clip
+synthetic speech-like corpus (deterministically regenerable: seed
+{CORPUS_SEED}, `tools/full_evidence.py ensure_corpus` — an independent
+draw from the committed vocoder corpus stream), one v5e chip, fused
+five-group training kernels.  Held-out clips are the committed
+`runs/evidence/vocoder/corpus_eval` set (20 clips after the round-4
+extension).
 
 - final train: loss {last.get('loss'):.3f} nats
   ({last.get('bits_per_sample'):.3f} bits/sample); curve:

@@ -1,0 +1,132 @@
+#!/usr/bin/env python
+"""Full-preset fused-train MFU analysis + experiment sweep (round-3 verdict
+#7: give the flagship the `small`-style measured-experiment discipline).
+
+Accounting (full preset, B=8, W=8192, L=40, R=128, S=256):
+  stack fwd MACs/token/layer = R*2R (w_cur) + R*2R (w_prev) + R*R (w_res)
+  + R*S (w_skip) = 114,688 -> 229,376 FLOP; x40 layers x 65,536 tokens
+  = 601 GFLOP forward.
+  Grad step useful work (MFU convention, recompute NOT counted) = 3x fwd
+  (forward + input-cotangent + weight-cotangent products) = 1.80 TFLOP;
+  hardware work (HFU, + ring-snapshot recompute of the forward) = 4x fwd
+  = 2.40 TFLOP.  v5e bf16 peak ~197 TFLOP/s.
+
+Experiments, each timed as the stack-only grad and the full loss grad:
+  A. shipped plan (VMEM_BUDGET=13 MiB -> 5 layer groups, TT=512)
+  B. raised budget -> fewer groups (the round-4 wide-kernel probe showed
+     the chip takes 44 MiB plans; fewer groups = less inter-group x/skip
+     HBM streaming + fewer launches), compiled with a raised
+     xla_tpu_scoped_vmem_limit_kib
+  C. TT=1024 at the raised budget (round 2: the BACKWARD failed to compile
+     at the default scoped limit — retry under the raised one)
+
+Writes runs/evidence/full_mfu.json.  Timing by readback of a scalar pulled
+from the grads (varied dummy addend defeats relay caching).
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np                                          # noqa: E402
+import jax                                                  # noqa: E402
+import jax.numpy as jnp                                     # noqa: E402
+
+from wavenet_tpu.config import full                         # noqa: E402
+from wavenet_tpu.models import wavenet as wn                # noqa: E402
+from wavenet_tpu.ops.pallas import train_stack as ts        # noqa: E402
+
+PEAK = 197e12
+OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                   "runs", "evidence", "full_mfu.json")
+
+
+def flops(cfg, tokens):
+    per = (2 * cfg.residual_channels * 2 * cfg.residual_channels * 2
+           + 2 * cfg.residual_channels ** 2
+           + 2 * cfg.residual_channels * cfg.skip_channels)
+    fwd = per * cfg.num_layers * tokens
+    return fwd, 3 * fwd, 4 * fwd                 # fwd, MFU work, HFU work
+
+
+def timeit(f, args_list, iters=6):
+    np.asarray(jax.tree.leaves(f(*args_list[0]))[0])         # compile+warm
+    best = 1e9
+    for i, args in enumerate(args_list[1:], 1):
+        t0 = time.perf_counter()
+        r = f(*args)
+        np.asarray(jax.tree.leaves(r)[0])                    # readback sync
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def main():
+    assert jax.devices()[0].platform != "cpu"
+    cfg = full()
+    p = wn.init_params(cfg, jax.random.PRNGKey(0))
+    B, W = cfg.batch_size, cfg.train_window
+    toks = [jax.random.randint(jax.random.PRNGKey(i), (B, W + 1), 0, 256)
+            for i in range(7)]
+    xs = [wn.embed_tokens(p, cfg, t[:, :-1],
+                          jnp.pad(t[:, :-2], ((0, 0), (1, 0))))
+          for t in toks]
+    tokens = B * W
+    f_fwd, f_mfu, f_hfu = flops(cfg, tokens)
+    rec = {"preset": "full", "B": B, "W": W,
+           "flops_fwd_G": round(f_fwd / 1e9, 1),
+           "flops_grad_mfu_T": round(f_mfu / 1e12, 3),
+           "flops_grad_hfu_T": round(f_hfu / 1e12, 3),
+           "peak_bf16_T": PEAK / 1e12, "experiments": {}}
+
+    def stack_loss(p, x, tile=None):
+        skip = ts.forward_skip_fused(p, cfg, x, tile=tile)
+        return jnp.sum(skip.astype(jnp.float32) ** 2) * 1e-9
+
+    def full_loss(p, t):
+        return wn.loss_fn(p, cfg, t, use_fused=True)[0]
+
+    def run_case(tag, budget, tile, scoped_kib):
+        saved = ts.VMEM_BUDGET
+        ts.VMEM_BUDGET = budget
+        try:
+            groups = ts.plan_dils(cfg, cfg.dilations, tile or 512)
+            opts = ({"xla_tpu_scoped_vmem_limit_kib": scoped_kib}
+                    if scoped_kib else None)
+            g_stack = jax.jit(jax.grad(lambda p, x: stack_loss(p, x, tile)),
+                              compiler_options=opts)
+            g_full = jax.jit(jax.grad(full_loss), compiler_options=opts)
+            out = {"groups": len(groups), "tile": tile or 512}
+            try:
+                dt = timeit(g_stack, [(p, x) for x in xs])
+                out["stack_grad_ms"] = round(dt * 1e3, 2)
+                out["stack_grad_mfu"] = round(f_mfu / dt / PEAK, 3)
+                out["stack_grad_hfu"] = round(f_hfu / dt / PEAK, 3)
+            except Exception as e:
+                out["stack_grad_error"] = repr(e)[:200]
+            try:
+                dt = timeit(g_full, [(p, t) for t in toks])
+                out["full_loss_grad_ms"] = round(dt * 1e3, 2)
+                out["full_loss_grad_mfu"] = round(f_mfu / dt / PEAK, 3)
+            except Exception as e:
+                out["full_loss_grad_error"] = repr(e)[:200]
+            rec["experiments"][tag] = out
+            print(tag, json.dumps(out), flush=True)
+        finally:
+            ts.VMEM_BUDGET = saved
+
+    run_case("A_shipped_13MiB_TT512", 13 * 2**20, None, None)
+    run_case("B_26MiB_TT512", 26 * 2**20, None, 32 * 1024)
+    run_case("B2_40MiB_TT512", 40 * 2**20, None, 48 * 1024)
+    run_case("C_26MiB_TT1024", 26 * 2**20, 1024, 32 * 1024)
+
+    os.makedirs(os.path.dirname(OUT), exist_ok=True)
+    with open(OUT, "w") as f:
+        json.dump(rec, f, indent=2)
+    print(json.dumps(rec, indent=1))
+
+
+if __name__ == "__main__":
+    main()
