@@ -117,6 +117,37 @@ def main():
         finally:
             ts.VMEM_BUDGET = saved
 
+    # throttle calibration: the shared chip shows 2-4x transient slowdowns
+    # (BASELINE.md) — wait for a window where the SHIPPED config runs within
+    # 1.3x of its bench pin before sweeping, else every experiment measures
+    # the co-tenant, not the kernel (first sweep attempt measured 44 ms for
+    # the pinned-19.6 ms step, 2026-08-20).
+    pin_ms = None
+    try:
+        with open(os.path.join(os.path.dirname(OUT), "..", "..",
+                               "bench_baseline.json")) as f:
+            pin_ms = json.load(f).get("full_train_ms_fused")
+    except Exception:
+        pass
+    g_cal = jax.jit(jax.grad(full_loss))
+    np.asarray(jax.tree.leaves(g_cal(p, toks[0]))[0])
+    calib = None
+    for attempt in range(10):
+        dts = []
+        for t in toks[1:4]:
+            t0 = time.perf_counter()
+            np.asarray(jax.tree.leaves(g_cal(p, (t + attempt) % 256))[0])
+            dts.append(time.perf_counter() - t0)
+        calib = min(dts) * 1e3
+        if pin_ms is None or calib <= 1.3 * pin_ms:
+            break
+        print(f"throttled window ({calib:.1f} ms vs pin {pin_ms:.1f}); "
+              f"waiting...", flush=True)
+        time.sleep(45)
+    rec["calibration_full_loss_grad_ms"] = round(calib, 2)
+    rec["calibration_pin_ms"] = pin_ms
+    rec["throttled"] = bool(pin_ms and calib > 1.3 * pin_ms)
+
     run_case("A_shipped_13MiB_TT512", 13 * 2**20, None, None)
     run_case("B_26MiB_TT512", 26 * 2**20, None, 32 * 1024)
     run_case("B2_40MiB_TT512", 40 * 2**20, None, 48 * 1024)
