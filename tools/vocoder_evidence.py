@@ -169,7 +169,7 @@ def main():
             f"unconditional twin: {last_u.get('loss', float('nan')):.3f} "
             f"nats (`metrics_uncond.jsonl`) — near-equal on TRAIN; the "
             f"conditioning advantage shows on held-out likelihood below\n"
-            f"- held-out likelihood (4 unseen clips, `corpus_eval/`):\n\n"
+            f"- held-out likelihood ({len(scores)} unseen clips, `corpus_eval/`):\n\n"
             f"| clip | vocoder (own mel) bits/sample | uncond bits/sample "
             f"|\n|---|---|---|\n{rows}\n\n"
             f"  vocoder wins every clip: **{voc_wins}**\n"
