@@ -205,21 +205,24 @@ def bench_decode_pallas(num_samples: int = 4096, batch: int = 64,
     from wavenet_tpu.models import wavenet as wn
     from wavenet_tpu.ops.pallas import decode as pdec
 
+    import numpy as np
+
     cfg = fastgen_bench()
     if not pdec.fits_vmem(cfg, batch):
         return {}
     params = wn.init_params(cfg, jax.random.PRNGKey(0))
     key = jax.random.PRNGKey(1)
-    out = pdec.generate_pallas(params, cfg, key, num_samples, batch=batch)
-    jax.block_until_ready(out)                       # compile
     calls = iter(range(1, 1 << 20))                  # fresh key per window
-    dts = _sustained(
-        lambda: jax.block_until_ready(
-            pdec.generate_pallas(params, cfg,
-                                 jax.random.fold_in(key, next(calls)),
-                                 num_samples, batch=batch)),
-        target_dt=_decode_target_dt(
-            baseline, "pallas_decode_steps_per_sec", num_samples))
+    # time by READBACK: block_until_ready can return early on the kernel's
+    # ANY-space outputs (measured 15x-impossible rates, 2026-08-20); the
+    # tokens are [B, N] int32 so the readback itself is microseconds
+    def run():
+        np.asarray(pdec.generate_pallas(
+            params, cfg, jax.random.fold_in(key, next(calls)),
+            num_samples, batch=batch))
+    run()                                            # compile
+    dts = _sustained(run, target_dt=_decode_target_dt(
+        baseline, "pallas_decode_steps_per_sec", num_samples))
     dt = dts[0]
     bt, tc = pdec.plan_tiles(cfg, batch)
     return {
@@ -253,17 +256,17 @@ def bench_decode_conditional(num_samples: int = 4096, batch: int = 8,
                             (batch, frames, cfg.mel.num_mels))
     y = upsample_mel(params["upsampler"], cfg.mel, mel, num_samples)
 
+    import numpy as np
     calls = iter(range(1 << 20))                     # fresh key per window
 
-    def run():
-        return pdec.generate_pallas(params, cfg,
-                                    jax.random.fold_in(key, next(calls)),
-                                    num_samples, batch=batch, y=y)
+    def run():                                       # readback-timed (see
+        np.asarray(pdec.generate_pallas(             # bench_decode_pallas)
+            params, cfg, jax.random.fold_in(key, next(calls)),
+            num_samples, batch=batch, y=y))
 
-    jax.block_until_ready(run())                     # compile
-    dts = _sustained(lambda: jax.block_until_ready(run()),
-                     target_dt=_decode_target_dt(
-                         baseline, "cond_decode_steps_per_sec", num_samples))
+    run()                                            # compile
+    dts = _sustained(run, target_dt=_decode_target_dt(
+        baseline, "cond_decode_steps_per_sec", num_samples))
     dt = dts[0]
     return {
         "cond_decode_samples_per_sec": num_samples * batch / dt,
@@ -384,7 +387,7 @@ def bench_decode_full(num_samples: int = 2048, batch: int = 8,
             params, cfg, jax.random.fold_in(key, next(calls)),
             num_samples, batch=batch))
     run()                                            # compile
-    dts = _sustained(run, windows=6, time_budget_s=60.0,
+    dts = _sustained(run, windows=8, time_budget_s=90.0,
                      target_dt=_decode_target_dt(
                          baseline, "full_wide_decode_steps_per_sec",
                          num_samples))
@@ -397,6 +400,64 @@ def bench_decode_full(num_samples: int = 2048, batch: int = 8,
                                             / cfg.sample_rate,
         **_rate_stats("full_wide_decode_steps_per_sec", num_samples, dts),
     })
+    return out
+
+
+def bench_decode_long(baseline=None):
+    """LONG-LAUNCH decode rates (round-3 verdict weak #2): the headline
+    realtime claims were measured ad hoc; this pins them so they are
+    regression-gated, not remembered.  Short bench windows under-report
+    these kernels because the ~30 ms tunnel dispatch overhead per launch is
+    amortized over the launch length (BASELINE.md round-4 notes);
+    production synthesis runs seconds-long launches.  Three points:
+      pallas_decode_long      fastgen B=64 — batch-throughput (samples/s)
+      stream_decode_long      fastgen B=8  — per-stream latency (realtime x;
+                              steps/s RISES as the batch tile shrinks —
+                              B=4/8/16/32/64 measured 99k/94k/93k/75k/63k)
+      full_wide_decode_long   flagship full preset B=8, wide-R kernel"""
+    import jax
+    import numpy as np
+    from wavenet_tpu.config import fastgen_bench, full
+    from wavenet_tpu.models import wavenet as wn
+    from wavenet_tpu.ops.pallas import decode as pdec
+    from wavenet_tpu.ops.pallas import decode_wide as pwide
+
+    out = {}
+    key = jax.random.PRNGKey(1)
+    calls = iter(range(1, 1 << 20))                  # fresh key per window
+    specs = [
+        ("pallas_decode_long", fastgen_bench(), 32768, 64, pdec),
+        ("stream_decode_long", fastgen_bench(), 32768, 8, pdec),
+        ("full_wide_decode_long", full(), 16384, 8, pwide),
+    ]
+    params_cache = {}
+    for prefix, cfg, n, batch, mod in specs:
+        if not mod.fits_vmem(cfg, batch):
+            continue
+        ck = (cfg.num_blocks, cfg.max_dilation, cfg.residual_channels)
+        if ck not in params_cache:
+            params_cache[ck] = wn.init_params(cfg, jax.random.PRNGKey(0))
+        params = params_cache[ck]
+        gen = (mod.generate_wide if mod is pwide else mod.generate_pallas)
+
+        def run():                                   # readback-timed
+            np.asarray(gen(params, cfg, jax.random.fold_in(key, next(calls)),
+                           n, batch=batch))
+        run()                                        # compile
+        # generous retry room: these are sub-second windows, so a co-tenant
+        # burst outlasts a short bench — pause-and-retry until the pinned
+        # target (or the budget) is hit, like the training bench does
+        dts = _sustained(run, windows=8, time_budget_s=90.0,
+                         target_dt=_decode_target_dt(
+                             baseline, f"{prefix}_steps_per_sec", n))
+        out.update({
+            f"{prefix}_steps_per_sec": n / dts[0],
+            f"{prefix}_samples_per_sec": n * batch / dts[0],
+            f"{prefix}_batch": batch,
+            f"{prefix}_num_samples": n,
+            f"{prefix}_realtime_factor": (n / dts[0]) / cfg.sample_rate,
+            **_rate_stats(f"{prefix}_steps_per_sec", n, dts),
+        })
     return out
 
 
@@ -459,6 +520,8 @@ def main():
     ap.add_argument("--skip-naive", action="store_true")
     ap.add_argument("--skip-full", action="store_true",
                     help="skip the full-preset fused/scan grad-step bench")
+    ap.add_argument("--skip-long", action="store_true",
+                    help="skip the long-launch decode headline benches")
     ap.add_argument("--record-baseline", action="store_true",
                     help="write this run's numbers as the new baseline")
     args = ap.parse_args()
@@ -518,6 +581,11 @@ def main():
             details.update(bench_full_preset(baseline=baseline))
         except Exception as e:  # full preset OOM/compile failure: record it
             details["full_preset_error"] = repr(e)
+    if not args.skip_long:
+        try:
+            details.update(bench_decode_long(baseline=baseline))
+        except Exception as e:
+            details["decode_long_error"] = repr(e)
     if not args.skip_naive:
         details.update(bench_decode_naive())
         details["fast_vs_naive_speedup"] = (
@@ -567,6 +635,12 @@ def main():
             == details.get("full_wide_decode_batch")):
         gates["full_wide_decode_vs_baseline"] = _vs(
             "full_wide_decode_steps_per_sec")
+    for lk in ("pallas_decode_long", "stream_decode_long",
+               "full_wide_decode_long"):
+        if (baseline.get(f"{lk}_num_samples")
+                == details.get(f"{lk}_num_samples")
+                and baseline.get(f"{lk}_batch") == details.get(f"{lk}_batch")):
+            gates[f"{lk}_vs_baseline"] = _vs(f"{lk}_steps_per_sec")
     gates["full_fused_vs_baseline"] = _vs("full_train_ms_fused", invert=True)
     for k, v in gates.items():
         if v:
@@ -591,6 +665,12 @@ def main():
          "full_decode_steps_per_sec_throttle_detected"),
         ("full_wide_decode_steps_per_sec",
          "full_wide_decode_steps_per_sec_throttle_detected"),
+        ("pallas_decode_long_steps_per_sec",
+         "pallas_decode_long_steps_per_sec_throttle_detected"),
+        ("stream_decode_long_steps_per_sec",
+         "stream_decode_long_steps_per_sec_throttle_detected"),
+        ("full_wide_decode_long_steps_per_sec",
+         "full_wide_decode_long_steps_per_sec_throttle_detected"),
     ]
     drift_warnings = []
     for mk, tk in median_keys:

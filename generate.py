@@ -155,8 +155,9 @@ def main(argv=None):
                                     prime_tokens=prime_tokens, y=y,
                                     speaker=speaker,
                                     temperature=args.temperature)
-        jax.block_until_ready(toks)
-        dt = time.perf_counter() - t0
+        import numpy as np
+        toks = np.asarray(toks)   # readback-timed: block_until_ready can
+        dt = time.perf_counter() - t0  # return early on kernel outputs
         print(f"{n} samples x{args.batch} in {dt:.2f}s = "
               f"{n * args.batch / dt:.0f} samples/s (distributed "
               f"dp={args.data_parallel} mp={args.model_parallel})",
@@ -214,8 +215,9 @@ def main(argv=None):
                              batch=args.batch, prime_tokens=prime_tokens,
                              y=y, speaker=speaker,
                              temperature=args.temperature)
-    jax.block_until_ready(toks)
-    dt = time.perf_counter() - t0
+    import numpy as np
+    toks = np.asarray(toks)       # readback-timed: block_until_ready can
+    dt = time.perf_counter() - t0  # return early on kernel outputs
     sps = n * args.batch / dt
     print(f"{n} samples x{args.batch} in {dt:.2f}s = {sps:.0f} samples/s "
           f"({'naive' if args.naive else 'fast'})", file=sys.stderr)

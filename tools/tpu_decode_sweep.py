@@ -62,16 +62,18 @@ def main():
                                           temperature=1.0, interpret=True,
                                           force_tiles=(bt, tc))
                 exact = np.array_equal(np.asarray(hw), np.asarray(it))
-                out = pdec.generate_pallas(p, cfg, key, steps, batch=B,
-                                           temperature=1.0,
-                                           force_tiles=(bt, tc))
-                jax.block_until_ready(out)
+                np.asarray(pdec.generate_pallas(
+                    p, cfg, key, steps, batch=B, temperature=1.0,
+                    force_tiles=(bt, tc)))              # compile
                 best = float("inf")
-                for _ in range(3):
+                for rep in range(3):
+                    # readback-timed with a fresh key per rep:
+                    # block_until_ready returns early on kernel outputs and
+                    # the relay caches identical calls (BASELINE.md round 4)
                     t0 = time.perf_counter()
-                    jax.block_until_ready(pdec.generate_pallas(
-                        p, cfg, key, steps, batch=B, temperature=1.0,
-                        force_tiles=(bt, tc)))
+                    np.asarray(pdec.generate_pallas(
+                        p, cfg, jax.random.fold_in(key, rep + 1), steps,
+                        batch=B, temperature=1.0, force_tiles=(bt, tc)))
                     best = min(best, time.perf_counter() - t0)
                 sps = steps / best
                 print(f"bt={bt} tc={tc}: {'BIT-EXACT' if exact else 'WRONG'}"

@@ -15,6 +15,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax                                                   # noqa: E402
 import jax.numpy as jnp                                      # noqa: E402
+import numpy as np                                           # noqa: E402
 
 from wavenet_tpu.config import fastgen_bench                 # noqa: E402
 from wavenet_tpu.generate.sampler import generate_stream     # noqa: E402
@@ -36,7 +37,9 @@ def bench(batch: int, chunk_s: float = 0.25, total_s: float = 4.0):
         first = None
         out = 0
         for c in it:
-            jax.block_until_ready(c)
+            np.asarray(c)       # readback-timed: block_until_ready can
+            # return early on the decode kernel's outputs (BASELINE.md
+            # round-4 re-pin) — TTFC must include the chunk readback anyway
             if first is None:
                 first = time.perf_counter() - t0
             out += c.shape[1]
