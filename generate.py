@@ -63,6 +63,13 @@ def parse_args(argv=None):
                         "and decode with per-layer collective state "
                         "exchange; tokens are identical to single-device "
                         "at the same --seed for any mesh layout")
+    p.add_argument("--scan-unroll", type=int, default=None, metavar="K",
+                   help="unroll the XLA scan decoder's layer scan K-way "
+                        "(cfg.decode_unroll override; +42%% measured on the "
+                        "full preset at K=8, ~100 s cold compile — pair "
+                        "with --compile-cache). Ignored on kernel routes")
+    from wavenet_tpu.utils import compcache
+    compcache.add_cli_flag(p)
     return p.parse_args(argv)
 
 
@@ -79,8 +86,15 @@ def main(argv=None):
                                               tokens_to_waveform)
     from wavenet_tpu.models.api import WaveNet
 
+    from wavenet_tpu.utils import compcache
+    cache_dir = compcache.enable_from_args(args)
+    if cache_dir:
+        print(f"compilation cache: {cache_dir}")
+
     model = WaveNet.from_checkpoint(args.ckpt, step=args.step,
                                     use_ema=not args.no_ema)
+    if args.scan_unroll:
+        model = model.replace_config(decode_unroll=args.scan_unroll)
     cfg, params = model.cfg, model.params
 
     if args.export_aot:

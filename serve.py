@@ -52,6 +52,14 @@ def parse_args(argv=None):
                         "bucket (1, 2, 4, ... max-batch) at boot so the "
                         "first real requests hit warm jits regardless of "
                         "how they group")
+    p.add_argument("--scan-unroll", type=int, default=None, metavar="K",
+                   help="unroll the XLA scan decoder's layer scan K-way "
+                        "(cfg.decode_unroll override; +42%% measured on "
+                        "the full preset at K=8 — pair with "
+                        "--compile-cache, the cold compile is ~100 s). "
+                        "Ignored on kernel-served configs")
+    from wavenet_tpu.utils import compcache
+    compcache.add_cli_flag(p)
     return p.parse_args(argv)
 
 
@@ -60,12 +68,19 @@ def main(argv=None) -> int:
     from wavenet_tpu.models.api import WaveNet
     from wavenet_tpu.serving import WaveNetServer
     from wavenet_tpu.serving.http import make_server
+    from wavenet_tpu.utils import compcache
+
+    cache_dir = compcache.enable_from_args(args)
+    if cache_dir:
+        print(f"compilation cache: {cache_dir}")
 
     if args.npz:
         model = WaveNet.from_npz(args.npz)
     else:
         model = WaveNet.from_checkpoint(args.ckpt, step=args.step,
                                         use_ema=not args.no_ema)
+    if args.scan_unroll:
+        model = model.replace_config(decode_unroll=args.scan_unroll)
     mesh = None
     if args.data_parallel * args.model_parallel > 1:
         import dataclasses

@@ -78,6 +78,19 @@ class WaveNetConfig:
     # model fits its VMEM budget and a TPU backend is active (the trainer
     # silently falls back to the XLA scan otherwise)
     fused_stack: bool = True
+    # Unroll factor of the XLA scan decoder's per-layer scan
+    # (models/wavenet.py decode_step).  The scan decoder is bound by its
+    # serialized layer critical path, not by any one op (round-4 profile,
+    # runs/evidence/full_decode/profile.json); unroll=8 measured +42% on
+    # the full preset at a ~100 s cold compile per shape — pair with the
+    # persistent compilation cache (utils/compcache.py) so that cost is
+    # paid once per machine, not per process.  1 = today's default
+    # behavior.  Perf knob only: same math per layer, but XLA may
+    # reassociate differently, so on TPU the sampled near-tie trajectory
+    # can differ between unroll settings — like the kernel-vs-scan route,
+    # the unroll value is part of a config's reproducibility key
+    # (docs/ARCHITECTURE.md §5).  Kernel-served configs ignore it.
+    decode_unroll: int = 1
 
     # --- training ---
     batch_size: int = 8
@@ -117,6 +130,8 @@ class WaveNetConfig:
             raise ValueError("kernel_size != 2 not supported yet")
         if self.grad_accum < 1:
             raise ValueError("grad_accum must be >= 1")
+        if self.decode_unroll < 1:
+            raise ValueError("decode_unroll must be >= 1")
 
     # ---- derived quantities ----
 

@@ -54,6 +54,20 @@ class WaveNet:
                else state.params)
         return cls(cfg, use)
 
+    def replace_config(self, **kw) -> "WaveNet":
+        """Return a model with non-architectural config fields overridden
+        (perf/deployment knobs: decode_unroll, fused_stack, batch_size, …).
+        Params are shared, not copied; overriding an architecture field
+        would desync params from config — guarded by the same field list
+        the checkpoint loader enforces."""
+        from wavenet_tpu.training.checkpoint import CheckpointManager
+        bad = [k for k in kw if k in CheckpointManager._ARCH_FIELDS]
+        if bad:
+            raise ValueError(
+                f"architecture fields {bad} cannot be replaced on a live "
+                f"model (params were built for the current values)")
+        return WaveNet(self.cfg.replace(**kw), self.params)
+
     def save(self, directory: str, step: int = 0) -> None:
         """Write these params as a loadable checkpoint (config JSON beside
         it, reference params-next-to-weights parity) without needing a

@@ -498,7 +498,12 @@ def decode_step(params: Params, cfg: WaveNetConfig, state: DecodeState,
         xs["cond"] = jnp.moveaxis(cond_t, 0, 1)   # [L, B, 2, R]
     if gcond is not None:
         xs["gcond"] = gcond                       # already [L, B, 2, R]
-    (x, skip), layer_inputs = jax.lax.scan(body, (x, skip), xs)
+    # decode_unroll > 1 shortens the serialized-layer critical path this
+    # scan compiles to (the measured bound on wide configs — see the
+    # config.py field comment); clamp to L so tiny test configs stay valid
+    (x, skip), layer_inputs = jax.lax.scan(
+        body, (x, skip), xs,
+        unroll=min(cfg.decode_unroll, len(dils)))
 
     # one scatter for all layers' rows
     new_queues = state.queues.at[slots].set(
