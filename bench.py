@@ -376,6 +376,29 @@ def bench_decode_full(num_samples: int = 2048, batch: int = 8,
         **_rate_stats("full_decode_steps_per_sec", num_samples, dts),
     })
 
+    # the scan route's best known operating point: decode_unroll=8
+    # (+67% measured round 4, tools/tpu_unroll_bench.py) — tracked so the
+    # fallback serving configs ride a gated number, not a one-off claim
+    cfg_u8 = cfg.replace(decode_unroll=8)
+    gen_u8 = jax.jit(lambda p, k: wn.generate(p, cfg_u8, k,
+                                              num_samples=num_samples,
+                                              batch=batch))
+    np.asarray(gen_u8(params, key))                  # compile
+    def timed_u8():
+        np.asarray(gen_u8(params, jax.random.fold_in(key, next(calls))))
+    dts = _sustained(timed_u8, windows=5, time_budget_s=45.0,
+                     target_dt=_decode_target_dt(
+                         baseline, "full_decode_u8_steps_per_sec",
+                         num_samples))
+    dt = dts[0]
+    out.update({
+        "full_decode_u8_steps_per_sec": num_samples / dt,
+        "full_decode_u8_batch": batch,
+        "full_decode_u8_realtime_factor": (num_samples / dt)
+                                          / cfg.sample_rate,
+        **_rate_stats("full_decode_u8_steps_per_sec", num_samples, dts),
+    })
+
     try:
         from wavenet_tpu.ops.pallas import decode_wide as pwide
         if not pwide.fits_vmem(cfg, batch):
@@ -631,6 +654,10 @@ def main():
         gates["cond_decode_vs_baseline"] = _vs("cond_decode_steps_per_sec")
     if baseline.get("full_decode_batch") == details.get("full_decode_batch"):
         gates["full_decode_vs_baseline"] = _vs("full_decode_steps_per_sec")
+    if (baseline.get("full_decode_u8_batch")
+            == details.get("full_decode_u8_batch")):
+        gates["full_decode_u8_vs_baseline"] = _vs(
+            "full_decode_u8_steps_per_sec")
     if (baseline.get("full_wide_decode_batch")
             == details.get("full_wide_decode_batch")):
         gates["full_wide_decode_vs_baseline"] = _vs(
@@ -663,6 +690,8 @@ def main():
          "cond_decode_steps_per_sec_throttle_detected"),
         ("full_decode_steps_per_sec",
          "full_decode_steps_per_sec_throttle_detected"),
+        ("full_decode_u8_steps_per_sec",
+         "full_decode_u8_steps_per_sec_throttle_detected"),
         ("full_wide_decode_steps_per_sec",
          "full_wide_decode_steps_per_sec_throttle_detected"),
         ("pallas_decode_long_steps_per_sec",

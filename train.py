@@ -47,6 +47,8 @@ def parse_args(argv=None):
                         "training set)")
     p.add_argument("--metrics-file", default=None,
                    help="append JSONL metrics here")
+    from wavenet_tpu.utils import compcache
+    compcache.add_cli_flag(p)
     p.add_argument("--override", action="append", default=[],
                    help="config overrides as key=json, e.g. --override remat=true")
     return p.parse_args(argv)
@@ -82,6 +84,13 @@ def main(argv=None):
 
     from wavenet_tpu.audio.dataset import AudioDataset
     from wavenet_tpu.training.trainer import Trainer
+    from wavenet_tpu.utils import compcache
+
+    # restart-after-preemption latency: with the cache on, a resumed run
+    # reuses the previous process's compiled train step (SURVEY §5.3)
+    cache_dir = compcache.enable_from_args(args)
+    if cache_dir:
+        print(f"compilation cache: {cache_dir}", file=sys.stderr)
 
     if args.synthetic or not args.data:
         print("using synthetic dataset", file=sys.stderr)
