@@ -508,3 +508,30 @@ def test_greedy_long_matches_scan():
                               interpret=True)
     ts = wn.generate(params, cfg, key, N, batch=B, temperature=0.0)
     np.testing.assert_array_equal(np.asarray(tk), np.asarray(ts))
+
+
+def test_embed_proj_configs_route_to_scan():
+    """causal_channels != R creates w_embed_proj; both kernels fold the
+    projection into the f32 embed tables, which rounds differently from
+    the scan's bf16 gather+matmul — so such configs must NOT take a
+    kernel route (bit-equality contract).  The scan serves them."""
+    from wavenet_tpu.ops.pallas import decode_wide as pwide
+
+    cfg = cfg_(causal_channels=32)
+    assert cfg.embed_channels != cfg.residual_channels
+    assert pdec.plan_tiles(cfg, 4) == (0, 0)
+    assert not pdec.fits_vmem(cfg, 4)
+
+    wide = WaveNetConfig(num_blocks=2, max_dilation=8,
+                         residual_channels=128, skip_channels=128,
+                         causal_channels=64)
+    assert not pwide.supported(wide)
+    assert pwide.plan_tiles(wide, 4) == (0, 0)
+
+    # the scan route still samples fine end-to-end
+    params = wn.init_params(cfg, jax.random.PRNGKey(0))
+    assert "w_embed_proj" in params
+    from wavenet_tpu.generate.sampler import generate_auto
+    toks = generate_auto(params, cfg, jax.random.PRNGKey(1), 16, batch=2)
+    ref = wn.generate(params, cfg, jax.random.PRNGKey(1), 16, batch=2)
+    assert jnp.array_equal(toks, ref)

@@ -127,6 +127,13 @@ def plan_tiles(cfg: WaveNetConfig, batch: int,
     """(batch_tile, time_chunk) for the grid; (0, 0) when nothing fits.
     Largest batch tile first (lane occupancy), then the largest time chunk
     (grid/pipeline amortization) that keeps the step under budget."""
+    if cfg.embed_channels != cfg.residual_channels:
+        # w_embed_proj configs: the kernel folds the projection into the
+        # f32 embed tables (one rounding), the scan matmuls in bf16 after
+        # a bf16 add (three) — trajectories would diverge at near-ties,
+        # breaking the kernel==scan bit-equality contract.  No preset uses
+        # causal_channels != R; route such configs to the scan.
+        return 0, 0
     tiles = [b for b in (256, 128, 64, 48, 32, 24, 16, 8, 4, 2, 1)
              if b <= batch and batch % b == 0]
     for bt in tiles:
@@ -304,9 +311,9 @@ def _flatten_params(params, cfg: WaveNetConfig):
 
     ecur = params["embed_cur"]
     eprev = params["embed_prev"]
-    if "w_embed_proj" in params:
-        ecur = ecur @ params["w_embed_proj"]
-        eprev = eprev @ params["w_embed_proj"]
+    # w_embed_proj configs are excluded by plan_tiles: folding the
+    # projection into the f32 tables would round differently from the scan
+    assert "w_embed_proj" not in params, "routed a causal_channels!=R config"
     col = lambda b: b[..., None].astype(jnp.float32)          # [..., X] -> [..., X, 1]
     return (
         # embed tables stay f32: selected exactly by the f32 one-hot dot,

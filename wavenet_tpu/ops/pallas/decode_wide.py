@@ -115,10 +115,15 @@ def _tile_bytes(cfg: WaveNetConfig, bt: int, tc: int,
 
 
 def supported(cfg: WaveNetConfig) -> bool:
-    """Layout requirements: channels fill whole lanes, no mel streaming."""
+    """Layout requirements: channels fill whole lanes, no mel streaming.
+    w_embed_proj (causal_channels != R) configs are excluded for the same
+    reason as in decode.plan_tiles: folding the projection into the f32
+    tables rounds differently from the scan's bf16 gather+matmul, which
+    would break the kernel==scan bit-equality contract."""
     R = cfg.residual_channels
     return (R >= 128 and R % 128 == 0 and cfg.mel is None
-            and cfg.kernel_size == 2)
+            and cfg.kernel_size == 2
+            and cfg.embed_channels == R)
 
 
 def plan_tiles(cfg: WaveNetConfig, batch: int,
@@ -289,9 +294,9 @@ def _flatten_params(params, cfg: WaveNetConfig):
 
     ecur = params["embed_cur"]
     eprev = params["embed_prev"]
-    if "w_embed_proj" in params:
-        ecur = ecur @ params["w_embed_proj"]
-        eprev = eprev @ params["w_embed_proj"]
+    # w_embed_proj configs are excluded by supported(): folding the
+    # projection into the f32 tables would round differently from the scan
+    assert "w_embed_proj" not in params, "routed a causal_channels!=R config"
     row = lambda b: b[..., None, :].astype(jnp.float32)   # [.., X] -> [.., 1, X]
     return (
         # embed tables stay f32: selected exactly by the f32 one-hot dot,
