@@ -65,9 +65,10 @@ def parse_args(argv=None):
                         "at the same --seed for any mesh layout")
     p.add_argument("--scan-unroll", type=int, default=None, metavar="K",
                    help="unroll the XLA scan decoder's layer scan K-way "
-                        "(cfg.decode_unroll override; +42%% measured on the "
-                        "full preset at K=8, ~100 s cold compile — pair "
-                        "with --compile-cache). Ignored on kernel routes")
+                        "(cfg.decode_unroll override; +65%% on the shipped "
+                        "full-preset route at K=8, tools/tpu_unroll_bench.py"
+                        " — pair with --compile-cache to amortize the cold "
+                        "compile). Ignored on kernel routes")
     from wavenet_tpu.utils import compcache
     compcache.add_cli_flag(p)
     return p.parse_args(argv)

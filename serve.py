@@ -54,10 +54,10 @@ def parse_args(argv=None):
                         "how they group")
     p.add_argument("--scan-unroll", type=int, default=None, metavar="K",
                    help="unroll the XLA scan decoder's layer scan K-way "
-                        "(cfg.decode_unroll override; +42%% measured on "
-                        "the full preset at K=8 — pair with "
-                        "--compile-cache, the cold compile is ~100 s). "
-                        "Ignored on kernel-served configs")
+                        "(cfg.decode_unroll override; +65%% on the shipped "
+                        "full-preset route at K=8, tools/tpu_unroll_bench.py"
+                        " — pair with --compile-cache to amortize the cold "
+                        "compile). Ignored on kernel-served configs")
     from wavenet_tpu.utils import compcache
     compcache.add_cli_flag(p)
     return p.parse_args(argv)

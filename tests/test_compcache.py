@@ -31,7 +31,14 @@ def _cfg(**kw):
 @pytest.mark.parametrize("unroll", [2, 3, 8])
 def test_decode_unroll_trajectory_identical(unroll, rng):
     """unroll=k (dividing and non-dividing L=8) samples the same tokens as
-    unroll=1 from the same seed, primed and unprimed."""
+    unroll=1 from the same seed, primed and unprimed.  CPU-only by design:
+    on TPU, XLA may reassociate across unrolled scan bodies, so near-tie
+    trajectories can legitimately diverge between unroll settings — that is
+    the documented contract (config.py decode_unroll; ARCHITECTURE.md §5),
+    and tools/tpu_verify.py measures the hardware divergence instead."""
+    if jax.default_backend() != "cpu":
+        pytest.skip("bit-equality across unroll settings is only "
+                    "contractual on CPU (see config.decode_unroll)")
     cfg = _cfg()
     params = wn.init_params(cfg, rng)
     key = jax.random.PRNGKey(3)

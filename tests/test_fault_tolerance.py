@@ -33,7 +33,7 @@ cfg = WaveNetConfig(**{cfg_kw!r})
 ds = AudioDataset.synthetic(cfg, num_clips=2, clip_seconds=0.2)
 tr = Trainer(cfg, ds, checkpoint_dir={ckpt!r})
 tr.run(num_steps=5, log_every=0)
-tr.save(); tr.ckpt.wait()
+tr.save()   # durable by default: committed before this returns
 print("CHECKPOINTED", flush=True)
 # simulate a preemption: hard-exit mid-training (no cleanup)
 os._exit(42)

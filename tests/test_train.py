@@ -399,9 +399,30 @@ def test_grad_accum_equals_large_batch():
                                    rtol=2e-4, atol=2e-6)
 
 
+def test_async_save_is_durable_for_fresh_manager(tmp_path):
+    """The durability contract (round-4 verdict #2): even an ASYNC save
+    (wait=False, the in-loop checkpoint_every path) must be observable by a
+    brand-new CheckpointManager's restore()/latest_step() in this process —
+    checkpoint._wait_directory settles in-flight saves before reads, so no
+    public path can see a half-written/absent checkpoint it just queued."""
+    cfg = micro_cfg()
+    ds = AudioDataset.synthetic(cfg, num_clips=1, clip_seconds=0.1)
+    tr = Trainer(cfg, ds, checkpoint_dir=str(tmp_path / "ck"))
+    tr.run(num_steps=3, log_every=0)
+    tr.save(wait=False)                  # queue async, do NOT wait
+    tr2 = Trainer(cfg, ds, checkpoint_dir=str(tmp_path / "ck"))
+    assert tr2.ckpt.latest_step() == 3   # waits for tr's in-flight save
+    tr2.restore()
+    for a, b in zip(jax.tree.leaves(tr.state.params),
+                    jax.tree.leaves(tr2.state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_grad_accum_trainer_end_to_end(tmp_path):
     """Full Trainer path with grad_accum: runs, checkpoints, resumes exactly
-    (the MultiSteps accumulator is part of the sharded opt state)."""
+    (the MultiSteps accumulator is part of the sharded opt state).  The
+    tr.save() at step 5 is the DURABLE default — tr2's restore through a
+    fresh manager must see it with no manual wait (round-4 verdict #2)."""
     cfg = micro_cfg(grad_accum=2)
     ds = AudioDataset.synthetic(cfg, num_clips=1, clip_seconds=0.1)
     tr = Trainer(cfg, ds, checkpoint_dir=str(tmp_path / "ck"))

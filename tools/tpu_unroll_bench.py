@@ -22,7 +22,11 @@ import time
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, ROOT)
 OUT = os.path.join(ROOT, "runs", "evidence", "full_decode", "unroll.json")
-CACHE = os.path.join(ROOT, "runs", ".xla_cache")
+# probe-PRIVATE cache: the cold probe rmtree's this, and runs/.xla_cache is
+# the default persistent cache of live serve.py/train.py processes on the
+# same machine — wiping theirs would silently destroy a production warm
+# restart (round-4 advisor)
+CACHE = os.path.join(ROOT, "runs", ".xla_cache_probe")
 NUM, BATCH = 4096, 8
 
 

@@ -81,10 +81,11 @@ class WaveNetConfig:
     # Unroll factor of the XLA scan decoder's per-layer scan
     # (models/wavenet.py decode_step).  The scan decoder is bound by its
     # serialized layer critical path, not by any one op (round-4 profile,
-    # runs/evidence/full_decode/profile.json); unroll=8 measured +42% on
-    # the full preset at a ~100 s cold compile per shape — pair with the
-    # persistent compilation cache (utils/compcache.py) so that cost is
-    # paid once per machine, not per process.  1 = today's default
+    # runs/evidence/full_decode/profile.json); unroll=8 measured +65% on
+    # the shipped full-preset generate route (tools/tpu_unroll_bench.py,
+    # reproduced in two sessions) at a costly cold compile per shape — pair
+    # with the persistent compilation cache (utils/compcache.py) so that
+    # cost is paid once per machine, not per process.  1 = today's default
     # behavior.  Perf knob only: same math per layer, but XLA may
     # reassociate differently, so on TPU the sampled near-tie trajectory
     # can differ between unroll settings — like the kernel-vs-scan route,

@@ -294,9 +294,16 @@ def _flatten_params(params, cfg: WaveNetConfig):
 
     ecur = params["embed_cur"]
     eprev = params["embed_prev"]
-    # w_embed_proj configs are excluded by supported(): folding the
-    # projection into the f32 tables would round differently from the scan
-    assert "w_embed_proj" not in params, "routed a causal_channels!=R config"
+    if "w_embed_proj" in params:
+        # excluded by supported(): folding the projection into the f32
+        # tables would round differently from the scan.  ValueError (not
+        # assert) so a direct kernel caller bypassing the routing gets the
+        # contract message even under python -O.
+        raise ValueError(
+            "causal_channels != residual_channels configs are not servable "
+            "by the wide-R decode kernel (w_embed_proj would break the "
+            "kernel==scan bit-equality contract); use "
+            "models.wavenet.generate")
     row = lambda b: b[..., None, :].astype(jnp.float32)   # [.., X] -> [.., 1, X]
     return (
         # embed tables stay f32: selected exactly by the f32 one-hot dot,

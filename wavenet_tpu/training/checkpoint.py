@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import json
 import os
+import weakref
 from typing import Any, Optional, Tuple
 
 import jax
@@ -21,6 +22,24 @@ import orbax.checkpoint as ocp
 
 from wavenet_tpu.audio.dataset import IteratorState
 from wavenet_tpu.config import WaveNetConfig
+
+# Live managers, so restore()/latest_step() can observe every in-flight
+# async save to their directory from THIS process — even one started by a
+# DIFFERENT CheckpointManager instance (the round-4 suite race: trainer A
+# queues an async save, a fresh manager B restores before tensorstore
+# finishes, FileNotFoundError).  Durability is a guarantee of the public
+# API, not a convention callers must remember (SURVEY.md §5.3/§5.4).
+_LIVE: "weakref.WeakSet[CheckpointManager]" = weakref.WeakSet()
+
+
+def _wait_directory(directory: str) -> None:
+    """Block until every in-flight save to `directory` from this process
+    has landed (cross-process saves are invisible here, but orbax commits
+    atomically — a reader in another process sees either nothing or a
+    complete step, never a partial one)."""
+    for m in list(_LIVE):
+        if m.directory == directory:
+            m.mgr.wait_until_finished()
 
 
 class CheckpointManager:
@@ -32,6 +51,7 @@ class CheckpointManager:
         options = ocp.CheckpointManagerOptions(
             max_to_keep=max_to_keep, create=True)
         self.mgr = ocp.CheckpointManager(self.directory, options=options)
+        _LIVE.add(self)
         # config JSON beside the checkpoints (reference parity)
         cfg_path = os.path.join(self.directory, "params.json")
         if os.path.exists(cfg_path):
@@ -94,6 +114,9 @@ class CheckpointManager:
 
     def restore(self, abstract_state: Any, step: Optional[int] = None
                 ) -> Tuple[Any, IteratorState]:
+        # a restore must never observe a half-written/absent checkpoint this
+        # process just queued: settle every in-flight save first
+        _wait_directory(self.directory)
         step = self.latest_step() if step is None else step
         if step is None:
             raise FileNotFoundError(f"no checkpoint in {self.directory}")
@@ -155,6 +178,7 @@ class CheckpointManager:
         return state, IteratorState(seed=it["seed"], step=it["step"])
 
     def latest_step(self) -> Optional[int]:
+        _wait_directory(self.directory)
         return self.mgr.latest_step()
 
     def wait(self):

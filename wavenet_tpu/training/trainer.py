@@ -307,8 +307,16 @@ class Trainer:
                     if metrics_fn:
                         metrics_fn(int(jax.device_get(self.state.step)), m)
                 if self.ckpt and checkpoint_every and (i + 1) % checkpoint_every == 0:
-                    self.save()
+                    # async: the loop keeps training while tensorstore
+                    # writes; orbax settles it before the NEXT save, and the
+                    # run-exit wait below makes the last one durable too
+                    self.save(wait=False)
         jax.block_until_ready(self.state.params)
+        if self.ckpt is not None:
+            # durability barrier: no in-loop save is still in flight when
+            # run() returns (a caller may restore through a fresh manager,
+            # or the process may exit)
+            self.ckpt.wait()
         dt = time.perf_counter() - t_start if steps_timed else None
         last = {k: float(v) for k, v in jax.device_get(metrics).items()}
         if log_every:
@@ -352,11 +360,17 @@ class Trainer:
         return {f"eval_{k}": v / num_batches for k, v in sums.items()}
 
     # ------------------------------------------------------------------
-    def save(self):
+    def save(self, wait: bool = True):
+        """Checkpoint the current state.  DURABLE by default: returns only
+        once the checkpoint is fully committed, so any caller (including a
+        fresh CheckpointManager in this or another process) can restore it
+        immediately.  wait=False queues an async save — the in-loop
+        checkpoint_every path uses it; restore()/latest_step() still wait
+        for such saves themselves (checkpoint._wait_directory)."""
         assert self.ckpt is not None
         self.ckpt.save(
             int(jax.device_get(self.state.step)),
-            self.state, self.iter_state)
+            self.state, self.iter_state, wait=wait)
 
     def restore(self, step: Optional[int] = None):
         assert self.ckpt is not None
