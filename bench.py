@@ -75,15 +75,20 @@ def bench_training(steps: int = 30, windows: int = 10,
     t_end = time.monotonic() + time_budget_s
     # `target` is PER-CHIP (bench_baseline.json); window rates are aggregate
     n_dev = len(jax.devices())
-    for i in range(1, windows):
+    # above-pin runs still take 2 confirmation windows (round-4 verdict #6:
+    # 1-window gates carry no median/stddev) before early-stopping
+    confirmed = 0
+    for i in range(1, windows + 2):
         if target and best["audio_seconds_per_sec"] / n_dev >= target:
-            break                 # the first (compile) window already hit it
+            if confirmed >= 2:
+                break
+            confirmed += 1
+        elif i >= windows:
+            break
         m = tr.run(num_steps=steps, log_every=0)
         rates.append(m["audio_seconds_per_sec"])
         if best is None or m["audio_seconds_per_sec"] > best["audio_seconds_per_sec"]:
             best = m
-        if target and best["audio_seconds_per_sec"] / n_dev >= target:
-            break
         if time.monotonic() > t_end and i >= 2:
             break
         if (i >= 3 and target
@@ -119,23 +124,39 @@ def _timed(f):
 
 
 def _sustained(f, windows: int = 8, target_dt: float | None = None,
-               time_budget_s: float = 90.0, pause_s: float = 8.0):
+               time_budget_s: float = 90.0, pause_s: float = 8.0,
+               confirm: int = 2):
     """Sustained-window timing for sub-second decode calls — the decode
     twin of bench_training's machinery (round-2 verdict: decode rigor
     lagged training's).  Runs up to `windows` timed calls, stopping early
     once the best window reaches `target_dt` (the pinned baseline), and
     pausing between windows while below it (the shared chip's throttle
-    bursts clear within tens of seconds).  Returns sorted window times."""
+    bursts clear within tens of seconds).
+
+    Once the pin is reached, `confirm` extra SPACED windows still run
+    (round-4 verdict #6: a gate that beat its pin on window 1 shipped a
+    single window with stddev 0 — every gated metric must carry a real
+    median/stddev).  The confirmations respect time_budget_s like every
+    other window.  Returns sorted window times."""
     dts = [_timed(f)]
     t_end = time.monotonic() + time_budget_s
-    for i in range(1, windows):
-        if target_dt and min(dts) <= target_dt:
+    confirmed, i = 0, 1
+    while True:
+        hit = bool(target_dt) and min(dts) <= target_dt
+        if hit and confirmed >= confirm:
+            break
+        if not hit and i >= windows:
             break
         if time.monotonic() > t_end and i >= 3:
             break
-        if target_dt and min(dts) > 1.4 * target_dt and i >= 2:
+        if not hit and target_dt and min(dts) > 1.4 * target_dt and i >= 2:
             time.sleep(pause_s)
+        elif hit and pause_s:
+            time.sleep(pause_s / 2)      # spaced confirmation windows
         dts.append(_timed(f))
+        if hit:
+            confirmed += 1
+        i += 1
     return sorted(dts)
 
 
@@ -274,6 +295,52 @@ def bench_decode_conditional(num_samples: int = 4096, batch: int = 8,
         "cond_decode_batch": batch,
         "cond_decode_realtime_factor": (num_samples / dt) / cfg.sample_rate,
         **_rate_stats("cond_decode_steps_per_sec", num_samples, dts),
+    }
+
+
+def bench_decode_vocoder(num_samples: int = 2048, batch: int = 8,
+                         baseline=None):
+    """FLAGSHIP-VOCODER decode (round-4 verdict #1): the `full_vocoder`
+    preset (full stack + mel) through the wide-R kernel's streamed mel
+    blocks — the config that previously had NO in-kernel decode and rode
+    the out-of-contract XLA scan at ~0.7x realtime.  Gated every round as
+    full_vocoder_decode_*."""
+    import jax
+    from wavenet_tpu.config import full_vocoder
+    from wavenet_tpu.models import wavenet as wn
+    from wavenet_tpu.models.conditioning import upsample_mel
+    from wavenet_tpu.ops.pallas import decode_wide as pwide
+
+    cfg = full_vocoder()
+    if not pwide.fits_vmem(cfg, batch):
+        return {}
+    params = wn.init_params(cfg, jax.random.PRNGKey(0))
+    key = jax.random.PRNGKey(1)
+    frames = num_samples // cfg.mel.hop_length + 1
+    mel = jax.random.normal(jax.random.PRNGKey(2),
+                            (batch, frames, cfg.mel.num_mels))
+    y = upsample_mel(params["upsampler"], cfg.mel, mel, num_samples)
+
+    import numpy as np
+    calls = iter(range(1, 1 << 20))                  # fresh key per window
+
+    def run():                                       # readback-timed (see
+        np.asarray(pwide.generate_wide(              # bench_decode_pallas)
+            params, cfg, jax.random.fold_in(key, next(calls)),
+            num_samples, batch=batch, y=y))
+
+    run()                                            # compile
+    dts = _sustained(run, target_dt=_decode_target_dt(
+        baseline, "full_vocoder_decode_steps_per_sec", num_samples))
+    dt = dts[0]
+    return {
+        "full_vocoder_decode_samples_per_sec": num_samples * batch / dt,
+        "full_vocoder_decode_steps_per_sec": num_samples / dt,
+        "full_vocoder_decode_batch": batch,
+        "full_vocoder_decode_realtime_factor": (num_samples / dt)
+                                               / cfg.sample_rate,
+        **_rate_stats("full_vocoder_decode_steps_per_sec", num_samples,
+                      dts),
     }
 
 
@@ -588,12 +655,24 @@ def main():
                                             + ", ".join(drifts))
             else:
                 details["kernel_verify"] = "bit-exact"
+            # measured TPU-scan-vs-kernel greedy near-tie divergence
+            # (round-4 verdict #8): the routing-contract clause as a
+            # per-round NUMBER, not a one-time finding
+            try:
+                details["scan_route_divergence"] = \
+                    tpu_verify.scan_route_divergence()
+            except Exception as e:
+                details["scan_route_divergence"] = {"error": repr(e)}
         except Exception as e:
             details["kernel_verify"] = f"error: {e!r}"
     details.update(bench_training(args.train_steps, target=target))
     details.update(bench_decode(args.decode_samples, baseline=baseline))
     details.update(bench_decode_pallas(baseline=baseline))
     details.update(bench_decode_conditional(baseline=baseline))
+    try:
+        details.update(bench_decode_vocoder(baseline=baseline))
+    except Exception as e:
+        details["full_vocoder_decode_error"] = repr(e)
     if not args.skip_full:
         try:
             details.update(bench_decode_full(baseline=baseline))
@@ -652,6 +731,10 @@ def main():
             "pallas_decode_steps_per_sec")
     if baseline.get("cond_decode_batch") == details.get("cond_decode_batch"):
         gates["cond_decode_vs_baseline"] = _vs("cond_decode_steps_per_sec")
+    if (baseline.get("full_vocoder_decode_batch")
+            == details.get("full_vocoder_decode_batch")):
+        gates["full_vocoder_decode_vs_baseline"] = _vs(
+            "full_vocoder_decode_steps_per_sec")
     if baseline.get("full_decode_batch") == details.get("full_decode_batch"):
         gates["full_decode_vs_baseline"] = _vs("full_decode_steps_per_sec")
     if (baseline.get("full_decode_u8_batch")
@@ -688,6 +771,8 @@ def main():
          "pallas_decode_steps_per_sec_throttle_detected"),
         ("cond_decode_steps_per_sec",
          "cond_decode_steps_per_sec_throttle_detected"),
+        ("full_vocoder_decode_steps_per_sec",
+         "full_vocoder_decode_steps_per_sec_throttle_detected"),
         ("full_decode_steps_per_sec",
          "full_decode_steps_per_sec_throttle_detected"),
         ("full_decode_u8_steps_per_sec",

@@ -34,21 +34,28 @@ def setup():
 
 
 def test_supported_and_plans():
-    # the flagship preset is the kernel's raison d'etre
+    from wavenet_tpu.config import full_vocoder
+    # the flagship presets are the kernel's raison d'etre — including the
+    # flagship-quality VOCODER (full stack + mel, round-4 verdict #1)
     assert pwide.supported(full())
+    assert pwide.supported(full_vocoder())
     bt, tc = pwide.plan_tiles(full(), 8)
     assert bt == 8 and tc >= 8
     assert pwide.fits_vmem(full(), 8)
     assert pwide.fits_vmem(full(), 16)
-    # narrow-R models belong to the transposed kernel, mel to the scan
+    bt, tc = pwide.plan_tiles(full_vocoder(), 8)
+    assert bt == 8 and tc >= pwide.TC_MIN_HW
+    # narrow-R models belong to the transposed kernel (mel included)
     assert not pwide.supported(fastgen_bench())
     assert not pwide.supported(conditional())
     assert pwide.plan_tiles(fastgen_bench(), 8) == (0, 0)
-    # every plan honestly fits the budget
-    for b in (1, 8, 16, 32):
-        bt, tc = pwide.plan_tiles(full(), b)
-        if bt:
-            assert pwide._tile_bytes(full(), bt, tc) <= pwide.WIDE_VMEM_BUDGET
+    # every plan honestly fits the budget (mel accounting included)
+    for preset in (full, full_vocoder):
+        for b in (1, 8, 16, 32):
+            bt, tc = pwide.plan_tiles(preset(), b)
+            if bt:
+                assert (pwide._tile_bytes(preset(), bt, tc)
+                        <= pwide.WIDE_VMEM_BUDGET)
 
 
 def test_greedy_long_matches_scan(setup):
@@ -189,6 +196,151 @@ def test_generate_auto_routes_wide(setup, monkeypatch):
     out = sampler.generate_auto(params, cfg, jax.random.PRNGKey(0), 16,
                                 batch=2)
     assert called.get("wide") and out.shape == (2, 16)
+
+
+def _mel_cfg():
+    from wavenet_tpu.config import MelConfig
+    return MelConfig(num_mels=8, hop_length=16, win_length=64,
+                     fmax=4000.0, upsample_factors=(4, 4))
+
+
+def _mel_setup(key_p=0, key_m=2, B=2, total=32, **cfg_kw):
+    from wavenet_tpu.models.conditioning import upsample_mel
+    cfg = cfg_(mel=_mel_cfg(), **cfg_kw)
+    params = wn.init_params(cfg, jax.random.PRNGKey(key_p))
+    mel = jax.random.normal(jax.random.PRNGKey(key_m), (B, -(-total // 16), 8))
+    y = upsample_mel(params["upsampler"], cfg.mel, mel, total)   # [B, T, M]
+    # per-step gate contributions mirroring the kernel's MXU precision:
+    # bf16 inputs, f32 accumulation (the transposed kernel's test recipe)
+    cond = jnp.einsum("btm,lmgr->btlgr", y.astype(jnp.bfloat16),
+                      params["v_cond"].astype(jnp.bfloat16),
+                      preferred_element_type=jnp.float32)
+    return cfg, params, y, cond
+
+
+def test_mel_greedy_matches_xla_interpret():
+    """In-kernel streamed-mel conditioning (wide layout) == the XLA scan
+    decoder with per-step cond_t (round-4 verdict #1)."""
+    B, N = 2, 32
+    cfg, params, y, cond = _mel_setup(B=B, total=N)
+    st = wn.decode_init(cfg, B)
+    tok = jnp.full((B,), 128, jnp.int32)
+    outs = []
+    for t in range(N):
+        st, logits = wn.decode_step(params, cfg, st, tok, cond_t=cond[:, t])
+        tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        outs.append(tok)
+    ref = np.asarray(jnp.stack(outs, axis=1))
+
+    got = pwide.generate_wide(params, cfg, jax.random.PRNGKey(0), N,
+                              batch=B, y=y, temperature=0.0, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), ref)
+
+
+def test_mel_primed_sampled_matches_scan():
+    """Teacher-forced prime + counter-RNG sampling with mel, kernel vs
+    wn.generate on the same bf16-projected cond timeline."""
+    B, P, N = 2, 9, 48
+    total = P - 1 + N
+    cfg, params, y, cond = _mel_setup(B=B, total=total)
+    prime = jax.random.randint(jax.random.PRNGKey(9), (B, P), 0, 256)
+    seeds = rng.derive_row_seeds(jnp.int32(21), B)
+    tk = pwide.generate_wide(params, cfg, jax.random.PRNGKey(1), N, batch=B,
+                             prime_tokens=prime, y=y, temperature=1.0,
+                             interpret=True, seeds=seeds)
+    ts = wn.generate(params, cfg, jax.random.PRNGKey(1), N, batch=B,
+                     prime_tokens=prime, cond=cond, temperature=1.0,
+                     seeds=seeds)
+    t = np.asarray(tk)
+    np.testing.assert_array_equal(t, np.asarray(ts))
+    assert len(np.unique(t)) > 8                 # actually sampling
+
+
+def test_mel_chunked_continuation_bit_identical():
+    """Two wide decode_chunk launches with per-chunk y slices == one launch
+    (the streaming contract with mel blocks)."""
+    B, N = 2, 128
+    cfg, params, y, _ = _mel_setup(B=B, total=N)
+    seeds = rng.derive_row_seeds(jnp.int32(11), B)
+    rings, carry, s, g, P, total = pwide.setup_decode(
+        params, cfg, jax.random.PRNGKey(0), B, N, seeds=seeds)
+    one, _, _ = pwide.decode_chunk(params, cfg, rings, carry, jnp.int32(0),
+                                   s, N, 1.0, interpret=True, y=y,
+                                   force_tiles=(B, 64))
+    rings2, carry2, s2, _, _, _ = pwide.setup_decode(
+        params, cfg, jax.random.PRNGKey(0), B, N, seeds=seeds)
+    a, rings2, carry2 = pwide.decode_chunk(params, cfg, rings2, carry2,
+                                           jnp.int32(0), s2, 64, 1.0,
+                                           interpret=True, y=y[:, :64],
+                                           force_tiles=(B, 32))
+    b, _, _ = pwide.decode_chunk(params, cfg, rings2, carry2, jnp.int32(64),
+                                 s2, 64, 1.0, interpret=True, y=y[:, 64:],
+                                 force_tiles=(B, 32))
+    np.testing.assert_array_equal(
+        np.asarray(one), np.asarray(jnp.concatenate([a, b], axis=1)))
+
+
+def test_mel_plus_speaker_matches_scan():
+    """Local (streamed mel) AND global (speaker) conditioning in the same
+    wide launch — covers the kernel's has_cond+has_gc operand ordering."""
+    B, N = 3, 48
+    cfg, params, y, cond = _mel_setup(B=B, total=N, global_classes=3,
+                                      global_channels=8)
+    speaker = jnp.asarray([0, 1, 2], jnp.int32)
+    seeds = rng.derive_row_seeds(jnp.int32(17), B)
+    tk = pwide.generate_wide(params, cfg, jax.random.PRNGKey(1), N, batch=B,
+                             y=y, speaker=speaker, temperature=1.0,
+                             interpret=True, seeds=seeds)
+    ts = wn.generate(params, cfg, jax.random.PRNGKey(1), N, batch=B,
+                     cond=cond, speaker=speaker, temperature=1.0,
+                     seeds=seeds)
+    np.testing.assert_array_equal(np.asarray(tk), np.asarray(ts))
+
+
+def test_stream_wide_mel_matches_one_shot(monkeypatch):
+    """generate_stream slices the upsampled mel per wide-kernel chunk; the
+    chunks concatenate to the one-shot conditioned decode."""
+    from wavenet_tpu.generate.sampler import generate_stream
+    from wavenet_tpu.ops.pallas import decode as pdec
+    B, N = 2, 160
+    cfg, params, y, _ = _mel_setup(B=B, total=N)
+    monkeypatch.setattr(pdec, "fits_vmem", lambda *a, **k: False)
+    seeds = rng.derive_row_seeds(jnp.int32(3), B)
+    one = pwide.generate_wide(params, cfg, jax.random.PRNGKey(4), N,
+                              batch=B, y=y, temperature=1.0,
+                              interpret=True, seeds=seeds)
+    chunks = list(generate_stream(params, cfg, jax.random.PRNGKey(4), N,
+                                  chunk_samples=48, batch=B, y=y,
+                                  temperature=1.0, interpret=True,
+                                  seeds=seeds))
+    got = np.concatenate([np.asarray(c) for c in chunks], axis=1)
+    assert got.shape == (B, N)
+    np.testing.assert_array_equal(got, np.asarray(one))
+
+
+def test_wide_dp_fanout_mel_matches_single_chip():
+    """The dp fan-out serves wide+mel models: y shards with the batch and
+    tokens equal the single-chip wide kernel (round-4 verdict #1 — the
+    flagship vocoder over a dp mesh)."""
+    from jax.sharding import Mesh
+    from wavenet_tpu.parallel import distdecode
+    from wavenet_tpu.ops.pallas import decode as pdec
+    B, N = 4, 48
+    cfg, params, y, _ = _mel_setup(B=B, total=N)
+    devs = jax.devices()[:2]
+    mesh = Mesh(np.asarray(devs).reshape(2, 1),
+                (distdecode.DATA_AXIS, distdecode.MODEL_AXIS))
+    orig = pdec.fits_vmem
+    pdec.fits_vmem = lambda *a, **k: False
+    try:
+        dp_toks = distdecode.generate_pallas_dp(
+            params, cfg, mesh, seed=5, num_samples=N, batch=B, y=y,
+            interpret=True)
+    finally:
+        pdec.fits_vmem = orig
+    one = pwide.generate_wide(params, cfg, None, N, batch=B, y=y,
+                              interpret=True, seeds=rng.as_row_seeds(5, B))
+    np.testing.assert_array_equal(np.asarray(dp_toks), np.asarray(one))
 
 
 def test_wide_dp_fanout_matches_single_chip():

@@ -207,7 +207,7 @@ def test_server_speaker_rows_routed():
     np.testing.assert_array_equal(w2, ref[1])
 
 
-def test_server_mel_singleton_and_error_surfacing():
+def test_server_mel_request_and_coverage_error():
     mel_cfg = MelConfig(num_mels=8, hop_length=16, win_length=64,
                         fmax=4000.0, upsample_factors=(4, 4))
     cfg = cfg_(mel=mel_cfg)
@@ -220,13 +220,46 @@ def test_server_mel_singleton_and_error_surfacing():
         wav = srv.synthesize(num_samples=frames * mel_cfg.hop_length,
                              mel=mel, seed=4)
         assert wav.shape == (frames * mel_cfg.hop_length,)
-        # num_samples beyond the mel coverage is a per-request error
-        h = srv.submit(num_samples=frames * mel_cfg.hop_length + 1,
-                       mel=mel)
+        # num_samples beyond the mel coverage is rejected AT SUBMIT (a bad
+        # request must not poison co-batched rows of its decode group)
         with pytest.raises(ValueError, match="mel frames"):
-            h.waveform()
-        # the server survives the failed request
+            srv.submit(num_samples=frames * mel_cfg.hop_length + 1,
+                       mel=mel)
+        # the server survives the rejected request
         assert srv.synthesize(num_samples=16, mel=mel).shape == (16,)
+
+
+def test_server_mel_requests_batch_and_match_singleton_replay():
+    """Round 5: compatible MEL requests batch on the conditioned lane —
+    the flagship-vocoder product path — and each response is bit-identical
+    to its singleton replay (WaveNet.stream(batch=1, mel=, seeds=[seed])),
+    even at DIFFERENT lengths in one bucket (per-row upsampling + zero-
+    padded feature timelines; AR causality keeps padding invisible)."""
+    mel_cfg = MelConfig(num_mels=8, hop_length=16, win_length=64,
+                        fmax=4000.0, upsample_factors=(4, 4))
+    cfg = cfg_(mel=mel_cfg)
+    m = WaveNet(cfg, wn.init_params(cfg, jax.random.PRNGKey(3)))
+    rng0 = np.random.default_rng(1)
+    mels = [rng0.normal(size=(4, mel_cfg.num_mels)).astype(np.float32)
+            for _ in range(3)]
+    lens = [64, 48, 64]            # same length bucket (quantum 64)
+    seeds = [11, 22, 33]
+    with WaveNetServer(m, max_batch=4, max_wait_ms=200,
+                       chunk_seconds=16 / 8000,
+                       length_quantum_seconds=64 / 8000) as srv:
+        hs = [srv.submit(num_samples=n, mel=mel, seed=s)
+              for n, mel, s in zip(lens, mels, seeds)]
+        wavs = [h.waveform() for h in hs]
+        stats = dict(srv.stats)
+    # all three decoded in ONE batch (the conditioned lane grouped them)
+    assert stats["batches"] == 1, stats
+    for wav, n, mel, s in zip(wavs, lens, mels, seeds):
+        assert wav.shape == (n,)
+        ref = np.concatenate(
+            [np.asarray(c) for c in m.stream(
+                num_samples=n, chunk_samples=16, batch=1,
+                seeds=np.asarray([s]), mel=mel[None])], axis=1)
+        np.testing.assert_array_equal(wav, ref[0])
 
 
 def test_server_warmup_covers_buckets():

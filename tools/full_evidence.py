@@ -9,7 +9,9 @@ What it does (one v5e chip, fused five-group kernels, remat on):
      `steps` steps on a deterministically regenerated 256-clip synthetic
      speech-like corpus (ensure_corpus below; held-out clips come from the
      committed vocoder corpus_eval), loss curve to metrics.jsonl +
-     loss_curve.png;
+     loss_curve.png; every EVAL_EVERY steps the held-out median
+     bits/sample (raw AND EMA weights) is recorded to trajectory.json —
+     a TRAJECTORY, not an endpoint (round-4 verdict #7);
   2. held-out bits/sample on every corpus_eval clip (teacher-forced
      score, the quantity the loss optimizes, on unseen data);
   3. generate a free-running sample wav THROUGH THE WIDE-R DECODE KERNEL
@@ -17,9 +19,10 @@ What it does (one v5e chip, fused five-group kernels, remat on):
      a short primed continuation of a held-out clip.
 
 Artifacts under runs/evidence/full/: metrics.jsonl, scores.json,
-loss_curve.png, sample_free.wav, sample_primed.wav, README.md.
+trajectory.json, loss_curve.png, sample_free.wav, sample_primed.wav,
+README.md.
 
-Usage: python tools/full_evidence.py [steps]     (default 4000; TPU)
+Usage: python tools/full_evidence.py [steps]     (default 20000; TPU)
        python tools/full_evidence.py resume      (redo 2-3 from checkpoint)
 """
 
@@ -32,7 +35,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np                                          # noqa: E402
 
 RESUME = len(sys.argv) > 1 and sys.argv[1] == "resume"
-STEPS = (int(sys.argv[1]) if len(sys.argv) > 1 and not RESUME else 6000)
+STEPS = (int(sys.argv[1]) if len(sys.argv) > 1 and not RESUME else 20000)
+EVAL_EVERY = 2000
 ROOT = "runs/evidence/full"
 CORPUS = os.path.join(ROOT, "corpus_train")   # generated, not committed
 EVAL = "runs/evidence/vocoder/corpus_eval"
@@ -88,18 +92,55 @@ def main():
     if not RESUME:
         from wavenet_tpu.audio.dataset import AudioDataset
         from wavenet_tpu.training.trainer import Trainer
+        from wavenet_tpu.models import wavenet as wn
+        from wavenet_tpu.audio.io import read_wav as _read
         ensure_corpus()
-        print(f"training full preset: {STEPS} steps on {N_CLIPS} clips",
-              flush=True)
+        print(f"training full preset: {STEPS} steps on {N_CLIPS} clips, "
+              f"held-out trajectory every {EVAL_EVERY}", flush=True)
         ds = AudioDataset.from_dir(CORPUS, cfg)
         tr = Trainer(cfg, ds, checkpoint_dir=os.path.join(ROOT, "ckpt"))
+
+        # held-out trajectory machinery: score every eval clip at each
+        # segment boundary, for BOTH the raw and the EMA weights (the raw
+        # curve shows optimization progress; the EMA curve is what ships)
+        eval_paths = sorted(os.path.join(EVAL, nm)
+                            for nm in os.listdir(EVAL)
+                            if nm.endswith(".wav"))
+        eval_toks = []
+        for pth in eval_paths:
+            w, _ = _read(pth, cfg.sample_rate)
+            eval_toks.append(jnp.asarray(
+                mulaw.encode_np(w, cfg.quantization_channels)[None]))
+        score_jit = jax.jit(lambda p, t: wn.score_fn(p, cfg, t))
+
+        def held_out_median(params):
+            vals = sorted(float(score_jit(params, t)[0]) for t in eval_toks)
+            n = len(vals)
+            return (vals[n // 2] if n % 2
+                    else 0.5 * (vals[n // 2 - 1] + vals[n // 2]))
+
+        traj = []
+        traj_path = os.path.join(ROOT, "trajectory.json")
         with open(metrics_path, "w") as mf:
             def hook(step, m):
                 mf.write(json.dumps({"step": step, **m}) + "\n")
                 mf.flush()
-            tr.run(num_steps=STEPS, log_every=100, metrics_fn=hook)
-        tr.save()
-        tr.ckpt.wait()          # async orbax save must commit before restore
+            done = 0
+            while done < STEPS:
+                seg = min(EVAL_EVERY, STEPS - done)
+                tr.run(num_steps=seg, log_every=100, metrics_fn=hook)
+                done += seg
+                rec = {"step": done,
+                       "held_out_median_raw":
+                           round(held_out_median(tr.state.params), 3)}
+                if tr.state.ema is not None:
+                    rec["held_out_median_ema"] = round(
+                        held_out_median(tr.state.ema), 3)
+                traj.append(rec)
+                with open(traj_path, "w") as tf:
+                    json.dump(traj, tf, indent=1)
+                print(f"trajectory @{done}: {rec}", flush=True)
+        tr.save()               # durable by default (round-5 contract)
         last = json.loads(open(metrics_path).readlines()[-1])
     else:
         if not os.path.exists(metrics_path):
@@ -157,22 +198,37 @@ def main():
 
     # --- README ---
     rows = "\n".join(f"| {k} | {v} |" for k, v in scores.items())
+    traj_rows = ""
+    traj_path = os.path.join(ROOT, "trajectory.json")
+    if os.path.exists(traj_path):
+        traj = json.load(open(traj_path))
+        traj_rows = "\n".join(
+            f"| {r['step']} | {r.get('held_out_median_raw', '-')} | "
+            f"{r.get('held_out_median_ema', '-')} |" for r in traj)
+        traj_rows = ("\n- held-out MEDIAN bits/sample trajectory "
+                     "(20 unseen clips, every "
+                     f"{EVAL_EVERY} steps — raw and EMA weights):\n\n"
+                     "| step | raw | ema |\n|---|---|---|\n"
+                     + traj_rows + "\n")
     with open(os.path.join(ROOT, "README.md"), "w") as f:
         f.write(f"""# `full` flagship preset — training evidence
 
 `full` preset (4x1..512, 128 residual / 256 skip, RF ~0.26 s @16 kHz,
-B=8, W=8192, remat, EMA 0.9999), {STEPS} steps on a {N_CLIPS}-clip
-synthetic speech-like corpus (deterministically regenerable: seed
-{CORPUS_SEED}, `tools/full_evidence.py ensure_corpus` — an independent
-draw from the committed vocoder corpus stream), one v5e chip, fused
-five-group training kernels.  Held-out clips are the committed
+B=8, W=8192, remat, EMA {ema}, cosine lr to {STEPS} steps), {STEPS}
+steps on a {N_CLIPS}-clip synthetic speech-like corpus
+(deterministically regenerable: seed {CORPUS_SEED},
+`tools/full_evidence.py ensure_corpus` — an independent draw from the
+committed vocoder corpus stream), one v5e chip, fused five-group
+training kernels.  Held-out clips are the committed
 `runs/evidence/vocoder/corpus_eval` set (20 clips after the round-4
 extension).
 
 - final train: loss {last.get('loss'):.3f} nats
   ({last.get('bits_per_sample'):.3f} bits/sample); curve:
   `loss_curve.png` / `metrics.jsonl`
-- held-out bits/sample (unseen clips, teacher-forced):
+{traj_rows}
+- held-out bits/sample per clip at the end of training (teacher-forced,
+  EMA weights):
 
 | clip | bits/sample |
 |---|---|

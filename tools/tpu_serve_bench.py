@@ -105,16 +105,22 @@ def main():
                     help="length of each background mel request (--mixed)")
     ap.add_argument("--mesh", default=None,
                     help='serve through a mesh, e.g. "1,1" (dp,mp)')
+    ap.add_argument("--preset", default="fastgen_bench",
+                    help="model preset to serve (fastgen_bench, full, "
+                         "full_vocoder, ...).  '--preset full --mixed' is "
+                         "the flagship scenario: batchable full-preset "
+                         "traffic through the wide-R kernel while a long "
+                         "wide mel singleton decodes in flight")
     args = ap.parse_args()
 
     import jax
-    from wavenet_tpu.config import fastgen_bench
+    from wavenet_tpu.config import get_config
     from wavenet_tpu.models import wavenet as wn
     from wavenet_tpu.models.api import WaveNet
     from wavenet_tpu.serving import WaveNetServer
 
-    cfg = fastgen_bench()
-    if args.mixed:
+    cfg = get_config(args.preset)
+    if args.mixed and cfg.mel is None:
         # the singleton lane needs a mel-conditional model
         from wavenet_tpu.config import MelConfig
         cfg = cfg.replace(mel=MelConfig())
@@ -126,7 +132,7 @@ def main():
         mesh = make_mesh(cfg)
     model = WaveNet(cfg, wn.init_params(cfg, jax.random.PRNGKey(0)))
     _ = float(np.asarray(model.params["b"]).sum())   # warm first readback
-    print(f"backend={jax.default_backend()} preset=fastgen_bench "
+    print(f"backend={jax.default_backend()} preset={args.preset} "
           f"sr={cfg.sample_rate} clients={args.clients} "
           f"seconds={args.seconds} mesh={args.mesh or '-'}", flush=True)
 

@@ -11,6 +11,10 @@ Checks hardware-vs-interpret bit-exactness for every Pallas kernel surface:
   4. decode kernel: batch-tiled grid (B split into tiles)
   5. decode kernel: conditional (streamed y, in-kernel v_cond projection)
   6. decode kernel: priming + sampling determinism
+  7. wide-R decode kernel: greedy/sampled/tiled/primed/global-cond/mel,
+     incl. the `full` and `full_vocoder` presets
+  (plus scan_route_divergence(), a measured — not pass/fail — probe of
+  TPU-scan-vs-kernel greedy near-tie divergence, recorded by bench.py)
 
 Interpret mode is ALWAYS correct and hides Mosaic miscompiles (three were
 caught in round 1 by exactly this comparison, docs/ARCHITECTURE.md §3) — a
@@ -394,18 +398,19 @@ def _decode_cfg(**kw):
 
 def check_decode_wide():
     """The wide-R channels-on-lanes kernel (ops/pallas/decode_wide.py):
-    greedy / sampled / primed / batch-tiled / global-cond hw-vs-interpret
-    on a reduced wide config (fast compile), plus one FULL-preset greedy
-    check — the flagship config this kernel exists for (round-4)."""
+    greedy / sampled / primed / batch-tiled / global-cond / streamed-MEL
+    hw-vs-interpret on a reduced wide config (fast compile), plus one
+    FULL-preset greedy check — the flagship config this kernel exists for
+    (round-4) — and one FULL_VOCODER-preset mel check (round-5)."""
     from wavenet_tpu.ops import rng as _rng
     from wavenet_tpu.ops.pallas import decode_wide as pwide
 
     def cmp(name, cfg, batch, num_steps, temperature=0.0, prime=None,
-            speaker=None, force_tiles=None):
-        p = wn.init_params(cfg, jax.random.PRNGKey(0))
+            speaker=None, y=None, force_tiles=None, params=None):
+        p = params or wn.init_params(cfg, jax.random.PRNGKey(0))
         seeds = _rng.derive_row_seeds(jnp.int32(7), batch)
         kw = dict(batch=batch, temperature=temperature, seeds=seeds,
-                  prime_tokens=prime, speaker=speaker,
+                  prime_tokens=prime, speaker=speaker, y=y,
                   force_tiles=force_tiles)
         hw = pwide.generate_wide(p, cfg, jax.random.PRNGKey(3), num_steps,
                                  **kw)
@@ -430,9 +435,57 @@ def check_decode_wide():
                          compute_dtype="bfloat16", global_classes=4)
     cmp("wide-decode global-cond", gcfg, batch=4, num_steps=128,
         speaker=jnp.asarray([0, 1, 2, 3], jnp.int32))
-    from wavenet_tpu.config import full
+
+    # streamed mel blocks through the wide grid (round-5: the y operand is
+    # the one wide-kernel input the other checks never exercise)
+    from wavenet_tpu.config import MelConfig
+    from wavenet_tpu.models.conditioning import upsample_mel
+    mel_cfg = MelConfig(num_mels=80, hop_length=64, win_length=256,
+                        upsample_factors=(8, 8))
+    mcfg = WaveNetConfig(num_blocks=2, max_dilation=64,
+                         residual_channels=128, skip_channels=256,
+                         compute_dtype="bfloat16", mel=mel_cfg)
+    pm = wn.init_params(mcfg, jax.random.PRNGKey(0))
+    mel = jax.random.normal(jax.random.PRNGKey(6), (4, 5, 80))
+    ym = upsample_mel(pm["upsampler"], mel_cfg, mel, 256)
+    cmp("wide-decode mel", mcfg, batch=4, num_steps=256, temperature=1.0,
+        y=ym, params=pm)
+
+    from wavenet_tpu.config import full, full_vocoder
     cmp("wide-decode FULL preset sampled", full(), batch=8, num_steps=256,
         temperature=1.0)
+    vcfg = full_vocoder()
+    pv = wn.init_params(vcfg, jax.random.PRNGKey(0))
+    melv = jax.random.normal(jax.random.PRNGKey(8), (8, 2, 80))
+    yv = upsample_mel(pv["upsampler"], vcfg.mel, melv, 256)
+    cmp("wide-decode FULL_VOCODER preset mel", vcfg, batch=8, num_steps=256,
+        temperature=1.0, y=yv, params=pv)
+
+
+def scan_route_divergence(num_steps: int = 512, batch: int = 4):
+    """MEASURED TPU-scan-vs-kernel greedy divergence (round-4 verdict #8).
+
+    The TPU-compiled XLA scan is outside the kernels' bit-equality chain:
+    its excess-precision compilation can flip greedy argmax at near-ties
+    (23/2048 tokens on one round-4 config).  This runs one greedy decode
+    through BOTH routes on a config both serve and returns the mismatch
+    count — recorded in BENCH_DETAILS every round so the routing-contract
+    clause is a measured number, not a one-time finding.  Not a pass/fail
+    check: divergence here is documented backend behavior, the kernel
+    (== interpret == CPU scan) being the contractual side."""
+    cfg = _decode_cfg()
+    p = wn.init_params(cfg, jax.random.PRNGKey(0))
+    key = jax.random.PRNGKey(3)
+    kern = pdec.generate_pallas(p, cfg, key, num_steps, batch=batch,
+                                temperature=0.0)
+    scan = wn.generate(p, cfg, key, num_steps, batch=batch, temperature=0.0)
+    a, b = np.asarray(kern), np.asarray(scan)
+    mism = int((a != b).sum())
+    diverged_cols = np.argwhere((a != b).any(axis=0))
+    first = int(diverged_cols[0, 0]) if mism else -1
+    return {"tokens": int(a.size), "mismatched": mism,
+            "first_divergent_step": first,
+            "config": "decode_cfg(R=32,L=14)", "num_steps": num_steps}
 
 
 def check_decode(name, cfg, batch, num_steps, y=None, prime=None,

@@ -228,12 +228,26 @@ def conditional() -> WaveNetConfig:
     )
 
 
+def full_vocoder() -> WaveNetConfig:
+    """Flagship-quality vocoder: the `full` stack + mel conditioning (the
+    realistic TTS product BASELINE configs 3+5 point at jointly).  Decodes
+    in-kernel via the wide-R kernel's streamed mel blocks
+    (ops/pallas/decode_wide.py) — no R>=128 config falls back to the
+    out-of-contract XLA scan (round-4 verdict #1)."""
+    return WaveNetConfig(
+        num_blocks=4, max_dilation=512,
+        residual_channels=128, skip_channels=256,
+        mel=MelConfig(), batch_size=8, train_window=8192, remat=True,
+    )
+
+
 PRESETS = {
     "tiny": tiny,
     "small": small,
     "full": full,
     "fastgen_bench": fastgen_bench,
     "conditional": conditional,
+    "full_vocoder": full_vocoder,
 }
 
 

@@ -71,14 +71,15 @@ def generate_auto(params: wn.Params, cfg: WaveNetConfig, key: jax.Array,
                                     batch=batch, prime_tokens=prime_tokens,
                                     y=y, speaker=speaker,
                                     temperature=temperature, seeds=seeds)
-    if (on_tpu and cond is None and y is None
+    if (on_tpu and cond is None
             and pwide.fits_vmem(cfg, batch, prime_len=P0)):
-        # wide-R models (the `full` preset) take the channels-on-lanes
-        # kernel: ~8.5x the XLA scan at steady state (BASELINE.md round 4)
+        # wide-R models (the `full` / `full_vocoder` presets) take the
+        # channels-on-lanes kernel — mel streamed in-kernel: ~8.5x the XLA
+        # scan at steady state (BASELINE.md round 4)
         return pwide.generate_wide(params, cfg, key, num_samples,
                                    batch=batch, prime_tokens=prime_tokens,
-                                   speaker=speaker, temperature=temperature,
-                                   seeds=seeds)
+                                   y=y, speaker=speaker,
+                                   temperature=temperature, seeds=seeds)
     if y is not None:
         from wavenet_tpu.models.conditioning import project_cond
         cond = project_cond(params, y)
@@ -118,11 +119,11 @@ def generate_stream(params: wn.Params, cfg: WaveNetConfig, key: jax.Array,
     interpret = interpret or not _tpu_backend()
     P0 = 0 if prime_tokens is None else prime_tokens.shape[1]
     if not pdec.fits_vmem(cfg, batch, prime_len=P0):
-        if y is None and pwide.fits_vmem(cfg, batch, prime_len=P0):
+        if pwide.fits_vmem(cfg, batch, prime_len=P0):
             # wide-R models stream through the channels-on-lanes kernel
-            # with the same carried-rings contract
+            # (mel y sliced per chunk) with the same carried-rings contract
             yield from _stream_wide(params, cfg, key, num_samples,
-                                    chunk_samples, batch, prime_tokens,
+                                    chunk_samples, batch, prime_tokens, y,
                                     speaker, temperature, interpret,
                                     seeds=seeds)
             return
@@ -173,14 +174,14 @@ def generate_stream(params: wn.Params, cfg: WaveNetConfig, key: jax.Array,
 def _dp_kernel_fits(cfg: WaveNetConfig, per_chip_batch: int, prime_len: int,
                     y) -> bool:
     """True when SOME whole-loop kernel serves the per-chip shard: the
-    transposed kernel (any conditioning), or the wide-R kernel for R >= 128
-    models without mel streaming (the `full` preset over a dp mesh)."""
+    transposed kernel for R < 128, or the wide-R kernel for R >= 128 models
+    (the `full` / `full_vocoder` presets over a dp mesh) — both stream mel
+    y in-kernel."""
+    del y                                        # both kernels stream mel
     from wavenet_tpu.ops.pallas import decode as pdec
     from wavenet_tpu.ops.pallas import decode_wide as pwide
     return (pdec.fits_vmem(cfg, per_chip_batch, prime_len=prime_len)
-            or (y is None
-                and pwide.fits_vmem(cfg, per_chip_batch,
-                                    prime_len=prime_len)))
+            or pwide.fits_vmem(cfg, per_chip_batch, prime_len=prime_len))
 
 
 def generate_distributed(params: wn.Params, cfg: WaveNetConfig, mesh,
@@ -306,13 +307,14 @@ def _stream_scan(params: wn.Params, cfg: WaveNetConfig, key: jax.Array,
 
 def _stream_wide(params: wn.Params, cfg: WaveNetConfig, key: jax.Array,
                  num_samples: int, chunk_samples: int, batch: int,
-                 prime_tokens, speaker, temperature: float,
+                 prime_tokens, y, speaker, temperature: float,
                  interpret: bool, seeds=None):
     """Streaming via the wide-R (channels-on-lanes) kernel: chunked
     decode_chunk launches with carried rings + token carry, bit-identical
     to the one-shot generate_wide (the counter RNG keys by global step).
-    Mirrors generate_stream's transposed-kernel loop; the chunk floors at
-    the kernel's hardware-minimum time block (decode_wide.TC_MIN_HW)."""
+    Mirrors generate_stream's transposed-kernel loop (incl. the per-chunk
+    mel y slice); the chunk floors at the kernel's hardware-minimum time
+    block (decode_wide.TC_MIN_HW)."""
     from wavenet_tpu.ops.pallas import decode_wide as pwide
     rings, carry, seed, g, P, total = pwide.setup_decode(
         params, cfg, key, batch, num_samples, prime_tokens, speaker,
@@ -323,16 +325,24 @@ def _stream_wide(params: wn.Params, cfg: WaveNetConfig, key: jax.Array,
         TC //= 2
     TC = max(TC // 8 * 8, tc_floor)
     chunk = max(TC, chunk_samples // TC * TC)
+    if y is not None and y.shape[1] < total:
+        raise ValueError(f"y covers {y.shape[1]} < {total} steps "
+                         f"(priming included)")
 
     t0, skip = 0, max(P - 1, 0)                  # skip = priming outputs
     while t0 < total:
         n = min(chunk, total - t0)
         n_pad = -(-n // TC) * TC                 # pad the tail chunk
+        y_c = None
+        if y is not None:
+            y_c = y[:, t0:t0 + n]
+            if n_pad > n:
+                y_c = jnp.pad(y_c, ((0, 0), (0, n_pad - n), (0, 0)))
         forced = prime_tokens if t0 < P - 1 else None
         toks, rings, carry = pwide.decode_chunk(
             params, cfg, rings, carry, jnp.int32(t0), seed, n_pad,
             temperature, interpret=interpret, forced=forced,
-            g=g, force_tiles=(Bt, TC))
+            y=y_c, g=g, force_tiles=(Bt, TC))
         out = toks[:, :n]
         if skip:
             drop = min(skip, n)

@@ -128,21 +128,28 @@ class WaveNet:
                  num_samples: Optional[int] = None, batch: int = 1,
                  key: Optional[jax.Array] = None, prime_tokens=None,
                  mel=None, speaker=None, temperature: float = 1.0,
-                 mesh=None, seed: int = 0, seeds=None):
+                 mesh=None, seed: int = 0, seeds=None, y=None):
         """Sample audio tokens.  mesh: optional jax.sharding.Mesh with
         (data, model) axes — routes through the distributed decoder
         (multi-chip AR generation, SURVEY.md P3); `seed` drives its
         layout-independent counter RNG (key is ignored on that path).
         seeds: optional [batch] per-row counter-RNG seeds (ops/rng.py) —
         each row's audio then depends only on ITS seed (the serving
-        replay contract), on any path and mesh layout."""
+        replay contract), on any path and mesh layout.
+        y: optional pre-UPSAMPLED conditioning features [batch, T, M]
+        covering max(P-1,0)+num_samples steps, instead of mel= (the
+        serving engine batches vocoder rows this way: per-row upsampling
+        at each row's own length, zero-padded to the common timeline)."""
         from wavenet_tpu.generate.sampler import (generate_auto,
                                                   generate_distributed)
         if num_samples is None:
             if seconds is None:
                 raise ValueError("pass seconds= or num_samples=")
             num_samples = int(seconds * self.cfg.sample_rate)
-        y = self._upsampled_cond(mel, prime_tokens, num_samples)
+        if y is not None and mel is not None:
+            raise ValueError("pass either mel= (frames) or y= (upsampled)")
+        if y is None:
+            y = self._upsampled_cond(mel, prime_tokens, num_samples)
         if mesh is not None:
             return generate_distributed(self.params, self.cfg, mesh,
                                         seed if seeds is None else seeds,
@@ -192,7 +199,7 @@ class WaveNet:
                temperature: float = 1.0,
                num_samples: Optional[int] = None,
                chunk_samples: Optional[int] = None, seeds=None,
-               mesh=None, seed: int = 0):
+               mesh=None, seed: int = 0, y=None):
         """Yield float waveform chunks ([B, <=chunk] in [-1, 1]) as they are
         generated — the serving entry point for long-form synthesis.
         Bounded memory; the emitted audio is bit-identical to a one-shot
@@ -203,7 +210,8 @@ class WaveNet:
         key is ignored when given.
         mesh: optional jax.sharding.Mesh — streams through the DISTRIBUTED
         decoder (sampler.stream_distributed), chunk-for-chunk identical to
-        generate(mesh=...) at the same seeds."""
+        generate(mesh=...) at the same seeds.
+        y: optional pre-upsampled conditioning (see generate())."""
         from wavenet_tpu.audio import mulaw
         from wavenet_tpu.generate.sampler import (generate_stream,
                                                   stream_distributed)
@@ -216,7 +224,10 @@ class WaveNet:
         n = num_samples
         if chunk_samples is None:
             chunk_samples = int(chunk_seconds * self.cfg.sample_rate)
-        y = self._upsampled_cond(mel, prime_tokens, n)
+        if y is not None and mel is not None:
+            raise ValueError("pass either mel= (frames) or y= (upsampled)")
+        if y is None:
+            y = self._upsampled_cond(mel, prime_tokens, n)
         if mesh is not None:
             gen = stream_distributed(
                 self.params, self.cfg, mesh,

@@ -41,9 +41,14 @@ pass over the layers with zero dispatch (the BASELINE "queue update kernel
 ... HBM-bound not dispatch-bound" mandate for the flagship config).
 
 Supports teacher-forced priming (mask-reduce lookup over a VMEM-resident
-[Bt, P] prime block) and global conditioning (paper eq.2, VMEM-resident
-per-layer gate offsets).  Mel local conditioning is NOT supported here —
-no shipped wide-R preset has it; wide+mel configs fall back to the scan.
+[Bt, P] prime block), global conditioning (paper eq.2, VMEM-resident
+per-layer gate offsets), and mel LOCAL conditioning (paper eq.3): the
+upsampled features y stream through the grid as [TC, Bt, M] time blocks
+(batch on sublanes, mels on lanes — the mirror of the transposed kernel's
+[TC, M, Bt] blocks) and each layer adds y_t @ v_cond[l] on the MXU, so
+the flagship-quality vocoder (the `full` stack + MelConfig — the
+`full_vocoder` preset) decodes in-kernel instead of falling back to the
+XLA scan (round-4 verdict #1).
 """
 
 from __future__ import annotations
@@ -93,6 +98,7 @@ def _tile_bytes(cfg: WaveNetConfig, bt: int, tc: int,
     R, S, Q, L = (cfg.residual_channels, cfg.skip_channels,
                   cfg.quantization_channels, cfg.num_layers)
     _, sum_d = _ring_offsets(cfg)
+    M = cfg.mel.num_mels if cfg.mel is not None else 0
     bt16 = _pad(bt, 16)                       # bf16 sublane tile
     bt8 = _pad(bt, 8)                         # f32/i32 sublane tile
     b = 2 * sum_d * bt16 * R                  # ring scratch (bf16, once)
@@ -111,17 +117,23 @@ def _tile_bytes(cfg: WaveNetConfig, bt: int, tc: int,
         b += 4 * bt8 * _pad(prime_len, 128)   # forced prime block i32
     if cfg.global_classes is not None:
         b += 4 * L * bt8 * 2 * R              # per-layer gate offsets f32
+    if M:
+        b += 2 * L * M * 2 * R                # v_cond bf16 (VMEM-resident)
+        # grid-STREAMED y blocks [TC, Bt, M] bf16, double-buffered; lanes
+        # (mels) pad to the 128-wide register, sublanes (batch) to 16 —
+        # same padding rule as the transposed kernel's streamed blocks
+        b += 2 * 2 * tc * bt16 * _pad(M, 128)
     return b
 
 
 def supported(cfg: WaveNetConfig) -> bool:
-    """Layout requirements: channels fill whole lanes, no mel streaming.
+    """Layout requirement: channels fill whole lanes (R a multiple of 128).
     w_embed_proj (causal_channels != R) configs are excluded for the same
     reason as in decode.plan_tiles: folding the projection into the f32
     tables rounds differently from the scan's bf16 gather+matmul, which
     would break the kernel==scan bit-equality contract."""
     R = cfg.residual_channels
-    return (R >= 128 and R % 128 == 0 and cfg.mel is None
+    return (R >= 128 and R % 128 == 0
             and cfg.kernel_size == 2
             and cfg.embed_channels == R)
 
@@ -156,14 +168,16 @@ def fits_vmem(cfg: WaveNetConfig, batch: int, prime_len: int = 0) -> bool:
 
 
 def _decode_kernel(cfg: WaveNetConfig, TC: int, nTC: int,
-                   temperature: float, num_forced: int, has_gc: bool,
-                   *refs):
+                   temperature: float, num_forced: int, has_cond: bool,
+                   has_gc: bool, *refs):
     refs = list(refs)
     (seeds_ref, t0_ref, tokens_init_ref, forced_ref,
      ecur_ref, eprev_ref, wcur_ref, wprev_ref, b_ref,
      wres_ref, bres_ref, wskip_ref, bskip_ref,
      hw1_ref, hb1_ref, hw2_ref, hb2_ref) = refs[:17]
     refs = refs[17:]
+    y_ref = refs.pop(0) if has_cond else None    # [TC, Bt, M] bf16 blocks
+    vcond_ref = refs.pop(0) if has_cond else None  # [L, M, 2R] bf16
     g_ref = refs.pop(0) if has_gc else None      # [L, Bt, 2R] f32 offsets
     (rings_hbm_ref, tokens_out_ref, rings_out_ref, carry_out_ref,
      rings_v, tok_scr, carry_scr, sems) = refs
@@ -208,6 +222,8 @@ def _decode_kernel(cfg: WaveNetConfig, TC: int, nTC: int,
                        preferred_element_type=jnp.float32))
         x = x.astype(jnp.bfloat16)               # [Bt, R]
         skip = jnp.zeros((Bt, S), jnp.float32)
+        if has_cond:
+            y_t = y_ref[t]                       # [Bt, M] bf16
 
         for l in range(len(dils)):               # static unroll over layers
             d, off = dils[l], offs[l]
@@ -220,6 +236,9 @@ def _decode_kernel(cfg: WaveNetConfig, TC: int, nTC: int,
                  + jnp.dot(old, wprev_ref[l],
                            preferred_element_type=jnp.float32)
                  + b_ref[l])                     # [Bt, 2R] f32 (+[1,2R] bias)
+            if has_cond:                         # paper eq.3: V*y into gate
+                z = z + jnp.dot(y_t, vcond_ref[l],
+                                preferred_element_type=jnp.float32)
             if has_gc:                           # paper eq.2: global offset
                 z = z + g_ref[l]
             h = (jnp.tanh(z[:, :R]) * jax.nn.sigmoid(z[:, R:])
@@ -328,7 +347,7 @@ def decode_chunk(params, cfg: WaveNetConfig, rings: jax.Array,
                  tokens_init: jax.Array, t0: jax.Array, seeds: jax.Array,
                  num_steps: int,
                  temperature: float = 1.0, interpret: bool = False,
-                 forced=None, g=None, tc_hint: int = 128,
+                 forced=None, y=None, g=None, tc_hint: int = 128,
                  force_tiles: Optional[Tuple[int, int]] = None):
     """Generate `num_steps` tokens in one wide-kernel launch.
 
@@ -339,6 +358,9 @@ def decode_chunk(params, cfg: WaveNetConfig, rings: jax.Array,
       step, column 1 the token before it.
     t0: scalar int32 global step of the chunk start (ring phase + RNG key).
     seeds: [B] int32 per-row sampling seeds (ops/rng.py keying).
+    y: optional [B, num_steps, M] upsampled conditioning features (cfg.mel)
+      — streamed through the grid as [TC, Bt, M] blocks, projected
+      in-kernel per layer (paper eq.3).
     g: optional [L, B, 2, R] f32 global-conditioning gate offsets.
     Returns (tokens [B, num_steps] i32, rings', carry [B, 2]).
     """
@@ -346,7 +368,10 @@ def decode_chunk(params, cfg: WaveNetConfig, rings: jax.Array,
     _, sum_d = _ring_offsets(cfg)
     R = cfg.residual_channels
     L = cfg.num_layers
+    has_cond = y is not None
     has_gc = g is not None
+    if has_cond and cfg.mel is None:
+        raise ValueError("y passed but cfg.mel is None")
     Bt, TC = force_tiles or plan_tiles(cfg, B, tc_hint)
     if not Bt:
         raise ValueError("config/batch unsupported by the wide-R decode "
@@ -375,7 +400,7 @@ def decode_chunk(params, cfg: WaveNetConfig, rings: jax.Array,
                 else forced.astype(jnp.int32))
     Pf = forced_b.shape[1]
     kernel = functools.partial(_decode_kernel, cfg, TC, nTC, temperature,
-                               num_forced, has_gc)
+                               num_forced, has_cond, has_gc)
 
     in_specs = [
         pl.BlockSpec((Bt, 1), lambda j: (0, 0), memory_space=pltpu.VMEM),
@@ -385,6 +410,19 @@ def decode_chunk(params, cfg: WaveNetConfig, rings: jax.Array,
     ]
     in_specs += [pl.BlockSpec(o.shape, (lambda j, nd=o.ndim: (0,) * nd),
                               memory_space=pltpu.VMEM) for o in ops]
+    if has_cond:
+        M = cfg.mel.num_mels
+        # [B, T, M] -> time-leading [T, B, M]; grid streams [TC, Bt, M]
+        # blocks (batch on sublanes, mels on lanes) through the pipeline,
+        # bf16 like the transposed kernel's y blocks
+        y_k = jnp.moveaxis(y, 0, 1).astype(jnp.bfloat16)
+        vck = params["v_cond"].reshape(L, M, 2 * R).astype(jnp.bfloat16)
+        in_specs += [
+            pl.BlockSpec((TC, Bt, M), lambda j: (j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(vck.shape, lambda j: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
     if has_gc:
         # [L, B, 2, R] -> [L, B, 2R] f32 (tile-sliced below)
         g_k = g.reshape(L, B, 2 * R).astype(jnp.float32)
@@ -428,6 +466,8 @@ def decode_chunk(params, cfg: WaveNetConfig, rings: jax.Array,
         sl = slice(i * Bt, (i + 1) * Bt)
         tile_ops = [seeds_op[sl], t0_op, tokens_init[sl], forced_b[sl],
                     *ops]
+        if has_cond:
+            tile_ops += [y_k[:, sl], vck]
         if has_gc:
             tile_ops.append(g_k[:, sl])
         tile_ops.append(rings[:, sl])
@@ -478,15 +518,16 @@ def setup_decode(params, cfg: WaveNetConfig, key, batch: int,
 
 def generate_wide(params, cfg: WaveNetConfig, key,
                   num_samples: int, batch: int = 1,
-                  prime_tokens=None, speaker=None,
+                  prime_tokens=None, y=None, speaker=None,
                   temperature: float = 1.0,
                   chunk: int = 512, interpret: bool = False,
                   force_tiles: Optional[Tuple[int, int]] = None,
                   seeds=None) -> jax.Array:
     """Fast generation for wide-R models via the channels-on-lanes kernel.
-    Same contract as decode.generate_pallas (priming, global conditioning,
-    per-row seeds, greedy at temperature 0); callers should check
-    fits_vmem() and fall back to models.wavenet.generate otherwise."""
+    Same contract as decode.generate_pallas (priming, local mel
+    conditioning via y [B, T>=steps, M] upsampled features, global
+    conditioning, per-row seeds, greedy at temperature 0); callers should
+    check fits_vmem() and fall back to models.wavenet.generate otherwise."""
     rings, carry, seed, g, P, total = setup_decode(
         params, cfg, key, batch, num_samples, prime_tokens, speaker,
         gate_prime=force_tiles is None, seeds=seeds)
@@ -496,8 +537,14 @@ def generate_wide(params, cfg: WaveNetConfig, key,
         TC //= 2
     TC = max(TC // 8 * 8, tc_floor)
     total_pad = -(-total // TC) * TC
+    if y is not None:
+        if y.shape[1] < total:
+            raise ValueError(f"y covers {y.shape[1]} < {total} steps "
+                             f"(priming included)")
+        y = jnp.pad(y[:, :total],
+                    ((0, 0), (0, total_pad - total), (0, 0)))
     toks, _, _ = decode_chunk(params, cfg, rings, carry, jnp.int32(0), seed,
                               total_pad, temperature, interpret=interpret,
-                              forced=prime_tokens, g=g,
+                              forced=prime_tokens, y=y, g=g,
                               force_tiles=(Bt, TC))
     return toks[:, max(P - 1, 0):total]

@@ -475,8 +475,6 @@ def _dp_decode_chunk_fn(cfg: WaveNetConfig, mesh: Mesh, num_steps: int,
     [sum_d, R, B] (batch on lanes) vs wide's [sum_d, B, R]."""
     from wavenet_tpu.ops.pallas import decode as pdec
     from wavenet_tpu.ops.pallas import decode_wide as pwide
-    if wide and has_y:
-        raise ValueError("the wide-R kernel does not stream mel features")
     kmod = pwide if wide else pdec
 
     def run(params, rings, carry, t0, seeds, *opt):
@@ -534,8 +532,7 @@ def generate_pallas_dp_stream(params, cfg: WaveNetConfig, mesh: Mesh, seed,
     B_loc = batch // dp
     P0 = 0 if prime_tokens is None else prime_tokens.shape[1]
     wide = not pdec.fits_vmem(cfg, B_loc, prime_len=P0)
-    if wide and (y is not None
-                 or not pwide.fits_vmem(cfg, B_loc, prime_len=P0)):
+    if wide and not pwide.fits_vmem(cfg, B_loc, prime_len=P0):
         raise ValueError(f"per-chip batch {B_loc} fits neither decode "
                          f"kernel's VMEM budget")
     seeds = rng.as_row_seeds(seed, batch)
@@ -635,18 +632,16 @@ def generate_pallas_dp(params, cfg: WaveNetConfig, mesh: Mesh, seed,
         raise ValueError(f"batch {batch} not divisible by data={dp}")
     P0 = 0 if prime_tokens is None else prime_tokens.shape[1]
     wide = not pdec.fits_vmem(cfg, batch // dp, prime_len=P0)
-    if wide and (y is not None
-                 or not pwide.fits_vmem(cfg, batch // dp, prime_len=P0)):
+    if wide and not pwide.fits_vmem(cfg, batch // dp, prime_len=P0):
         raise ValueError(f"per-chip batch {batch // dp} fits neither "
                          f"decode kernel's VMEM budget")
     gen_one = pwide.generate_wide if wide else pdec.generate_pallas
     seeds = rng.as_row_seeds(seed, batch)
     if dp == 1:
-        kw = {} if wide else {"y": y}
         return gen_one(params, cfg, None, num_samples,
-                       batch=batch, prime_tokens=prime_tokens,
+                       batch=batch, prime_tokens=prime_tokens, y=y,
                        speaker=speaker, temperature=temperature,
-                       interpret=interpret, seeds=seeds, **kw)
+                       interpret=interpret, seeds=seeds)
 
     operands, specs, names = [seeds], [P(DATA_AXIS)], ["seeds"]
     if prime_tokens is not None:

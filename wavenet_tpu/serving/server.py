@@ -19,12 +19,18 @@ Design points:
     signature reuses the executable.  Padding rows are dummy speaker-0
     requests whose outputs are dropped; per-request lengths are trimmed
     from the bucketed scan length on the way out.
-  * Mel-conditioned and primed (voice-continuation) requests carry
-    request-specific shapes; they run as singleton batches on their OWN
-    decode lane (a second worker thread), so a long vocoder request never
-    head-of-line-blocks the batchable lane: both lanes stream in chunks
-    and interleave at chunk granularity on the device queue (round-2
-    verdict #6; mixed-load p95 measured by tools/tpu_serve_bench.py).
+  * Conditioned (mel / primed) requests run on their OWN decode lane (a
+    second worker thread), so a long vocoder request never head-of-line-
+    blocks the batchable lane: both lanes stream in chunks and interleave
+    at chunk granularity on the device queue (round-2 verdict #6;
+    mixed-load p95 measured by tools/tpu_serve_bench.py).  Within the
+    conditioned lane, MEL requests with matching (length-bucket,
+    temperature) signatures BATCH (round 5 — the flagship-vocoder product
+    path): each row upsamples its own mel at its own length (bit-identical
+    to its singleton replay) and the feature timelines zero-pad to the
+    group scan length, which AR causality keeps invisible in every row's
+    emitted prefix.  Primed requests stay singletons (request-specific
+    VMEM-resident prime block).
   * Chunks flow through per-request queues (unbounded: one second of
     16 kHz float32 audio is 64 KB, so a lagging consumer costs memory
     proportional to its own utterance, never stalls the TPU loop).
@@ -149,10 +155,10 @@ class WaveNetServer:
         self._submit_lock = threading.Lock()
         self._closed = False
         self._workers = [
-            threading.Thread(target=self._run, args=(self._inbox, True),
+            threading.Thread(target=self._run, args=(self._inbox,),
                              daemon=True),
             threading.Thread(target=self._run,
-                             args=(self._inbox_single, False), daemon=True),
+                             args=(self._inbox_single,), daemon=True),
         ]
         for w in self._workers:
             w.start()
@@ -191,8 +197,20 @@ class WaveNetServer:
                 raise ValueError(
                     f"speaker={speaker} out of range "
                     f"[0, {self.cfg.global_classes})")
-        if mel is not None and self.cfg.mel is None:
-            raise ValueError("model is unconditional; mel= is not an input")
+        if mel is not None:
+            if self.cfg.mel is None:
+                raise ValueError("model is unconditional; mel= is not an "
+                                 "input")
+            m = np.asarray(mel, np.float32)
+            frames = m.shape[0] if m.ndim == 2 else m.shape[1]
+            cap = frames * self.cfg.mel.hop_length
+            if num_samples > cap:
+                # rejected HERE so a bad request cannot poison the
+                # co-batched rows of its decode group (round 5: mel
+                # requests batch)
+                raise ValueError(
+                    f"num_samples={num_samples} exceeds the {cap} samples "
+                    f"covered by {frames} mel frames")
         if prime is not None:
             prime = np.asarray(prime, np.float32).reshape(-1)
             if prime.size == 0:
@@ -255,19 +273,31 @@ class WaveNetServer:
 
     # ---- worker ----
 
-    def _collect(self, inbox, batching: bool):
+    def _collect(self, inbox):
         """Gather one microbatch group: first request fixes the group
         signature; compatible requests arriving within max_wait_s join.
-        The singleton lane (batching=False) takes one request at a time —
-        its shapes are request-specific, so grouping buys nothing."""
+
+        The conditioned lane batches MEL requests too
+        (round 5 — the flagship-vocoder product path, where every request
+        carries mel): rows upsample their own mel at their own exact
+        length and zero-pad the FEATURE timeline to the group scan length
+        (_decode_group), which cannot change any row's emitted prefix
+        (per-row y + AR causality), so the replay contract holds.  Primed
+        requests stay singletons (the prime block is VMEM-resident with a
+        request-specific length)."""
         first = inbox.get()
         if first is _DONE:
             return None
-        if not batching:
-            return [first]  # dynamic-shape request: singleton batch
+        if first.prime is not None:
+            return [first]  # request-specific shape: singleton batch
+
+        def sig(r):
+            return (None if r.prime is not None else
+                    (_bucket(r.num_samples, self.length_quantum),
+                     r.temperature, r.mel is not None))
+
+        s0 = sig(first)
         group = [first]
-        sig = (_bucket(first.num_samples, self.length_quantum),
-               first.temperature)
         deadline = _monotonic() + self.max_wait_s
         leftovers, saw_done = [], False
         while len(group) < self.max_batch:
@@ -281,8 +311,7 @@ class WaveNetServer:
             if nxt is _DONE:
                 saw_done = True
                 break
-            if (_bucket(nxt.num_samples, self.length_quantum),
-                    nxt.temperature) == sig:
+            if sig(nxt) == s0:
                 group.append(nxt)
             else:
                 leftovers.append(nxt)
@@ -292,9 +321,9 @@ class WaveNetServer:
             inbox.put(_DONE)  # re-arm shutdown after the drain
         return group
 
-    def _run(self, inbox, batching: bool):
+    def _run(self, inbox):
         while True:
-            group = self._collect(inbox, batching)
+            group = self._collect(inbox)
             if group is None:
                 return
             t0 = _monotonic()
@@ -342,18 +371,30 @@ class WaveNetServer:
             ids = [0 if r.speaker is None else r.speaker for r in group]
             speaker = np.asarray(ids + [0] * (B - n_real), np.int32)
 
-        mel = None
+        y = None
         if group[0].mel is not None:
-            mel = group[0].mel[None] if group[0].mel.ndim == 2 \
-                else group[0].mel
-            # mel requests run singly at their exact length (dynamic frame
-            # counts make bucketing moot: the cond shape recompiles anyway)
-            cap = mel.shape[1] * self.cfg.mel.hop_length
-            if group[0].num_samples > cap:
-                raise ValueError(
-                    f"num_samples={group[0].num_samples} exceeds the "
-                    f"{cap} samples covered by {mel.shape[1]} mel frames")
-            scan_len = group[0].num_samples
+            # BATCHED vocoder decode (round 5): each row's mel upsamples at
+            # that row's own exact length — bit-identical to its singleton
+            # replay (WaveNet.stream(batch=1, mel=..., seeds=[seed])) —
+            # then the feature timeline zero-pads to the common scan
+            # length.  Padded steps lie beyond the row's emitted prefix,
+            # and AR causality means later steps cannot change earlier
+            # tokens, so co-batching cannot alter any response.
+            import jax.numpy as jnp
+            from wavenet_tpu.models.conditioning import upsample_mel
+            rows = []
+            for r in group:
+                m = r.mel[None] if r.mel.ndim == 2 else r.mel
+                y_r = np.asarray(upsample_mel(
+                    self.model.params["upsampler"], self.cfg.mel,
+                    jnp.asarray(m), r.num_samples), np.float32)
+                rows.append(np.pad(
+                    y_r, ((0, 0), (0, scan_len - r.num_samples), (0, 0))))
+            if B > n_real:
+                rows.append(np.zeros(
+                    (B - n_real, scan_len, self.cfg.mel.num_mels),
+                    np.float32))
+            y = np.concatenate(rows, axis=0)
 
         prime_tokens = None
         if group[0].prime is not None:
@@ -363,14 +404,14 @@ class WaveNetServer:
             scan_len = group[0].num_samples  # singleton: exact length
 
         if self.mesh is not None:
-            self._decode_mesh(group, B, scan_len, seeds, speaker, mel,
+            self._decode_mesh(group, B, scan_len, seeds, speaker, y,
                               prime_tokens)
             return
 
         emitted = [0] * n_real
         for chunk in self.model.stream(
                 num_samples=scan_len, chunk_samples=self.chunk_samples,
-                batch=B, seeds=seeds, mel=mel, speaker=speaker,
+                batch=B, seeds=seeds, y=y, speaker=speaker,
                 prime_tokens=prime_tokens,
                 temperature=group[0].temperature):
             chunk = np.asarray(chunk, np.float32)
@@ -384,24 +425,24 @@ class WaveNetServer:
                    for i in range(n_real)):
                 break  # bucket tail serves nobody; stop the scan early
 
-    def _decode_mesh(self, group, B, scan_len, seeds, speaker, mel,
+    def _decode_mesh(self, group, B, scan_len, seeds, speaker, y,
                      prime_tokens):
         """STREAMING distributed decode of the whole microbatch over the
         mesh: chunks flow to every request as they are produced (same
         time-to-first-audio contract as the single-chip path), and the
         concatenation is bit-identical to a one-shot generate(mesh=...) at
-        the same seeds (sampler.stream_distributed)."""
+        the same seeds (sampler.stream_distributed).  `y` is the batched
+        per-row upsampled conditioning built by _decode_group (already B
+        rows)."""
         if prime_tokens is not None and prime_tokens.shape[0] != B:
             prime_tokens = np.tile(np.asarray(prime_tokens), (B, 1))
-        if mel is not None and mel.shape[0] != B:
-            mel = np.tile(np.asarray(mel), (B, 1, 1))
         n_real = len(group)
         emitted = [0] * n_real
         for chunk in self.model.stream(
                 num_samples=scan_len, chunk_samples=self.chunk_samples,
                 batch=B, mesh=self.mesh, seeds=seeds,
                 speaker=None if speaker is None else np.asarray(speaker),
-                mel=mel, prime_tokens=prime_tokens,
+                y=y, prime_tokens=prime_tokens,
                 temperature=group[0].temperature):
             chunk = np.asarray(chunk, np.float32)
             for i, r in enumerate(group):

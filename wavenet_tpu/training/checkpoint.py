@@ -112,12 +112,25 @@ class CheckpointManager:
         if wait:
             self.mgr.wait_until_finished()
 
+    def _settle(self):
+        """Durability barrier for reads: wait out every in-flight save to
+        this directory from this process, then RELOAD the step cache —
+        orbax caches the directory listing at construction, so a save
+        committed by another manager instance after this one was built is
+        invisible without the reload (caught by
+        test_async_save_is_durable_for_fresh_manager under suite load)."""
+        _wait_directory(self.directory)
+        try:
+            self.mgr.reload()
+        except AttributeError:      # older orbax: no cache, no reload
+            pass
+
     def restore(self, abstract_state: Any, step: Optional[int] = None
                 ) -> Tuple[Any, IteratorState]:
         # a restore must never observe a half-written/absent checkpoint this
         # process just queued: settle every in-flight save first
-        _wait_directory(self.directory)
-        step = self.latest_step() if step is None else step
+        self._settle()
+        step = self.mgr.latest_step() if step is None else step
         if step is None:
             raise FileNotFoundError(f"no checkpoint in {self.directory}")
         cls = type(abstract_state) if hasattr(abstract_state, "_asdict") \
@@ -178,7 +191,7 @@ class CheckpointManager:
         return state, IteratorState(seed=it["seed"], step=it["step"])
 
     def latest_step(self) -> Optional[int]:
-        _wait_directory(self.directory)
+        self._settle()
         return self.mgr.latest_step()
 
     def wait(self):
