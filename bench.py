@@ -504,10 +504,12 @@ def bench_decode_long(baseline=None):
       stream_decode_long      fastgen B=8  — per-stream latency (realtime x;
                               steps/s RISES as the batch tile shrinks —
                               B=4/8/16/32/64 measured 99k/94k/93k/75k/63k)
-      full_wide_decode_long   flagship full preset B=8, wide-R kernel"""
+      full_wide_decode_long   flagship full preset B=8, wide-R kernel
+      full_vocoder_decode_long  flagship VOCODER B=8, wide-R kernel with
+                              in-kernel streamed mel (round 5)"""
     import jax
     import numpy as np
-    from wavenet_tpu.config import fastgen_bench, full
+    from wavenet_tpu.config import fastgen_bench, full, full_vocoder
     from wavenet_tpu.models import wavenet as wn
     from wavenet_tpu.ops.pallas import decode as pdec
     from wavenet_tpu.ops.pallas import decode_wide as pwide
@@ -519,20 +521,31 @@ def bench_decode_long(baseline=None):
         ("pallas_decode_long", fastgen_bench(), 32768, 64, pdec),
         ("stream_decode_long", fastgen_bench(), 32768, 8, pdec),
         ("full_wide_decode_long", full(), 16384, 8, pwide),
+        ("full_vocoder_decode_long", full_vocoder(), 16384, 8, pwide),
     ]
     params_cache = {}
     for prefix, cfg, n, batch, mod in specs:
         if not mod.fits_vmem(cfg, batch):
             continue
-        ck = (cfg.num_blocks, cfg.max_dilation, cfg.residual_channels)
+        # mel presence is part of the cache key: full and full_vocoder
+        # share stack dims but the vocoder params carry v_cond/upsampler
+        ck = (cfg.num_blocks, cfg.max_dilation, cfg.residual_channels,
+              cfg.mel is not None)
         if ck not in params_cache:
             params_cache[ck] = wn.init_params(cfg, jax.random.PRNGKey(0))
         params = params_cache[ck]
         gen = (mod.generate_wide if mod is pwide else mod.generate_pallas)
+        kw = {}
+        if cfg.mel is not None:
+            from wavenet_tpu.models.conditioning import upsample_mel
+            frames = n // cfg.mel.hop_length + 1
+            mel = jax.random.normal(jax.random.PRNGKey(2),
+                                    (batch, frames, cfg.mel.num_mels))
+            kw["y"] = upsample_mel(params["upsampler"], cfg.mel, mel, n)
 
-        def run():                                   # readback-timed
+        def run(gen=gen, params=params, cfg=cfg, n=n, batch=batch, kw=kw):
             np.asarray(gen(params, cfg, jax.random.fold_in(key, next(calls)),
-                           n, batch=batch))
+                           n, batch=batch, **kw))    # readback-timed
         run()                                        # compile
         # generous retry room: these are sub-second windows, so a co-tenant
         # burst outlasts a short bench — pause-and-retry until the pinned
@@ -746,7 +759,7 @@ def main():
         gates["full_wide_decode_vs_baseline"] = _vs(
             "full_wide_decode_steps_per_sec")
     for lk in ("pallas_decode_long", "stream_decode_long",
-               "full_wide_decode_long"):
+               "full_wide_decode_long", "full_vocoder_decode_long"):
         if (baseline.get(f"{lk}_num_samples")
                 == details.get(f"{lk}_num_samples")
                 and baseline.get(f"{lk}_batch") == details.get(f"{lk}_batch")):
@@ -785,6 +798,8 @@ def main():
          "stream_decode_long_steps_per_sec_throttle_detected"),
         ("full_wide_decode_long_steps_per_sec",
          "full_wide_decode_long_steps_per_sec_throttle_detected"),
+        ("full_vocoder_decode_long_steps_per_sec",
+         "full_vocoder_decode_long_steps_per_sec_throttle_detected"),
     ]
     drift_warnings = []
     for mk, tk in median_keys:
