@@ -466,25 +466,47 @@ def scan_route_divergence(num_steps: int = 512, batch: int = 4):
     """MEASURED TPU-scan-vs-kernel greedy divergence (round-4 verdict #8).
 
     The TPU-compiled XLA scan is outside the kernels' bit-equality chain:
-    its excess-precision compilation can flip greedy argmax at near-ties
-    (23/2048 tokens on one round-4 config).  This runs one greedy decode
-    through BOTH routes on a config both serve and returns the mismatch
-    count — recorded in BENCH_DETAILS every round so the routing-contract
-    clause is a measured number, not a one-time finding.  Not a pass/fail
-    check: divergence here is documented backend behavior, the kernel
-    (== interpret == CPU scan) being the contractual side."""
+    its excess-precision compilation can flip greedy argmax at near-ties.
+    A free-running comparison AVALANCHES — after the first flip the two
+    trajectories feed themselves different tokens and everything after
+    differs (measured: 1268/2048 tokens "mismatched" from one flip at
+    step 165), so this measures INDEPENDENT flips instead: the kernel
+    decodes a greedy trajectory, then the scan is TEACHER-FORCED on that
+    same trajectory and its per-step argmax is compared to the kernel's
+    choice under identical inputs.  `near_tie_flips` is the count of
+    steps where the scan would have picked differently; recorded in
+    BENCH_DETAILS every round so the routing-contract clause is a
+    measured number, not a one-time finding.  Not pass/fail: divergence
+    here is documented backend behavior, the kernel (== interpret ==
+    CPU scan) being the contractual side."""
+    import jax as _jax
     cfg = _decode_cfg()
     p = wn.init_params(cfg, jax.random.PRNGKey(0))
     key = jax.random.PRNGKey(3)
     kern = pdec.generate_pallas(p, cfg, key, num_steps, batch=batch,
-                                temperature=0.0)
-    scan = wn.generate(p, cfg, key, num_steps, batch=batch, temperature=0.0)
-    a, b = np.asarray(kern), np.asarray(scan)
-    mism = int((a != b).sum())
-    diverged_cols = np.argwhere((a != b).any(axis=0))
-    first = int(diverged_cols[0, 0]) if mism else -1
-    return {"tokens": int(a.size), "mismatched": mism,
-            "first_divergent_step": first,
+                                temperature=0.0)              # [B, N]
+    toks = jnp.asarray(kern)
+    first = jnp.full((batch, 1), cfg.quantization_channels // 2, jnp.int32)
+    feed = jnp.concatenate([first, toks[:, :-1]], axis=1)     # [B, N]
+
+    @_jax.jit
+    def forced_preds(p, feed):
+        st = wn.decode_init(cfg, feed.shape[0])
+
+        def body(st, tok):
+            st, logits = wn.decode_step(p, cfg, st, tok)
+            return st, jnp.argmax(logits, -1).astype(jnp.int32)
+
+        _, preds = _jax.lax.scan(body, st, jnp.moveaxis(feed, 0, 1))
+        return jnp.moveaxis(preds, 0, 1)                      # [B, N]
+
+    preds = np.asarray(forced_preds(p, feed))
+    a = np.asarray(kern)
+    flips = preds != a
+    first_flip = (int(np.argwhere(flips.any(axis=0))[0, 0])
+                  if flips.any() else -1)
+    return {"tokens": int(a.size), "near_tie_flips": int(flips.sum()),
+            "first_flip_step": first_flip,
             "config": "decode_cfg(R=32,L=14)", "num_steps": num_steps}
 
 

@@ -12,7 +12,14 @@ Endpoints:
   GET  /info          -> config + engine stats JSON
   POST /synthesize    -> audio.  JSON body:
        {"seconds": 1.0 | "num_samples": 16000, "seed": 0,
-        "temperature": 1.0, "speaker": 3, "stream": false}
+        "temperature": 1.0, "speaker": 3, "stream": false,
+        "mel": [[...], ...] | "mel_b64": "<base64 little-endian f32>",
+        "prime": [...] | "prime_b64": "<base64 little-endian f32>"}
+       mel: [frames, num_mels] conditioning features for vocoder models
+       (JSON nested list, or base64-packed float32 rows via mel_b64 —
+       ~5x smaller on the wire); prime: a float waveform in [-1, 1] to
+       continue from.  Compatible mel requests microbatch server-side
+       (serving/server.py round 5).
        stream=false: complete 16-bit PCM WAV (Content-Type audio/wav).
        stream=true:  chunked raw int16 PCM (audio/L16; headers carry
        X-Sample-Rate / X-Num-Samples) — bytes flush as the model decodes,
@@ -21,6 +28,7 @@ Endpoints:
 
 from __future__ import annotations
 
+import base64
 import io
 import json
 import struct
@@ -31,6 +39,41 @@ import numpy as np
 
 def _opt_int(v):
     return None if v is None else int(v)
+
+
+def _decode_f32(req: dict, key: str, cols=None):
+    """Pull an optional float32 array from a JSON request: `key` as a
+    (nested) list, or `key`_b64 as base64-packed little-endian float32 —
+    rows of `cols` values when given (the compact wire form for mel).
+    Returns None when absent; raises ValueError on malformed input."""
+    v = req.get(key)
+    b64 = req.get(f"{key}_b64")
+    if v is not None and b64 is not None:
+        raise ValueError(f"pass either {key} or {key}_b64, not both")
+    if v is not None:
+        arr = np.asarray(v, np.float32)
+    elif b64 is not None:
+        try:
+            raw = base64.b64decode(b64, validate=True)
+        except Exception as e:
+            raise ValueError(f"{key}_b64 is not valid base64: {e}")
+        if len(raw) % 4:
+            raise ValueError(f"{key}_b64 length {len(raw)} is not a "
+                             f"multiple of 4 (little-endian float32)")
+        arr = np.frombuffer(raw, "<f4").astype(np.float32)
+    else:
+        return None
+    if cols is not None:
+        if arr.ndim == 1:
+            if arr.size % cols:
+                raise ValueError(
+                    f"{key} has {arr.size} values, not divisible by the "
+                    f"model's {cols} mel bins")
+            arr = arr.reshape(-1, cols)
+        elif arr.ndim != 2 or arr.shape[1] != cols:
+            raise ValueError(f"{key} must be [frames, {cols}], got "
+                             f"{arr.shape}")
+    return arr
 
 
 def _pcm16(x: np.ndarray) -> bytes:
@@ -103,12 +146,16 @@ def make_server(engine, host: str = "127.0.0.1", port: int = 8000):
                 if not isinstance(req, dict):
                     raise ValueError("request body must be a JSON object")
                 seconds = req.get("seconds")
+                mel = _decode_f32(req, "mel", cols=(
+                    cfg.mel.num_mels if cfg.mel is not None else None))
+                prime = _decode_f32(req, "prime")
                 handle = engine.submit(
                     seconds=None if seconds is None else float(seconds),
                     num_samples=_opt_int(req.get("num_samples")),
                     seed=int(req.get("seed", 0)),
                     temperature=float(req.get("temperature", 1.0)),
-                    speaker=_opt_int(req.get("speaker")))
+                    speaker=_opt_int(req.get("speaker")),
+                    mel=mel, prime=prime)
             except (ValueError, KeyError, TypeError,
                     json.JSONDecodeError) as e:
                 self._json(400, {"error": str(e)})
