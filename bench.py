@@ -815,6 +815,14 @@ def main():
     if drift_warnings:
         line["drift_warning"] = drift_warnings
         details["drift_warning"] = drift_warnings
+        # context for the reader: identical code measures +-15-18% across
+        # PROCESSES in both directions (the heterogeneous remote-compile
+        # pool hands out different codegen; BASELINE.md round 5) — a
+        # sub-0.9 median with no throttle flag and no code change is pool
+        # variance unless it reproduces across processes
+        line["drift_note"] = "per-process backend-pool variance is " \
+            "+-15-18pct (BASELINE.md round 5); cross-check before " \
+            "reading as regression"
 
     with open(DETAILS_FILE, "w") as f:
         json.dump(details, f, indent=2)
