@@ -426,6 +426,63 @@ def test_http_front_end():
         engine.close(wait=False)
 
 
+def test_server_mel_plus_prime_matches_facade():
+    """mel AND prime on one request (documented composable over HTTP): the
+    conditioning timeline must span the priming steps (max(P-1,0)+N — the
+    round-5 review found the batched-mel rewrite dropped the span), and
+    the reply must equal the facade's singleton stream with the same
+    prime/mel/seed."""
+    from wavenet_tpu.audio import mulaw
+    mel_cfg = MelConfig(num_mels=8, hop_length=16, win_length=64,
+                        fmax=4000.0, upsample_factors=(4, 4))
+    cfg = cfg_(mel=mel_cfg)
+    m = WaveNet(cfg, wn.init_params(cfg, jax.random.PRNGKey(3)))
+    P, N = 24, 48
+    t = np.arange(P) / 8000.0
+    prime_wave = (0.3 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+    frames = -(-(P - 1 + N) // mel_cfg.hop_length)       # covers P-1+N
+    mel = np.random.default_rng(5).normal(
+        size=(frames, mel_cfg.num_mels)).astype(np.float32)
+    with WaveNetServer(m, max_batch=2, max_wait_ms=1,
+                       chunk_seconds=16 / 8000,
+                       length_quantum_seconds=32 / 8000) as srv:
+        wav = srv.synthesize(num_samples=N, mel=mel, prime=prime_wave,
+                             seed=6)
+    assert wav.shape == (N,)
+    pt = mulaw.encode_np(prime_wave, cfg.quantization_channels)[None]
+    ref = np.concatenate(
+        [np.asarray(c) for c in m.stream(num_samples=N, chunk_samples=16,
+                                         batch=1, seeds=np.asarray([6]),
+                                         prime_tokens=pt, mel=mel[None])],
+        axis=1)
+    np.testing.assert_array_equal(wav, ref[0])
+    # coverage validation includes the priming span: mel that covers N but
+    # not P-1+N is rejected at submit
+    short = mel[:N // mel_cfg.hop_length + 1]
+    with WaveNetServer(m, max_batch=2, max_wait_ms=1) as srv:
+        with pytest.raises(ValueError, match="priming"):
+            srv.submit(num_samples=N, mel=short, prime=prime_wave)
+
+
+def test_server_rejects_malformed_mel_at_submit():
+    """Wrong bin count / bad rank raise ValueError AT SUBMIT (engine API,
+    not just HTTP) so a malformed request can never join — and poison — a
+    batched decode group."""
+    mel_cfg = MelConfig(num_mels=8, hop_length=16, win_length=64,
+                        fmax=4000.0, upsample_factors=(4, 4))
+    cfg = cfg_(mel=mel_cfg)
+    m = WaveNet(cfg, wn.init_params(cfg, jax.random.PRNGKey(3)))
+    with WaveNetServer(m, max_batch=2, max_wait_ms=1) as srv:
+        for bad in (np.zeros((3, 5), np.float32),      # wrong bins
+                    np.zeros((8,), np.float32),        # 1-D
+                    np.zeros((2, 3, 8), np.float32)):  # batch > 1
+            with pytest.raises(ValueError, match="mel must be"):
+                srv.submit(num_samples=16, mel=bad)
+        # the engine still serves valid mel afterwards
+        ok = np.zeros((2, 8), np.float32)
+        assert srv.synthesize(num_samples=16, mel=ok).shape == (16,)
+
+
 def test_http_vocoder_mel_request():
     """Round 5: the HTTP surface carries the vocoder product — mel as a
     JSON list OR base64-packed f32 rows; both produce the same audio as

@@ -418,6 +418,30 @@ def test_async_save_is_durable_for_fresh_manager(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_async_save_survives_manager_gc(tmp_path):
+    """Round-5 review: a caller may drop its last reference to the manager
+    while the async save is still in flight — the per-directory strong
+    registry (checkpoint._PENDING) must keep the save observable to a
+    fresh manager's restore."""
+    import gc
+    cfg = micro_cfg()
+    ds = AudioDataset.synthetic(cfg, num_clips=1, clip_seconds=0.1)
+
+    def run_and_drop():
+        tr = Trainer(cfg, ds, checkpoint_dir=str(tmp_path / "ck"))
+        tr.run(num_steps=2, log_every=0)
+        tr.save(wait=False)
+        return jax.tree.map(np.asarray, tr.state.params)
+
+    params = run_and_drop()
+    gc.collect()                         # the manager itself may be gone
+    tr2 = Trainer(cfg, ds, checkpoint_dir=str(tmp_path / "ck"))
+    tr2.restore()                        # must see the GC'd manager's save
+    for a, b in zip(jax.tree.leaves(params),
+                    jax.tree.leaves(tr2.state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_grad_accum_trainer_end_to_end(tmp_path):
     """Full Trainer path with grad_accum: runs, checkpoints, resumes exactly
     (the MultiSteps accumulator is part of the sharded opt state).  The

@@ -146,6 +146,16 @@ class WaveNetServer:
         self.stats = {"requests": 0, "batches": 0, "padded_rows": 0,
                       "samples_out": 0, "decode_seconds": 0.0}
         self._stats_lock = threading.Lock()
+        if self.cfg.mel is not None:
+            # per-row mel upsampling as ONE compiled call per (frames,
+            # length) shape instead of op-by-op dispatch (jax.jit caches
+            # by input shape; `length` is static)
+            import jax
+            from wavenet_tpu.models.conditioning import upsample_mel
+            self._upsample_jit = jax.jit(
+                lambda m, n: upsample_mel(self.model.params["upsampler"],
+                                          self.cfg.mel, m, n),
+                static_argnums=1)
         # two decode lanes: fixed-shape batchable traffic, and dynamic-shape
         # (mel/primed) singletons — so neither head-of-line-blocks the other
         self._inbox: "queue.Queue" = queue.Queue()
@@ -197,28 +207,40 @@ class WaveNetServer:
                 raise ValueError(
                     f"speaker={speaker} out of range "
                     f"[0, {self.cfg.global_classes})")
-        if mel is not None:
-            if self.cfg.mel is None:
-                raise ValueError("model is unconditional; mel= is not an "
-                                 "input")
-            m = np.asarray(mel, np.float32)
-            frames = m.shape[0] if m.ndim == 2 else m.shape[1]
-            cap = frames * self.cfg.mel.hop_length
-            if num_samples > cap:
-                # rejected HERE so a bad request cannot poison the
-                # co-batched rows of its decode group (round 5: mel
-                # requests batch)
-                raise ValueError(
-                    f"num_samples={num_samples} exceeds the {cap} samples "
-                    f"covered by {frames} mel frames")
         if prime is not None:
             prime = np.asarray(prime, np.float32).reshape(-1)
             if prime.size == 0:
                 prime = None
+        if mel is not None:
+            if self.cfg.mel is None:
+                raise ValueError("model is unconditional; mel= is not an "
+                                 "input")
+            # full shape validation HERE so a bad request cannot poison the
+            # co-batched rows of its decode group (round 5: mel requests
+            # batch); normalize to [frames, M]
+            m = np.asarray(mel, np.float32)
+            if m.ndim == 3 and m.shape[0] == 1:
+                m = m[0]
+            M = self.cfg.mel.num_mels
+            if m.ndim != 2 or m.shape[1] != M:
+                raise ValueError(
+                    f"mel must be [frames, {M}] (or [1, frames, {M}]); "
+                    f"got shape {np.asarray(mel).shape}")
+            cap = m.shape[0] * self.cfg.mel.hop_length
+            # a primed request's conditioning timeline spans the priming
+            # steps too: max(P-1, 0) + num_samples total (the facade's
+            # _upsampled_cond rule)
+            span = max(prime.size - 1, 0) if prime is not None else 0
+            if span + num_samples > cap:
+                raise ValueError(
+                    f"num_samples={num_samples}"
+                    + (f" (+{span} priming steps)" if span else "")
+                    + f" exceeds the {cap} samples covered by "
+                    f"{m.shape[0]} mel frames")
+            mel = m
         req = _Request(int(num_samples), int(seed), float(temperature),
                        None if speaker is None else int(speaker),
-                       None if mel is None else np.asarray(mel, np.float32),
-                       prime)
+                       mel, prime)
         with self._submit_lock:
             if self._closed:
                 raise RuntimeError("server is closed")
@@ -371,37 +393,45 @@ class WaveNetServer:
             ids = [0 if r.speaker is None else r.speaker for r in group]
             speaker = np.asarray(ids + [0] * (B - n_real), np.int32)
 
-        y = None
-        if group[0].mel is not None:
-            # BATCHED vocoder decode (round 5): each row's mel upsamples at
-            # that row's own exact length — bit-identical to its singleton
-            # replay (WaveNet.stream(batch=1, mel=..., seeds=[seed])) —
-            # then the feature timeline zero-pads to the common scan
-            # length.  Padded steps lie beyond the row's emitted prefix,
-            # and AR causality means later steps cannot change earlier
-            # tokens, so co-batching cannot alter any response.
-            import jax.numpy as jnp
-            from wavenet_tpu.models.conditioning import upsample_mel
-            rows = []
-            for r in group:
-                m = r.mel[None] if r.mel.ndim == 2 else r.mel
-                y_r = np.asarray(upsample_mel(
-                    self.model.params["upsampler"], self.cfg.mel,
-                    jnp.asarray(m), r.num_samples), np.float32)
-                rows.append(np.pad(
-                    y_r, ((0, 0), (0, scan_len - r.num_samples), (0, 0))))
-            if B > n_real:
-                rows.append(np.zeros(
-                    (B - n_real, scan_len, self.cfg.mel.num_mels),
-                    np.float32))
-            y = np.concatenate(rows, axis=0)
-
+        # prime FIRST: it fixes the scan length (singleton, exact) and the
+        # conditioning span the mel branch below must cover
         prime_tokens = None
+        P = 0
         if group[0].prime is not None:
             from wavenet_tpu.audio import mulaw
             prime_tokens = mulaw.encode_np(
                 group[0].prime, self.cfg.quantization_channels)[None]
+            P = prime_tokens.shape[1]
             scan_len = group[0].num_samples  # singleton: exact length
+
+        y = None
+        if group[0].mel is not None:
+            # BATCHED vocoder decode (round 5): each row's mel upsamples at
+            # that row's own exact timeline (max(P-1,0)+num_samples, the
+            # facade's _upsampled_cond rule) — bit-identical to its
+            # singleton replay (WaveNet.stream(batch=1, mel=...,
+            # seeds=[seed])) — then the feature timeline zero-pads to the
+            # common scan length.  Padded steps lie beyond the row's
+            # emitted prefix, and AR causality means later steps cannot
+            # change earlier tokens, so co-batching cannot alter any
+            # response.  Upsampling stays PER ROW (a batched conv could
+            # round differently and break the bit-replay contract) but
+            # runs through a cached jit, not op-by-op dispatch.
+            import jax.numpy as jnp
+            span = max(P - 1, 0)
+            total = span + scan_len
+            rows = []
+            for r in group:
+                y_r = np.asarray(self._upsample_jit(
+                    jnp.asarray(r.mel[None]), span + r.num_samples),
+                    np.float32)
+                rows.append(np.pad(
+                    y_r, ((0, 0), (0, total - y_r.shape[1]), (0, 0))))
+            if B > n_real:
+                rows.append(np.zeros(
+                    (B - n_real, total, self.cfg.mel.num_mels),
+                    np.float32))
+            y = np.concatenate(rows, axis=0)
 
         if self.mesh is not None:
             self._decode_mesh(group, B, scan_len, seeds, speaker, y,

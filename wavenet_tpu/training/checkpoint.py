@@ -30,6 +30,12 @@ from wavenet_tpu.config import WaveNetConfig
 # finishes, FileNotFoundError).  Durability is a guarantee of the public
 # API, not a convention callers must remember (SURVEY.md §5.3/§5.4).
 _LIVE: "weakref.WeakSet[CheckpointManager]" = weakref.WeakSet()
+# STRONG refs per directory for managers with a QUEUED async save: a
+# caller may drop its last reference while tensorstore still writes in
+# the background, and a WeakSet would forget the save existed (round-5
+# review).  Entries are released as soon as the save is waited out, so
+# this never grows beyond the set of managers with in-flight saves.
+_PENDING: dict = {}
 
 
 def _wait_directory(directory: str) -> None:
@@ -40,6 +46,8 @@ def _wait_directory(directory: str) -> None:
     for m in list(_LIVE):
         if m.directory == directory:
             m.mgr.wait_until_finished()
+    for m in list(_PENDING.pop(directory, ())):
+        m.mgr.wait_until_finished()
 
 
 class CheckpointManager:
@@ -111,6 +119,11 @@ class CheckpointManager:
         self.mgr.save(step, args=ocp.args.Composite(**payload))
         if wait:
             self.mgr.wait_until_finished()
+            _PENDING.get(self.directory, set()).discard(self)
+        else:
+            # keep a strong ref until someone waits this save out — the
+            # caller may drop theirs while the write is still in flight
+            _PENDING.setdefault(self.directory, set()).add(self)
 
     def _settle(self):
         """Durability barrier for reads: wait out every in-flight save to
@@ -196,6 +209,7 @@ class CheckpointManager:
 
     def wait(self):
         self.mgr.wait_until_finished()
+        _PENDING.get(self.directory, set()).discard(self)
 
     @staticmethod
     def load_config(directory: str) -> WaveNetConfig:
