@@ -40,9 +40,11 @@ def pct(xs, q):
 
 
 def run_load(engine, clients: int, requests: int, seconds: float,
-             stagger_ms: float, seed0: int = 0):
+             stagger_ms: float, seed0: int = 0, mel=None):
     """Open-loop batchable load; returns (latencies, ttfc, wall_s) over the
-    measured (non-warmup) rounds."""
+    measured (non-warmup) rounds.  mel: optional [frames, M] features —
+    every request then carries them (the round-5 batched-vocoder product
+    load; same-signature mel requests group on the conditioned lane)."""
     lat, ttfc = [], []
     lock = threading.Lock()
     barrier = threading.Barrier(clients)
@@ -53,7 +55,8 @@ def run_load(engine, clients: int, requests: int, seconds: float,
             barrier.wait()        # rounds start together (steady load)
             time.sleep(rng.uniform(0, stagger_ms) / 1e3)
             t0 = time.perf_counter()
-            h = engine.submit(seconds=seconds, seed=seed0 + idx * 131 + r)
+            h = engine.submit(seconds=seconds, seed=seed0 + idx * 131 + r,
+                              mel=mel)
             t_first = None
             for _ in h:
                 if t_first is None:
@@ -101,6 +104,11 @@ def main():
     ap.add_argument("--mixed", action="store_true",
                     help="re-run the load with a concurrent long mel "
                          "decode on the singleton lane")
+    ap.add_argument("--mel-load", action="store_true",
+                    help="EVERY request carries mel features (the "
+                         "batched-vocoder product load, round 5: "
+                         "same-signature mel requests group on the "
+                         "conditioned lane instead of serializing)")
     ap.add_argument("--mel-seconds", type=float, default=4.0,
                     help="length of each background mel request (--mixed)")
     ap.add_argument("--mesh", default=None,
@@ -120,8 +128,8 @@ def main():
     from wavenet_tpu.serving import WaveNetServer
 
     cfg = get_config(args.preset)
-    if args.mixed and cfg.mel is None:
-        # the singleton lane needs a mel-conditional model
+    if (args.mixed or args.mel_load) and cfg.mel is None:
+        # the conditioned lane needs a mel-conditional model
         from wavenet_tpu.config import MelConfig
         cfg = cfg.replace(mel=MelConfig())
     mesh = None
@@ -142,10 +150,19 @@ def main():
                            length_quantum_seconds=args.seconds,
                            mesh=mesh)
 
+    load_mel = None
+    if args.mel_load:
+        n_load = int(args.seconds * cfg.sample_rate)
+        frames = n_load // cfg.mel.hop_length + 1
+        load_mel = np.random.default_rng(11).normal(
+            size=(frames, cfg.mel.num_mels)).astype(np.float32)
+        # warm the conditioned lane's executable for this signature
+        engine.synthesize(seconds=args.seconds, mel=load_mel)
+
     lat, ttfc, wall = run_load(engine, args.clients, args.requests,
-                               args.seconds, args.stagger_ms)
-    report("pure", lat, ttfc, wall, args.requests, args.clients,
-           args.seconds)
+                               args.seconds, args.stagger_ms, mel=load_mel)
+    report("mel-load" if args.mel_load else "pure", lat, ttfc, wall,
+           args.requests, args.clients, args.seconds)
     base_p95_ttfc = pct(ttfc, 95)
 
     if args.mixed:

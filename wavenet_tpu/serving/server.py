@@ -422,16 +422,21 @@ class WaveNetServer:
             total = span + scan_len
             rows = []
             for r in group:
-                y_r = np.asarray(self._upsample_jit(
-                    jnp.asarray(r.mel[None]), span + r.num_samples),
-                    np.float32)
-                rows.append(np.pad(
+                y_r = self._upsample_jit(jnp.asarray(r.mel[None]),
+                                         span + r.num_samples)
+                rows.append(jnp.pad(
                     y_r, ((0, 0), (0, total - y_r.shape[1]), (0, 0))))
             if B > n_real:
-                rows.append(np.zeros(
+                rows.append(jnp.zeros(
                     (B - n_real, total, self.cfg.mel.num_mels),
-                    np.float32))
-            y = np.concatenate(rows, axis=0)
+                    jnp.float32))
+            # DEVICE-resident end to end: y is ~hop*M bytes per emitted
+            # sample (82 MB for a 16 audio-second group — 80x the mel it
+            # came from), and reading it back to host cost ~15 s of pure
+            # transfer through the tunneled chip (round-5 bisect).  Only
+            # the ~KB mel crosses host->device; y is built, padded, and
+            # sliced per chunk on the device.
+            y = jnp.concatenate(rows, axis=0)
 
         if self.mesh is not None:
             self._decode_mesh(group, B, scan_len, seeds, speaker, y,
