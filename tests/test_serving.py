@@ -276,6 +276,25 @@ def test_server_warmup_covers_buckets():
         assert srv.synthesize(num_samples=16, seed=1).shape == (16,)
 
 
+def test_server_warmup_mel_model_uses_mel_rows():
+    """On a mel-conditional model, warmup pushes MEL-carrying groups (the
+    vocoder product load) through every bucket — compiling the
+    conditioned-lane executables — and the engine serves both mel and
+    unconditional traffic afterwards."""
+    mel_cfg = MelConfig(num_mels=8, hop_length=16, win_length=64,
+                        fmax=4000.0, upsample_factors=(4, 4))
+    cfg = cfg_(mel=mel_cfg)
+    m = WaveNet(cfg, wn.init_params(cfg, jax.random.PRNGKey(3)))
+    with WaveNetServer(m, max_batch=4, max_wait_ms=1,
+                       chunk_seconds=16 / 8000,
+                       length_quantum_seconds=16 / 8000) as srv:
+        srv.warmup(seconds=16 / 8000)
+        assert srv.stats["batches"] == 3          # buckets 1, 2, 4
+        mel = np.zeros((2, 8), np.float32)
+        assert srv.synthesize(num_samples=16, mel=mel).shape == (16,)
+        assert srv.synthesize(num_samples=16, seed=1).shape == (16,)
+
+
 def test_server_primed_request():
     """Priming runs as a singleton batch and matches WaveNet.stream with
     the same mu-law-encoded prime and fold-in key."""

@@ -258,14 +258,24 @@ class WaveNetServer:
     def warmup(self, seconds: float = 1.0, verbose: bool = False) -> None:
         """Compile every batch bucket (1, 2, 4, ..., max_batch) by pushing
         `seconds` of synthesis through each, so the first real requests
-        hit warm executables regardless of how they group.  Runs the
-        decode groups directly on the calling thread (deterministic bucket
-        coverage, independent of batching-window timing)."""
+        hit warm executables regardless of how they group.  On a
+        mel-conditional model the warmup rows CARRY MEL (zeros at the
+        bucket-aligned frame count): vocoder traffic is the product load
+        there, and the mel path owns extra executables (the per-row
+        upsampler + the conditioned decode) that cost minutes of remote
+        compile on first touch.  Runs the decode groups directly on the
+        calling thread (deterministic bucket coverage, independent of
+        batching-window timing)."""
         import time
         n = max(1, int(seconds * self.cfg.sample_rate))
+        mel_w = None
+        if self.cfg.mel is not None:
+            frames = -(-_bucket(n, self.length_quantum)
+                       // self.cfg.mel.hop_length) + 1
+            mel_w = np.zeros((frames, self.cfg.mel.num_mels), np.float32)
         b = 1
         while True:
-            group = [_Request(n, i, 1.0, None, None) for i in range(b)]
+            group = [_Request(n, i, 1.0, None, mel_w) for i in range(b)]
             t0 = time.monotonic()
             self._decode_group(group)
             if verbose:
