@@ -106,6 +106,36 @@ def model_():
     return WaveNet(cfg, wn.init_params(cfg, jax.random.PRNGKey(0)))
 
 
+def test_aot_roundtrip_mel(tmp_path):
+    """Round 5: mel-conditioned models export with a STATIC
+    [batch, frames, M] conditioning input — the frozen vocoder artifact.
+    Exported decode == live wn.generate on the same projected cond."""
+    from wavenet_tpu.models.conditioning import prepare_decode_cond
+    mel_cfg = MelConfig(num_mels=8, hop_length=16, win_length=64,
+                        fmax=4000.0, upsample_factors=(4, 4))
+    cfg = cfg_(mel=mel_cfg)
+    params = wn.init_params(cfg, jax.random.PRNGKey(0))
+    N, B = 48, 2
+    path = str(tmp_path / "voc.wnx")
+    export_decoder(params, cfg, path, num_samples=N, batch=B)
+
+    dec = load_decoder(path)
+    assert dec.with_mel and dec.mel_frames == 3
+    mel = np.random.default_rng(4).normal(size=(B, 3, 8)).astype(np.float32)
+    key = jax.random.PRNGKey(5)
+    got = np.asarray(dec.generate(key=key, mel=mel))
+    cond = prepare_decode_cond(params, cfg, jnp.asarray(mel), N)
+    want = np.asarray(wn.generate(params, cfg, key, N, batch=B, cond=cond))
+    np.testing.assert_array_equal(got, want)
+    # 2-D mel broadcasts over the batch; wrong frame count is rejected
+    got2 = np.asarray(dec.generate(key=key, mel=mel[0]))
+    assert got2.shape == (B, N)
+    with pytest.raises(ValueError, match="static export shape"):
+        dec.generate(mel=np.zeros((B, 5, 8), np.float32))
+    with pytest.raises(ValueError, match="pass mel="):
+        dec.generate(seed=1)
+
+
 def test_server_single_request_matches_stream():
     m = model_()
     with WaveNetServer(m, max_batch=1, max_wait_ms=1,

@@ -9,16 +9,20 @@ only this loader and the artifact file: no model-construction code runs at
 boot, no Python retrace, only XLA's final backend pass on first call.
 
 Artifact layout (one .zip, conventionally *.wnx):
-  exported.jaxir   jax.export blob: fn(params, key[, speaker]) -> tokens
+  exported.jaxir   jax.export blob: fn(params, key[, mel][, speaker])
   weights.npz      flat '/'-joined parameter arrays
   config.json      WaveNetConfig JSON (arch validation + mu-law decode)
-  meta.json        {num_samples, batch, temperature, with_speaker, platforms}
+  meta.json        {num_samples, batch, temperature, with_mel, mel_frames,
+                    with_speaker, platforms}
 
 Scope: the exported computation is the XLA scan decoder (`wn.generate`) —
 platform-portable and shape-static.  The Pallas whole-loop kernel stays a
 JIT-time specialization (its Mosaic payload is libtpu-version-bound, the
-wrong thing to freeze into a deployment artifact); mel-conditioned serving
-(dynamic frame counts) goes through the live facade/server instead.
+wrong thing to freeze into a deployment artifact).  Mel-conditioned
+models export with a STATIC [batch, mel_frames, M] conditioning input
+(frames sized to num_samples — the artifact's fixed-shape contract,
+round 5); variable-length vocoder traffic goes through the live
+facade/server instead.
 """
 
 from __future__ import annotations
@@ -46,8 +50,9 @@ def export_decoder(params, cfg: WaveNetConfig, path: str, *,
     """Serialize an AOT decode artifact to `path`.
 
     num_samples/batch/temperature are baked into the traced computation
-    (static shapes — the XLA contract); the PRNG key (and the speaker id
-    when cfg.global_classes is set) stay runtime inputs.  `platforms`
+    (static shapes — the XLA contract); the PRNG key — plus the mel
+    features [batch, mel_frames, M] when cfg.mel is set, and the speaker
+    id when cfg.global_classes is set — stay runtime inputs.  `platforms`
     optionally cross-lowers for several backends (e.g. ("cpu", "tpu"));
     default is the current backend only.
     """
@@ -57,18 +62,29 @@ def export_decoder(params, cfg: WaveNetConfig, path: str, *,
     from wavenet_tpu.models import wavenet as wn
 
     with_speaker = cfg.global_classes is not None
+    with_mel = cfg.mel is not None
+    mel_frames = 0
+    if with_mel:
+        # smallest frame count whose upsampling covers num_samples
+        mel_frames = -(-num_samples // cfg.mel.hop_length)
 
+    def fn(p, key, *opt):
+        opt = list(opt)
+        cond = None
+        if with_mel:
+            from wavenet_tpu.models.conditioning import prepare_decode_cond
+            cond = prepare_decode_cond(p, cfg, opt.pop(0), num_samples)
+        speaker = opt.pop(0) if with_speaker else None
+        return wn.generate(p, cfg, key, num_samples, batch=batch,
+                           cond=cond, speaker=speaker,
+                           temperature=temperature)
+
+    example = [params, jax.random.PRNGKey(0)]
+    if with_mel:
+        example.append(np.zeros((batch, mel_frames, cfg.mel.num_mels),
+                                np.float32))
     if with_speaker:
-        def fn(p, key, speaker):
-            return wn.generate(p, cfg, key, num_samples, batch=batch,
-                               speaker=speaker, temperature=temperature)
-        example = (params, jax.random.PRNGKey(0),
-                   np.zeros((batch,), np.int32))
-    else:
-        def fn(p, key):
-            return wn.generate(p, cfg, key, num_samples, batch=batch,
-                               temperature=temperature)
-        example = (params, jax.random.PRNGKey(0))
+        example.append(np.zeros((batch,), np.int32))
 
     kw = {} if platforms is None else {"platforms": tuple(platforms)}
     exported = jexport.export(jax.jit(fn), **kw)(*example)
@@ -77,6 +93,7 @@ def export_decoder(params, cfg: WaveNetConfig, path: str, *,
     np.savez(wbuf, **flatten_tree(params))
     meta = {"num_samples": num_samples, "batch": batch,
             "temperature": temperature, "with_speaker": with_speaker,
+            "with_mel": with_mel, "mel_frames": mel_frames,
             "platforms": list(exported.platforms)}
     with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as z:
         z.writestr(_EXPORTED, exported.serialize())
@@ -88,8 +105,11 @@ def export_decoder(params, cfg: WaveNetConfig, path: str, *,
 class AotDecoder:
     """A loaded artifact: weights + the serialized decode computation.
 
-    generate(seed=..., speaker=...) -> [batch, num_samples] int32 tokens;
-    waveform(...) -> float32 audio in [-1, 1] (mu-law expanded).
+    generate(seed=..., mel=..., speaker=...) -> [batch, num_samples] int32
+    tokens; waveform(...) -> float32 audio in [-1, 1] (mu-law expanded).
+    Mel-exported artifacts take mel as [batch, mel_frames, M] (or
+    [mel_frames, M], broadcast over the batch) — the STATIC frame count
+    baked at export (meta.mel_frames).
     """
 
     def __init__(self, cfg: WaveNetConfig, params, exported, meta: dict):
@@ -100,25 +120,45 @@ class AotDecoder:
         self.batch = int(meta["batch"])
         self.temperature = float(meta["temperature"])
         self.with_speaker = bool(meta["with_speaker"])
+        self.with_mel = bool(meta.get("with_mel", False))
+        self.mel_frames = int(meta.get("mel_frames", 0))
         self.platforms = tuple(meta.get("platforms", ()))
 
-    def generate(self, seed: int = 0, key=None, speaker=None):
+    def generate(self, seed: int = 0, key=None, speaker=None, mel=None):
         import jax
         if key is None:
             key = jax.random.PRNGKey(seed)
+        args = [self.params, key]
+        if self.with_mel:
+            if mel is None:
+                raise ValueError("artifact was exported with mel "
+                                 "conditioning; pass mel=")
+            mel = np.asarray(mel, np.float32)
+            if mel.ndim == 2:
+                mel = np.broadcast_to(
+                    mel, (self.batch,) + mel.shape).copy()
+            want = (self.batch, self.mel_frames, self.cfg.mel.num_mels)
+            if mel.shape != want:
+                raise ValueError(f"mel must be {want} (static export "
+                                 f"shape); got {mel.shape}")
+            args.append(mel)
+        elif mel is not None:
+            raise ValueError("artifact was exported without mel "
+                             "conditioning; mel= is not an input")
         if self.with_speaker:
             if speaker is None:
                 speaker = np.zeros((self.batch,), np.int32)
-            speaker = np.asarray(speaker, np.int32).reshape(self.batch)
-            return self._exported.call(self.params, key, speaker)
-        if speaker is not None:
+            args.append(np.asarray(speaker, np.int32).reshape(self.batch))
+        elif speaker is not None:
             raise ValueError("artifact was exported without global "
                              "conditioning; speaker= is not an input")
-        return self._exported.call(self.params, key)
+        return self._exported.call(*args)
 
-    def waveform(self, seed: int = 0, key=None, speaker=None) -> np.ndarray:
+    def waveform(self, seed: int = 0, key=None, speaker=None,
+                 mel=None) -> np.ndarray:
         from wavenet_tpu.audio import mulaw
-        toks = np.asarray(self.generate(seed=seed, key=key, speaker=speaker))
+        toks = np.asarray(self.generate(seed=seed, key=key, speaker=speaker,
+                                        mel=mel))
         return mulaw.decode_np(toks, self.cfg.quantization_channels)
 
 
