@@ -664,6 +664,37 @@ def test_singleton_lane_does_not_block_batchable():
         "batchable request queued behind the singleton mel decode")
 
 
+def test_server_mesh_mode_mel_batch_matches_single_chip():
+    """Mesh-mode serving of a BATCHED mel group (round 5): y shards with
+    the rows over the data axis and the replies equal the single-chip
+    engine's at the same seeds (the layout-independence contract)."""
+    from wavenet_tpu.parallel.mesh import make_mesh
+    mel_cfg = MelConfig(num_mels=8, hop_length=16, win_length=64,
+                        fmax=4000.0, upsample_factors=(4, 4))
+    cfg = cfg_(mel=mel_cfg, data_parallel=2)
+    m = WaveNet(cfg, wn.init_params(cfg, jax.random.PRNGKey(3)))
+    mesh = make_mesh(cfg)
+    mel = np.random.default_rng(8).normal(size=(3, 8)).astype(np.float32)
+    n = 32
+
+    def serve(mesh_):
+        with WaveNetServer(m, max_batch=2, max_wait_ms=2000,
+                           chunk_seconds=16 / 8000,
+                           length_quantum_seconds=32 / 8000,
+                           mesh=mesh_) as srv:
+            h1 = srv.submit(num_samples=n, mel=mel, seed=4)
+            h2 = srv.submit(num_samples=n, mel=mel, seed=9)
+            out = [h1.waveform(), h2.waveform()]
+            stats = dict(srv.stats)
+        return out, stats
+
+    mesh_out, mesh_stats = serve(mesh)
+    solo_out, _ = serve(None)
+    assert mesh_stats["batches"] == 1          # the pair decoded together
+    for a, b in zip(mesh_out, solo_out):
+        np.testing.assert_array_equal(a, b)
+
+
 def test_server_concurrent_consumers():
     """Chunks stream to consumers on other threads while the worker is
     still decoding; close(wait=True) drains everything submitted."""
