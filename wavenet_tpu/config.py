@@ -56,7 +56,15 @@ class WaveNetConfig:
     # --- conv stack (paper §2.1-2.4) ---
     num_blocks: int = 1
     max_dilation: int = 128            # dilations 1..max_dilation doubling
-    kernel_size: int = 2               # causal conv width
+    # Causal conv width (reference: configurable filter width, SURVEY.md §2
+    # #3).  Applies uniformly to the embed conv and every dilated conv (the
+    # RF formula below).  kernel_size == 2 (the paper's and every preset's
+    # value) is served by the Pallas kernels; kernel_size > 2 runs on the
+    # XLA scan paths (train + decode + naive oracle) single-chip or
+    # data-parallel — the fused kernels, sequence/pipeline parallelism, and
+    # the distributed decoder are contractually width-2 and refuse other
+    # widths at routing time.
+    kernel_size: int = 2
     residual_channels: int = 32
     skip_channels: int = 16
     # channels of the initial causal embedding conv; defaults to residual
@@ -127,8 +135,8 @@ class WaveNetConfig:
     def __post_init__(self):
         if self.max_dilation & (self.max_dilation - 1):
             raise ValueError("max_dilation must be a power of two")
-        if self.kernel_size != 2:
-            raise ValueError("kernel_size != 2 not supported yet")
+        if self.kernel_size < 2:
+            raise ValueError("kernel_size must be >= 2")
         if self.grad_accum < 1:
             raise ValueError("grad_accum must be >= 1")
         if self.decode_unroll < 1:

@@ -383,8 +383,9 @@ def generate_naive(params: wn.Params, cfg: WaveNetConfig, key: jax.Array,
     The whole loop compiles to one scan with static shapes.
     """
     rf = cfg.receptive_field
-    W = rf + 1
-    Q = cfg.quantization_channels
+    Km1 = cfg.kernel_size - 1                  # leading history positions:
+    W = rf + Km1                               # every embed tap of the
+    Q = cfg.quantization_channels              # oldest model position is real
     if prime_tokens is None:
         # left-fill with token 0: masked positions are zeroed anyway, and
         # the first valid position's prev then embeds the zero-token —
@@ -428,8 +429,13 @@ def generate_naive(params: wn.Params, cfg: WaveNetConfig, key: jax.Array,
             y_win = jax.lax.dynamic_slice(
                 y_pad, (0, base + i, 0),
                 (batch, rf, y_pad.shape[2]))
-        logits = wn.forward_logits(params, cfg, window[:, 1:],
-                                   prev_tokens=window[:, :-1],
+        prev_extra = None                      # wider kernels: taps t-2..
+        if Km1 > 1:                            # t-(K-1) from the window's
+            prev_extra = jnp.stack(            # true history
+                [window[:, Km1 - j:-j] for j in range(2, Km1 + 1)])
+        logits = wn.forward_logits(params, cfg, window[:, Km1:],
+                                   prev_tokens=window[:, Km1 - 1:-1],
+                                   prev_tokens_extra=prev_extra,
                                    speaker=speaker,
                                    upsampled_cond=y_win,
                                    valid_mask=mask)[:, -1]     # [B, Q]

@@ -61,6 +61,10 @@ def init_params(cfg: WaveNetConfig, key: jax.Array) -> Params:
       w_skip:[L, R, S]   b_skip:[L, S]
       head: w1 [S, S], b1 [S], w2 [S, Q], b2 [Q]
       (conditional) v_cond: [L, M, 2, R]; upsampler convs.
+      (kernel_size K > 2) w_prevk: [L, K-2, R, 2, R] — extra conv taps at
+          distances 2d..(K-1)d (tap j at index j-2); embed_prevk:
+          [K-2, Q, E] — extra embed-conv taps at t-2..t-(K-1).  Absent for
+          K == 2, so existing checkpoints load unchanged.
     """
     L = cfg.num_layers
     R = cfg.residual_channels
@@ -78,6 +82,8 @@ def init_params(cfg: WaveNetConfig, key: jax.Array) -> Params:
         fan_in, fan_out = shape[-2], shape[-1]
         if len(shape) == 4:                    # [L, R, 2, R]
             fan_in = shape[1]
+        elif len(shape) == 5:                  # [L, K-2, R, 2, R]
+            fan_in = shape[2]
         limit = (6.0 / (fan_in + fan_out)) ** 0.5
         return jax.random.uniform(k, shape, pdt, -limit, limit)
 
@@ -96,6 +102,11 @@ def init_params(cfg: WaveNetConfig, key: jax.Array) -> Params:
         "head_w2": ginit(ks[7], (S, Q)),
         "head_b2": jnp.zeros((Q,), pdt),
     }
+    if cfg.kernel_size > 2:
+        K = cfg.kernel_size
+        params["w_prevk"] = ginit(ks[13], (L, K - 2, R, 2, R))
+        params["embed_prevk"] = (
+            jax.random.normal(ks[14], (K - 2, Q, E), pdt) * 0.05)
     if E != R:
         params["w_embed_proj"] = ginit(ks[8], (E, R))
     if cfg.mel is not None:
@@ -131,8 +142,10 @@ def dilation_array(cfg: WaveNetConfig) -> jax.Array:
 
 
 def _stacked_layer_params(params: Params):
-    return {k: params[k] for k in
-            ("w_cur", "w_prev", "b", "w_res", "b_res", "w_skip", "b_skip")}
+    keys = ["w_cur", "w_prev", "b", "w_res", "b_res", "w_skip", "b_skip"]
+    if "w_prevk" in params:                       # kernel_size > 2 taps
+        keys.append("w_prevk")
+    return {k: params[k] for k in keys}
 
 
 def _dot(a, b, out_dtype=jnp.float32):
@@ -147,7 +160,8 @@ def _dot(a, b, out_dtype=jnp.float32):
 # ---------------------------------------------------------------------------
 
 def embed_tokens(params: Params, cfg: WaveNetConfig,
-                 tokens: jax.Array, prev_tokens: jax.Array) -> jax.Array:
+                 tokens: jax.Array, prev_tokens: jax.Array,
+                 prev_extra: Optional[jax.Array] = None) -> jax.Array:
     """E_cur[tokens] + E_prev[prev_tokens] -> residual stream [.., R].
 
     Deliberately a GATHER, not a one-hot matmul.  The matmul formulation
@@ -157,9 +171,21 @@ def embed_tokens(params: Params, cfg: WaveNetConfig,
     the surrounding graph — two jits of the same loss diverged at bf16 ulp
     in x and 1e-1 relative in grads; with Precision.HIGHEST it was *slower*
     than the scatter path (7.94 vs 7.72 ms full small-preset grad step) and
-    still not bit-stable (tools/tpu_step_breakdown.py bisect, round 2)."""
+    still not bit-stable (tools/tpu_step_breakdown.py bisect, round 2).
+
+    prev_extra: for kernel_size K > 2, the [K-2, *tokens.shape] int32 tokens
+    at t-2..t-(K-1) (the extra taps of the width-K embed conv); all taps sum
+    in the f32 table dtype with ONE rounding to compute dtype, keeping the
+    numerics recipe of the K=2 path."""
     cdt = _dtype(cfg)
     x = (params["embed_cur"][tokens] + params["embed_prev"][prev_tokens])
+    ek = params.get("embed_prevk")
+    if ek is not None:
+        if prev_extra is None:
+            raise ValueError("kernel_size > 2 model: embed_tokens needs the "
+                             "prev_extra taps (tokens at t-2..t-(K-1))")
+        for j in range(ek.shape[0]):
+            x = x + ek[j][prev_extra[j]]
     x = x.astype(cdt)
     if "w_embed_proj" in params:
         x = _dot(x, params["w_embed_proj"].astype(cdt)).astype(cdt)
@@ -169,6 +195,15 @@ def embed_tokens(params: Params, cfg: WaveNetConfig,
 def _shifted_tokens(tokens: jax.Array) -> jax.Array:
     """prev_tokens[t] = tokens[t-1], with a leading zero-token."""
     return jnp.pad(tokens[:, :-1], ((0, 0), (1, 0)))
+
+
+def _shifted_tokens_extra(tokens: jax.Array, K: int) -> jax.Array:
+    """[K-2, B, T] with entry j-2 holding tokens[t-j], zero-token filled
+    before sequence start — the extra embed-conv taps for kernel_size K > 2
+    (matches the zero left-fill convention of _shifted_tokens and the
+    decode state's zero-initialized prev history)."""
+    return jnp.stack([jnp.pad(tokens[:, :-j], ((0, 0), (j, 0)))
+                      for j in range(2, K)])
 
 
 # ---------------------------------------------------------------------------
@@ -193,8 +228,13 @@ def _layer_step(cfg: WaveNetConfig, x, skip, lp, d, left_ctx, cond,
     # explicitly-bf16 z would DIVERGE from what XLA actually executes — f32
     # keeps the scan path and the Pallas kernels numerically aligned.
     z = (_dot(x, lp["w_cur"].astype(cdt))
-         + _dot(x_prev, lp["w_prev"].astype(cdt))
-         + lp["b"].astype(jnp.float32))          # [B, T, 2, R] f32
+         + _dot(x_prev, lp["w_prev"].astype(cdt)))
+    wk = lp.get("w_prevk")                       # kernel_size K > 2 taps
+    if wk is not None:                           # at distances 2d..(K-1)d;
+        for j in range(wk.shape[0]):             # addition order mirrors
+            z = z + _dot(shift_right(x, (j + 2) * d, left_ctx),  # decode_step
+                         wk[j].astype(cdt))      # so fast == naive holds
+    z = z + lp["b"].astype(jnp.float32)          # [B, T, 2, R] f32
     if cond is not None:
         z = z + cond
     if gcond is not None:
@@ -218,7 +258,8 @@ def forward_logits(params: Params, cfg: WaveNetConfig, tokens: jax.Array,
                    halo_fn=None,
                    upsampled_cond: Optional[jax.Array] = None,
                    speaker: Optional[jax.Array] = None,
-                   valid_mask: Optional[jax.Array] = None) -> jax.Array:
+                   valid_mask: Optional[jax.Array] = None,
+                   prev_tokens_extra: Optional[jax.Array] = None) -> jax.Array:
     """Logits for next-sample prediction at every position.
 
     Args:
@@ -247,6 +288,10 @@ def forward_logits(params: Params, cfg: WaveNetConfig, tokens: jax.Array,
       upsampled_cond: optional [B, T, M] pre-upsampled conditioning features
         (used by the seq-parallel path where upsampling happens before the
         time axis is sharded); mutually exclusive with `mel`.
+      prev_tokens_extra: kernel_size K > 2 only — optional [K-2, B, T]
+        tokens at t-2..t-(K-1) (defaults to zero-filled shifts of `tokens`,
+        the sequence-start convention); the naive oracle passes its sliding
+        window's true history here, like prev_tokens.
     Returns:
       [B, T, Q] float32 logits.
     """
@@ -254,9 +299,14 @@ def forward_logits(params: Params, cfg: WaveNetConfig, tokens: jax.Array,
     B, T = tokens.shape
     R = cfg.residual_channels
     maxd = cfg.max_dilation
+    K = cfg.kernel_size
 
     prev = _shifted_tokens(tokens) if prev_tokens is None else prev_tokens
-    x = embed_tokens(params, cfg, tokens, prev)             # [B, T, R]
+    prev_extra = None
+    if K > 2:
+        prev_extra = (_shifted_tokens_extra(tokens, K)
+                      if prev_tokens_extra is None else prev_tokens_extra)
+    x = embed_tokens(params, cfg, tokens, prev, prev_extra)  # [B, T, R]
     skip = jnp.zeros((B, T, cfg.skip_channels), jnp.float32)
 
     cond_all = None
@@ -274,7 +324,9 @@ def forward_logits(params: Params, cfg: WaveNetConfig, tokens: jax.Array,
             preferred_element_type=jnp.float32)
 
     dils = dilation_array(cfg)
-    zeros_ctx = jnp.zeros((B, maxd, R), cdt)
+    # left context spans the deepest tap's reach: (K-1)*maxd (== maxd for
+    # the paper's K=2; shift_right slices from the context's tail)
+    zeros_ctx = jnp.zeros((B, (K - 1) * maxd, R), cdt)
 
     # Per-layer scanned inputs as a dict pytree; optional entries only present
     # when used, so the common path carries no dead weight.
@@ -417,24 +469,36 @@ class DecodeState(NamedTuple):
     leading-axis gather + one scatter (see decode_step).
     """
     queues: jax.Array          # [sum_d, B, R] compute-dtype ring buffers
-    prev_token: jax.Array      # [B] int32 token at t-1
+    prev_token: jax.Array      # [B] int32 token at t-1 (kernel_size 2);
+                               # [B, K-1] token history for wider kernels
     t: jax.Array               # scalar int32 step counter
 
 
 def ring_offsets(cfg: WaveNetConfig):
-    """Static per-layer ring offsets and the total ring length."""
+    """Static per-layer ring offsets and the total ring length.
+
+    Layer l's ring is d_l*(kernel_size-1) rows long — exactly the history a
+    width-K dilated conv must hold (K-1 taps at distances d..(K-1)d); for
+    the paper's K=2 that is the familiar length-d FIFO."""
     offs, acc = [], 0
+    taps = cfg.kernel_size - 1
     for d in cfg.dilations:
         offs.append(acc)
-        acc += d
+        acc += d * taps
     return tuple(offs), acc
 
 
 def decode_init(cfg: WaveNetConfig, batch: int) -> DecodeState:
     _, sum_d = ring_offsets(cfg)
+    K = cfg.kernel_size
+    # prev_token: [B] for K == 2 (the shipped presets / kernel contract);
+    # [B, K-1] for wider kernels — column j-1 holds the token at t-j,
+    # zero-token before sequence start (the naive oracle's left-fill)
+    prev = (jnp.zeros((batch,), jnp.int32) if K == 2
+            else jnp.zeros((batch, K - 1), jnp.int32))
     return DecodeState(
         queues=jnp.zeros((sum_d, batch, cfg.residual_channels), _dtype(cfg)),
-        prev_token=jnp.zeros((batch,), jnp.int32),
+        prev_token=prev,
         t=jnp.zeros((), jnp.int32),
     )
 
@@ -456,7 +520,12 @@ def decode_step(params: Params, cfg: WaveNetConfig, state: DecodeState,
     cdt = _dtype(cfg)
     R = cfg.residual_channels
     B = token.shape[0]
-    x = embed_tokens(params, cfg, token, state.prev_token)   # [B, R]
+    K = cfg.kernel_size
+    if K == 2:
+        x = embed_tokens(params, cfg, token, state.prev_token)   # [B, R]
+    else:
+        x = embed_tokens(params, cfg, token, state.prev_token[:, 0],
+                         jnp.moveaxis(state.prev_token[:, 1:], 1, 0))
     skip = jnp.zeros((B, cfg.skip_channels), jnp.float32)
     dils = dilation_array(cfg)
     stacked = _stacked_layer_params(params)
@@ -470,17 +539,38 @@ def decode_step(params: Params, cfg: WaveNetConfig, state: DecodeState,
     # before this restructure.  The scatter updates the donated carry in
     # place.)
     offs = jnp.asarray(ring_offsets(cfg)[0], jnp.int32)
-    slots = offs + jnp.mod(t, dils)                          # [L]
-    old_all = state.queues[slots]                            # [L, B, R]
+    if K == 2:
+        slots = offs + jnp.mod(t, dils)                      # [L]
+        old_all = state.queues[slots]                        # [L, B, R]
+    else:
+        # width-K rings (length d*(K-1)): write at t mod len; tap j reads the
+        # input from step t-j*d at (t-j*d) mod len — at t < j*d that slot is
+        # provably unwritten and holds the zero left-padding (ring_offsets
+        # docstring); the deepest tap (j = K-1) aliases the write slot,
+        # which is exactly the read-before-overwrite FIFO semantics
+        ring_len = dils * (K - 1)                            # [L]
+        slots = offs + jnp.mod(t, ring_len)                  # write slots
+        taps = jnp.arange(1, K, dtype=jnp.int32)[:, None]    # [K-1, 1]
+        read = offs + jnp.mod(t - taps * dils, ring_len)     # [K-1, L]
+        old_all = jnp.moveaxis(state.queues[read], 0, 1)     # [L, K-1, B, R]
 
     def body(carry, per_layer):
         x, skip = carry
         lp = per_layer["lp"]
-        x_prev = per_layer["old"].astype(cdt)
-        # identical dtype path to _layer_step so fast == naive per-step
-        z = (_dot(x, lp["w_cur"].astype(cdt))
-             + _dot(x_prev, lp["w_prev"].astype(cdt))
-             + lp["b"].astype(jnp.float32))      # [B, 2, R] f32
+        if K == 2:
+            x_prev = per_layer["old"].astype(cdt)
+            # identical dtype path to _layer_step so fast == naive per-step
+            z = (_dot(x, lp["w_cur"].astype(cdt))
+                 + _dot(x_prev, lp["w_prev"].astype(cdt))
+                 + lp["b"].astype(jnp.float32))  # [B, 2, R] f32
+        else:
+            old = per_layer["old"]               # [K-1, B, R]
+            z = (_dot(x, lp["w_cur"].astype(cdt))
+                 + _dot(old[0].astype(cdt), lp["w_prev"].astype(cdt)))
+            for j in range(K - 2):               # taps at 2d..(K-1)d, same
+                z = z + _dot(old[j + 1].astype(cdt),   # order as _layer_step
+                             lp["w_prevk"][j].astype(cdt))
+            z = z + lp["b"].astype(jnp.float32)  # [B, 2, R] f32
         if "cond" in per_layer:
             z = z + per_layer["cond"]
         if "gcond" in per_layer:
@@ -510,7 +600,10 @@ def decode_step(params: Params, cfg: WaveNetConfig, state: DecodeState,
         layer_inputs.astype(state.queues.dtype))
 
     logits = head_logits(params, cfg, skip)                  # [B, Q]
-    new_state = DecodeState(queues=new_queues, prev_token=token, t=t + 1)
+    new_prev = (token if K == 2 else
+                jnp.concatenate([token[:, None], state.prev_token[:, :-1]],
+                                axis=1))                     # push history
+    new_state = DecodeState(queues=new_queues, prev_token=new_prev, t=t + 1)
     return new_state, logits
 
 

@@ -134,6 +134,10 @@ def plan_tiles(cfg: WaveNetConfig, batch: int,
         # breaking the kernel==scan bit-equality contract.  No preset uses
         # causal_channels != R; route such configs to the scan.
         return 0, 0
+    if cfg.kernel_size != 2:
+        # the kernel's rings/taps are contractually width-2 (every preset);
+        # wider kernels decode on the XLA scan
+        return 0, 0
     tiles = [b for b in (256, 128, 64, 48, 32, 24, 16, 8, 4, 2, 1)
              if b <= batch and batch % b == 0]
     for bt in tiles:

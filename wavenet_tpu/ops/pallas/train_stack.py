@@ -256,6 +256,8 @@ def pick_nb_dils(cfg: WaveNetConfig, dils, T: int, B: int,
 
 
 def supported(cfg: WaveNetConfig, T: int) -> bool:
+    if cfg.kernel_size != 2:          # fused kernels are width-2; wider
+        return False                  # kernels train on the XLA scan
     TT = pick_tile(cfg, T)
     return bool(TT) and bool(group_plan(cfg, TT))
 

@@ -213,6 +213,10 @@ def generate_sharded(params, cfg: WaveNetConfig, mesh: Mesh, seed,
     """
     dp = mesh.shape[DATA_AXIS]
     mp = mesh.shape[MODEL_AXIS]
+    if cfg.kernel_size != 2:
+        raise ValueError("the distributed decoder's ring exchange is "
+                         "width-2 only; decode kernel_size > 2 models "
+                         "single-chip (wn.generate / generate_auto)")
     if batch % dp:
         raise ValueError(f"batch {batch} not divisible by data={dp}")
     Q = cfg.quantization_channels
@@ -268,6 +272,10 @@ def generate_sharded_stream(params, cfg: WaveNetConfig, mesh: Mesh, seed,
     projections is bounded by one chunk."""
     dp = mesh.shape[DATA_AXIS]
     mp = mesh.shape[MODEL_AXIS]
+    if cfg.kernel_size != 2:
+        raise ValueError("the distributed decoder's ring exchange is "
+                         "width-2 only; decode kernel_size > 2 models "
+                         "single-chip (wn.generate / generate_stream)")
     if batch % dp:
         raise ValueError(f"batch {batch} not divisible by data={dp}")
     if cfg.quantization_channels % mp:

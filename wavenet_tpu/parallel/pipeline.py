@@ -56,7 +56,7 @@ def stage_dilations(cfg: WaveNetConfig, mp: int) -> Tuple[int, ...]:
 
 def supported(cfg: WaveNetConfig, T: int, mp: int) -> bool:
     """Can the fused stack run as an mp-stage pipeline on windows of T?"""
-    if mp < 1 or cfg.num_blocks % mp:
+    if mp < 1 or cfg.num_blocks % mp or cfg.kernel_size != 2:
         return False
     TT = ts.pick_tile(cfg, T)
     return bool(TT) and bool(ts.plan_dils(cfg, stage_dilations(cfg, mp), TT))

@@ -57,6 +57,10 @@ def _prev_tokens_sp(tokens: jax.Array) -> jax.Array:
 
 def check_seq_shardable(cfg: WaveNetConfig, mesh: Mesh, T: int) -> int:
     sp = mesh.shape[SEQ_AXIS]
+    if sp > 1 and cfg.kernel_size != 2:
+        raise ValueError("sequence parallelism is width-2 only (the halo "
+                         "carries maxd samples and one prev token); train "
+                         "kernel_size > 2 models data-parallel instead")
     if T % sp:
         raise ValueError(f"sequence length {T} not divisible by seq={sp}")
     local = T // sp
@@ -140,7 +144,7 @@ def sp_fused_supported(cfg: WaveNetConfig, W: int, sp: int) -> bool:
     Needs tileable local windows and a local window long enough that the
     halo comes from ONE left neighbor."""
     from wavenet_tpu.ops.pallas import train_stack as ts
-    if sp <= 1 or W % sp:
+    if sp <= 1 or W % sp or cfg.kernel_size != 2:
         return False
     Tl = W // sp
     TT = ts.pick_tile(cfg, Tl)

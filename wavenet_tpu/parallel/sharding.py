@@ -68,6 +68,10 @@ def param_pspecs(cfg: WaveNetConfig) -> Params:
         "head_w2": P(None, M),
         "head_b2": P(M),
     }
+    if cfg.kernel_size > 2:
+        # extra conv taps: column-parallel like w_prev; embed taps replicate
+        specs["w_prevk"] = P(None, None, None, None, M)
+        specs["embed_prevk"] = P(None, None, None)
     if cfg.embed_channels != cfg.residual_channels:
         specs["w_embed_proj"] = P(None, None)
     if cfg.mel is not None:
@@ -106,6 +110,9 @@ def param_pspecs_layer(cfg: WaveNetConfig) -> Params:
         "head_w2": P(None, None),
         "head_b2": P(None),
     }
+    if cfg.kernel_size > 2:
+        specs["w_prevk"] = P(M, None, None, None, None)   # layer axis
+        specs["embed_prevk"] = P(None, None, None)
     if cfg.embed_channels != cfg.residual_channels:
         specs["w_embed_proj"] = P(None, None)
     if cfg.mel is not None:
