@@ -224,6 +224,28 @@ def test_width2_only_paths_refuse():
     with pytest.raises(ValueError, match="width-2"):
         seqpar.check_seq_shardable(
             cfg, make_mesh(cfg.replace(seq_parallel=2)), 64)
+    # the gate must fire at seq=1 too: the sp forward wires a maxd-wide
+    # halo that a K>2 tap's (K-1)*maxd shift would silently clamp through
+    with pytest.raises(ValueError, match="width-2"):
+        seqpar.check_seq_shardable(
+            cfg, make_mesh(cfg.replace(data_parallel=2)), 64)
+
+
+@pytest.mark.parametrize("K", [3, 4])
+def test_short_sequence_forward(K):
+    """T <= tap distance: forward_logits must keep the [B, T, Q] shape and
+    match the ring decoder step for step (the zero-fill taps, not an
+    under-sliced pad, carry the pre-sequence history)."""
+    cfg = cfg_(K=K, max_dilation=4)
+    p = wn.init_params(cfg, jax.random.PRNGKey(0))
+    for T in (1, 2, K - 1, K):
+        toks = jax.random.randint(jax.random.PRNGKey(T), (2, T), 0,
+                                  cfg.quantization_channels)
+        full = wn.forward_logits(p, cfg, toks)
+        assert full.shape == (2, T, cfg.quantization_channels)
+        step = _step_logits(p, cfg, toks)
+        np.testing.assert_allclose(np.asarray(step), np.asarray(full),
+                                   atol=1e-5, rtol=1e-5)
 
 
 def test_serving_engine_serves_k3():

@@ -60,10 +60,11 @@ class WaveNetConfig:
     # #3).  Applies uniformly to the embed conv and every dilated conv (the
     # RF formula below).  kernel_size == 2 (the paper's and every preset's
     # value) is served by the Pallas kernels; kernel_size > 2 runs on the
-    # XLA scan paths (train + decode + naive oracle) single-chip or
-    # data-parallel — the fused kernels, sequence/pipeline parallelism, and
-    # the distributed decoder are contractually width-2 and refuse other
-    # widths at routing time.
+    # XLA scan paths — training single-chip or data-parallel, decode
+    # single-chip (one-shot, streaming, naive oracle, serving engine).  The
+    # width-2-only subsystems — the fused kernels, sequence/pipeline
+    # parallelism, and the distributed (mesh) decoder — refuse other widths
+    # at routing time.
     kernel_size: int = 2
     residual_channels: int = 32
     skip_channels: int = 16

@@ -201,8 +201,10 @@ def _shifted_tokens_extra(tokens: jax.Array, K: int) -> jax.Array:
     """[K-2, B, T] with entry j-2 holding tokens[t-j], zero-token filled
     before sequence start — the extra embed-conv taps for kernel_size K > 2
     (matches the zero left-fill convention of _shifted_tokens and the
-    decode state's zero-initialized prev history)."""
-    return jnp.stack([jnp.pad(tokens[:, :-j], ((0, 0), (j, 0)))
+    decode state's zero-initialized prev history).  Pad-then-slice keeps
+    the width at T even when T <= j (tokens[:, :-j] would under-slice)."""
+    T = tokens.shape[1]
+    return jnp.stack([jnp.pad(tokens, ((0, 0), (j, 0)))[:, :T]
                       for j in range(2, K)])
 
 

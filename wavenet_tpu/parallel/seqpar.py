@@ -57,10 +57,14 @@ def _prev_tokens_sp(tokens: jax.Array) -> jax.Array:
 
 def check_seq_shardable(cfg: WaveNetConfig, mesh: Mesh, T: int) -> int:
     sp = mesh.shape[SEQ_AXIS]
-    if sp > 1 and cfg.kernel_size != 2:
-        raise ValueError("sequence parallelism is width-2 only (the halo "
-                         "carries maxd samples and one prev token); train "
-                         "kernel_size > 2 models data-parallel instead")
+    if cfg.kernel_size != 2:
+        # refuse at ANY sp (incl. 1): the seq-parallel forward wires a
+        # maxd-wide halo context, and a K>2 tap's (K-1)*maxd shift through
+        # it would CLAMP in shift_right and silently miscompute
+        raise ValueError("the sequence-parallel path is width-2 only (the "
+                         "halo carries maxd samples and one prev token); "
+                         "run kernel_size > 2 models through the plain "
+                         "forward / data-parallel paths instead")
     if T % sp:
         raise ValueError(f"sequence length {T} not divisible by seq={sp}")
     local = T // sp
