@@ -13,6 +13,8 @@ Checks hardware-vs-interpret bit-exactness for every Pallas kernel surface:
   6. decode kernel: priming + sampling determinism
   7. wide-R decode kernel: greedy/sampled/tiled/primed/global-cond/mel,
      incl. the `full` and `full_vocoder` presets
+  8. kernel_size=3 XLA scan path (no kernel serves it): width-3 rings vs
+     full forward + fast==naive greedy trajectory, on hardware
   (plus scan_route_divergence(), a measured — not pass/fail — probe of
   TPU-scan-vs-kernel greedy near-tie divergence, recorded by bench.py)
 
@@ -510,6 +512,45 @@ def scan_route_divergence(num_steps: int = 512, batch: int = 4):
             "config": "decode_cfg(R=32,L=14)", "num_steps": num_steps}
 
 
+def check_scan_k3(num_steps: int = 64):
+    """kernel_size=3 scan path ON HARDWARE (round-5: configurable conv
+    width runs the XLA scan only — no kernel covers it, so this is its
+    per-round hardware gate).  Two checks on a small f32 K=3 config:
+    the width-3 ring decoder teacher-forced over random tokens must match
+    the full forward allclose, and the free-running fast decoder must
+    emit the naive windowed oracle's exact greedy trajectory."""
+    from wavenet_tpu.generate.sampler import generate_naive
+    cfg = WaveNetConfig(num_blocks=2, max_dilation=8, kernel_size=3,
+                        residual_channels=16, skip_channels=8,
+                        quantization_channels=64, compute_dtype="float32")
+    p = wn.init_params(cfg, jax.random.PRNGKey(0))
+    T = cfg.receptive_field + 13
+    toks = jax.random.randint(jax.random.PRNGKey(1), (2, T), 0, 64)
+    full = jax.jit(wn.forward_logits, static_argnums=1)(p, cfg, toks)
+
+    @jax.jit
+    def step_logits(p, toks):
+        st = wn.decode_init(cfg, toks.shape[0])
+
+        def body(st, tok):
+            st, lg = wn.decode_step(p, cfg, st, tok)
+            return st, lg
+
+        _, lg = jax.lax.scan(body, st, jnp.moveaxis(toks, 1, 0))
+        return jnp.moveaxis(lg, 0, 1)
+
+    d = float(jnp.abs(step_logits(p, toks) - full).max())
+    report("k3 scan ring==forward (f32 allclose)", d < 1e-4,
+           f"max abs diff {d:.2e}")
+    fast = wn.generate(p, cfg, jax.random.PRNGKey(5), num_steps, batch=2,
+                       temperature=0.0)
+    naive = generate_naive(p, cfg, jax.random.PRNGKey(9), num_steps,
+                           batch=2, temperature=0.0)
+    eq = int((np.asarray(fast) == np.asarray(naive)).sum())
+    report("k3 scan fast==naive greedy", eq == fast.size,
+           f"{eq}/{fast.size} tokens")
+
+
 def check_decode(name, cfg, batch, num_steps, y=None, prime=None,
                  speaker=None, temperature=0.0, force_tiles=None):
     # force_tiles is a STATIC jit arg of decode_chunk — monkeypatching
@@ -590,6 +631,7 @@ def main():
                  temperature=1.0)
 
     check_decode_wide()
+    check_scan_k3()
 
     if FAILURES:
         print(f"\n{len(FAILURES)} FAILURES: {FAILURES}")
