@@ -128,6 +128,26 @@ def test_mel_fast_equals_naive():
     np.testing.assert_array_equal(np.asarray(fast), np.asarray(naive))
 
 
+def test_global_cond_fast_equals_naive():
+    """K=3 + per-utterance global conditioning (speaker): the gate offsets
+    are time-constant and tap-independent, but the combination still gets a
+    free-running oracle gate."""
+    cfg = cfg_(K=3, max_dilation=4, global_classes=4, global_channels=8)
+    p = wn.init_params(cfg, jax.random.PRNGKey(0))
+    spk = jnp.array([1, 3], jnp.int32)
+    N = cfg.receptive_field + 9
+    fast = wn.generate(p, cfg, jax.random.PRNGKey(5), N, batch=2,
+                       speaker=spk, temperature=0.0)
+    naive = generate_naive(p, cfg, jax.random.PRNGKey(9), N, batch=2,
+                           speaker=spk, temperature=0.0)
+    np.testing.assert_array_equal(np.asarray(fast), np.asarray(naive))
+    # the two speakers must actually condition differently
+    other = wn.generate(p, cfg, jax.random.PRNGKey(5), N, batch=2,
+                        speaker=jnp.array([0, 0], jnp.int32),
+                        temperature=0.0)
+    assert not np.array_equal(np.asarray(fast), np.asarray(other))
+
+
 def test_stream_chunks_equal_oneshot():
     """The streaming scan fallback serves K>2 and its concatenated chunks
     equal the one-shot decode (per-row counter-RNG seeds)."""
