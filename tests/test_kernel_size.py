@@ -290,6 +290,22 @@ def test_serving_engine_serves_k3():
     np.testing.assert_array_equal(got, ref[0])
 
 
+def test_decode_unroll_with_wide_kernel_size():
+    """The scan decoder's layer-unroll knob composes with the K>2 tap loop:
+    on CPU the unrolled trajectory is bit-identical (mirrors the K=2 gate
+    in test_compcache; on TPU near-tie divergence is allowed by contract)."""
+    if jax.default_backend() != "cpu":
+        pytest.skip("CPU-only bit-equality contract")
+    cfg = cfg_(K=3)
+    p = wn.init_params(cfg, jax.random.PRNGKey(0))
+    base = wn.generate(p, cfg, jax.random.PRNGKey(5), 48, batch=2,
+                       temperature=0.9, seeds=jnp.array([3, 9], jnp.int32))
+    un = wn.generate(p, cfg.replace(decode_unroll=4), jax.random.PRNGKey(5),
+                     48, batch=2, temperature=0.9,
+                     seeds=jnp.array([3, 9], jnp.int32))
+    np.testing.assert_array_equal(np.asarray(base), np.asarray(un))
+
+
 def test_k2_unchanged_bit_for_bit():
     """The K=2 fast decoder's trajectory is untouched by the generalization
     (the branch keeps the shipped graph): fast == naive still holds and the
